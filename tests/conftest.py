@@ -1,0 +1,23 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Multi-chip sharding is validated on a virtual CPU mesh (no multi-chip TPU
+hardware is available in CI); real-chip perf is measured by bench.py.
+
+Note: the container's sitecustomize registers the remote-TPU ('axon')
+platform in every interpreter and sets jax_platforms explicitly, so setting
+the JAX_PLATFORMS env var alone is not enough — we must override the config
+after import, before any backend is initialized.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
