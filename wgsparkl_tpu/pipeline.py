@@ -1,0 +1,298 @@
+"""Pipeline orchestrator: the whole MPM substep as ONE pure jitted function.
+
+API parity with /root/reference/src/pipeline.rs (MpmPipeline::queue_step,
+MpmData::new) — but where the reference records ~20 compute dispatches into a
+command encoder and re-encodes them per substep (src_testbed/step.rs:126-128),
+here `step` is a single jit-compiled function and substeps run in a
+`lax.scan`, so a whole frame is one device launch with zero host round trips.
+
+Pass order inside one substep mirrors pipeline.rs:195-281:
+  1. rigid world mass properties        (rigid_impulses.wgsl:139-150)
+  2. [rigid-particle transforms — mesh colliders, ops/rigid_cdf.py]
+  3. (grid sort — not needed: dense grid, implicit activation)
+  4. node CDF                           (grid_update_cdf.wgsl + collide.wgsl)
+  5. [p2g rigid CDF — mesh colliders]
+  6. particle CDF reconstruction        (g2p_cdf.wgsl)
+  7. P2G + CPIC impulse accumulation    (p2g.wgsl)
+  8. grid update                        (grid_update.wgsl)
+  9. G2P                                (g2p.wgsl)
+ 10. particle update (fused models)     (particle_update.wgsl)
+ 11. rigid impulse application + body pose integration (rigid_impulses.wgsl:94-137)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wgsparkl_tpu.collision import cdf as cdf_mod
+from wgsparkl_tpu.collision.shapes import Collider
+from wgsparkl_tpu.grid import GridConfig
+from wgsparkl_tpu.math import pose as pose_math
+from wgsparkl_tpu.ops import transfer
+from wgsparkl_tpu.ops.particle_update import particle_update
+from wgsparkl_tpu.params import SimulationParams
+from wgsparkl_tpu.rigid import body as body_mod
+from wgsparkl_tpu.rigid.body import RigidWorld
+from wgsparkl_tpu.solver import Models, Particles
+
+
+@flax.struct.dataclass
+class SimState:
+    particles: Particles
+    models: Models
+    bodies: RigidWorld
+
+
+@dataclasses.dataclass(frozen=True)
+class MpmConfig:
+    """Static configuration (hashable; a jit static argument)."""
+
+    grid: GridConfig
+    collider_types: Tuple[int, ...] = ()
+    elastic_model: str = "corotated"
+
+    @property
+    def num_colliders(self) -> int:
+        return len(self.collider_types)
+
+
+# ------------------------------------------------------------------ the step
+def substep(state: SimState, params: SimulationParams, cfg: MpmConfig) -> SimState:
+    """One MPM substep (pure; jit/scannable with cfg static)."""
+    particles, models, bodies = state.particles, state.models, state.bodies
+    nc = cfg.num_colliders
+    d = particles.dim
+
+    # 1. Rigid world mass properties.
+    bodies = body_mod.update_world_mass_properties(bodies)
+
+    if nc > 0:
+        # 4. Node CDF from analytic colliders.
+        node_pos = cfg.grid.node_positions()
+        node_dist, node_aff, node_closest = cdf_mod.node_cdf(
+            cfg.collider_types, bodies.shape_params, bodies.rot, bodies.pos,
+            node_pos, cfg.grid.cell_width,
+        )
+        # 6. Particle CDF reconstruction.
+        pcdf = cdf_mod.particle_cdf_update(
+            particles.pos, particles.cdf_affinity, node_dist, node_aff,
+            cfg.grid, nc,
+        )
+        particles = particles.replace(
+            cdf_normal=pcdf["normal"],
+            cdf_signed_distance=pcdf["signed_distance"],
+            cdf_affinity=pcdf["affinity"],
+        )
+    else:
+        m = cfg.grid.num_nodes
+        node_aff = jnp.zeros((m,), jnp.uint32)
+        node_closest = jnp.full((m,), -1, jnp.int32)
+
+    # 7. P2G.
+    grid_mom, grid_mass, lin_imp, ang_imp = transfer.p2g(
+        particles, models, bodies, node_aff, node_closest, cfg.grid, nc
+    )
+    # 8. Grid update.
+    grid_vel = transfer.grid_update(grid_mom, grid_mass, params, cfg.grid)
+    # 9. G2P.
+    new_vel, vel_grad, rigid_vel = transfer.g2p(
+        particles, bodies, grid_vel, node_aff, node_closest, cfg.grid, nc
+    )
+    particles = particles.replace(
+        vel=new_vel, affine=vel_grad, cdf_rigid_vel=rigid_vel
+    )
+    # 10. Fused particle update.
+    particles, models = particle_update(
+        particles, models, params, cfg.grid, cfg.elastic_model
+    )
+    # 11. Rigid impulses + body integration.
+    bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg.grid)
+
+    return SimState(particles=particles, models=models, bodies=bodies)
+
+
+def rigid_bodies_update(bodies, lin_imp, ang_imp, params, grid_cfg):
+    """Apply accumulated CPIC impulses, cap velocities, integrate poses,
+    apply gravity to dynamic bodies (rigid_impulses.wgsl:94-137)."""
+    dt = params.dt
+    new_lin, new_ang = body_mod.apply_impulse(bodies, lin_imp, ang_imp)
+
+    imp_nonzero = (jnp.linalg.norm(lin_imp, axis=-1) != 0.0) | (
+        jnp.linalg.norm(ang_imp, axis=-1) != 0.0
+    )
+    lin_limit = 0.1 * grid_cfg.cell_width / dt
+    ang_limit = 1.0
+    ln = jnp.linalg.norm(new_lin, axis=-1, keepdims=True)
+    an = jnp.linalg.norm(new_ang, axis=-1, keepdims=True)
+    new_lin = jnp.where(
+        imp_nonzero[:, None] & (ln > lin_limit),
+        new_lin * (lin_limit / jnp.maximum(ln, 1e-30)),
+        new_lin,
+    )
+    new_ang = jnp.where(
+        imp_nonzero[:, None] & (an > ang_limit),
+        new_ang * (ang_limit / jnp.maximum(an, 1e-30)),
+        new_ang,
+    )
+
+    new_rot, new_pos = body_mod.integrate_velocity(bodies, new_lin, new_ang, dt)
+
+    # Gravity only moves bodies with nonzero inverse mass (per-axis mask).
+    mass_mask = (bodies.inv_mass != 0.0).astype(new_lin.dtype)
+    new_lin = new_lin + params.gravity[None, :] * mass_mask * dt
+
+    return bodies.replace(rot=new_rot, pos=new_pos, linvel=new_lin, angvel=new_ang)
+
+
+def step(state: SimState, params: SimulationParams, cfg: MpmConfig, num_substeps: int):
+    """num_substeps substeps under lax.scan (one device launch per frame)."""
+
+    def body(s, _):
+        return substep(s, params, cfg), None
+
+    out, _ = jax.lax.scan(body, state, None, length=num_substeps)
+    return out
+
+
+_step_jit = jax.jit(step, static_argnames=("cfg", "num_substeps"))
+
+
+# -------------------------------------------------------------- host wrapper
+@dataclasses.dataclass(frozen=True)
+class RigidBodyDesc:
+    """Host-side body+collider description (rapier builder equivalent).
+
+    rotation: angle (2D) or scaled-axis rotation vector (3D).
+    body_type: 'fixed' | 'kinematic' | 'dynamic'.
+    """
+
+    collider: Collider
+    translation: Tuple[float, ...]
+    rotation: object = None
+    body_type: str = "fixed"
+    density: float = 1000.0
+    linvel: Optional[Tuple[float, ...]] = None
+    angvel: object = None
+
+
+def build_rigid_world(descs: Sequence[RigidBodyDesc], dim: int) -> RigidWorld:
+    b = max(len(descs), 1)
+    w = body_mod.make_rigid_world(dim, b)
+    ang_dim = 3 if dim == 3 else 1
+
+    rots, poss, linvels, angvels = [], [], [], []
+    inv_masses, inv_inertias, params_arr = [], [], []
+    for desc in descs:
+        poss.append(np.asarray(desc.translation, np.float32))
+        if dim == 3:
+            rvec = np.zeros(3, np.float32) if desc.rotation is None else np.asarray(
+                desc.rotation, np.float32
+            )
+            angle = float(np.linalg.norm(rvec))
+            axis = rvec / angle if angle > 1e-12 else np.array([1.0, 0, 0], np.float32)
+            half = 0.5 * angle
+            rots.append(
+                np.array(
+                    [np.cos(half), *(np.sin(half) * axis)], np.float32
+                )
+            )
+        else:
+            a = 0.0 if desc.rotation is None else float(desc.rotation)
+            rots.append(np.array([np.cos(a), np.sin(a)], np.float32))
+        linvels.append(
+            np.zeros(dim, np.float32)
+            if desc.linvel is None
+            else np.asarray(desc.linvel, np.float32)
+        )
+        if desc.angvel is None:
+            av = np.zeros(ang_dim, np.float32)
+        else:
+            av = np.atleast_1d(np.asarray(desc.angvel, np.float32))
+        angvels.append(av)
+        params_arr.append(desc.collider.padded_params())
+
+        if desc.body_type == "dynamic":
+            mass, com, inertia = body_mod.shape_mass_properties(
+                desc.collider, desc.density, dim
+            )
+            inv_masses.append(np.full(dim, 1.0 / mass, np.float32))
+            inv_inertias.append(np.linalg.inv(inertia).astype(np.float32))
+        else:
+            inv_masses.append(np.zeros(dim, np.float32))
+            inv_inertias.append(np.zeros((ang_dim, ang_dim), np.float32))
+
+    if not descs:
+        return w
+    return w.replace(
+        rot=jnp.asarray(np.stack(rots)),
+        pos=jnp.asarray(np.stack(poss)),
+        linvel=jnp.asarray(np.stack(linvels)),
+        angvel=jnp.asarray(np.stack(angvels)),
+        inv_mass=jnp.asarray(np.stack(inv_masses)),
+        inv_inertia_local=jnp.asarray(np.stack(inv_inertias)),
+        inv_inertia_world=jnp.asarray(np.stack(inv_inertias)),
+        shape_params=jnp.asarray(np.stack(params_arr)),
+    )
+
+
+class MpmData:
+    """Owns all device state for one scene (MpmData equivalent,
+    pipeline.rs:84-168)."""
+
+    def __init__(
+        self,
+        params: SimulationParams,
+        particles: Particles,
+        models: Models,
+        bodies: Sequence[RigidBodyDesc],
+        cell_width: float,
+        grid: Optional[GridConfig] = None,
+        grid_bounds: Optional[Tuple] = None,
+        elastic_model: str = "corotated",
+    ):
+        dim = particles.dim
+        if grid is None:
+            if grid_bounds is not None:
+                lo, hi = grid_bounds
+            else:
+                pos = np.asarray(particles.pos)
+                lo, hi = pos.min(0) - 8 * cell_width, pos.max(0) + 8 * cell_width
+            grid = GridConfig.from_bounds(lo, hi, cell_width)
+        self.params = params
+        self.bodies_desc = tuple(bodies)
+        collider_types = tuple(b.collider.shape_type for b in bodies)
+        self.config = MpmConfig(
+            grid=grid, collider_types=collider_types, elastic_model=elastic_model
+        )
+        self.state = SimState(
+            particles=particles,
+            models=models,
+            bodies=build_rigid_world(bodies, dim),
+        )
+
+    @property
+    def num_particles(self) -> int:
+        return self.state.particles.count
+
+
+class MpmPipeline:
+    """Stateless stepper (MpmPipeline equivalent, pipeline.rs:24-39)."""
+
+    def step(self, data: MpmData, num_substeps: int = 1) -> None:
+        data.state = _step_jit(
+            data.state, data.params, data.config, num_substeps
+        )
+
+    def step_fn(self, cfg: MpmConfig, num_substeps: int):
+        """Return the raw jitted (state, params) -> state function."""
+
+        def fn(state, params):
+            return step(state, params, cfg, num_substeps)
+
+        return jax.jit(fn)
