@@ -1,0 +1,81 @@
+"""Flagship benchmark: 1M-particle 3D Drucker-Prager sand, one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metric: MLS-MPM sim substeps/second (each substep is a full 10-pass step).
+Baseline target (BASELINE.json north star): >= 60 steps/s at 1M particles.
+
+Extra per-pass style context (compile time, particle-updates/s) goes to
+stderr so the driver's JSON parse stays clean.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    n_target = int(os.environ.get("BENCH_PARTICLES", 1_000_000))
+    substeps = int(os.environ.get("BENCH_SUBSTEPS", 20))
+    frames = int(os.environ.get("BENCH_FRAMES", 5))
+
+    from wgsparkl_tpu import scenes
+    from wgsparkl_tpu.pipeline import step
+
+    # ~n_target particles: nxz^2 * ny lattice at 2 per cell per axis.
+    nxz = int(round((n_target / 2.2) ** (1.0 / 3.0)))
+    ny = int(round(n_target / (nxz * nxz)))
+    data = scenes.sand_box_3d(nxz=nxz, ny=ny, cell_width=1.0, with_paddle=True)
+    n = data.num_particles
+    print(
+        f"bench scene: {n} particles, grid {data.config.grid.shape}, "
+        f"{substeps} substeps/frame, device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+    cfg = data.config
+    stepper = jax.jit(
+        lambda s, p: step(s, p, cfg, num_substeps=substeps)
+    )
+
+    t0 = time.time()
+    state = stepper(data.state, data.params)
+    jax.block_until_ready(state)
+    compile_s = time.time() - t0
+    print(f"compile+first frame: {compile_s:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(frames):
+        state = stepper(state, data.params)
+    jax.block_until_ready(state)
+    elapsed = time.time() - t0
+
+    total_steps = frames * substeps
+    steps_per_s = total_steps / elapsed
+    pups = steps_per_s * n  # particle-updates per second per chip
+    print(
+        f"{total_steps} substeps in {elapsed:.2f}s -> {steps_per_s:.2f} steps/s, "
+        f"{pups/1e6:.1f}M particle-updates/s",
+        file=sys.stderr,
+    )
+    pos = np.asarray(state.particles.pos)
+    assert np.isfinite(pos).all(), "non-finite positions in bench run"
+
+    print(
+        json.dumps(
+            {
+                "metric": f"sim steps/s, {n} particle 3D sand (MLS-MPM, DP+CPIC), 1 chip",
+                "value": round(steps_per_s, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_s / 60.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -45,12 +45,20 @@ class GridConfig:
 
     @staticmethod
     def from_bounds(lo, hi, cell_width: float, margin_cells: int = 3) -> "GridConfig":
-        """Grid covering [lo, hi] with a safety margin (stencil reach is 2)."""
+        """Grid covering [lo, hi] with a safety margin (stencil reach is 2).
+
+        Shapes are rounded up to whole 4^3 / 8^2 blocks (grid.wgsl:43 block
+        geometry) so the blocked transfer path can always be used.
+        """
         lo = np.asarray(lo, np.float64)
         hi = np.asarray(hi, np.float64)
+        dim = len(lo)
+        bs = 4 if dim == 3 else 8
         origin = np.floor(lo / cell_width).astype(np.int64) - margin_cells
         top = np.ceil(hi / cell_width).astype(np.int64) + margin_cells
-        shape = tuple(int(t - o + 1) for o, t in zip(origin, top))
+        shape = tuple(
+            int(-((t - o + 1) // -bs) * bs) for o, t in zip(origin, top)
+        )
         return GridConfig(
             shape=shape,
             cell_width=float(cell_width),

@@ -1,0 +1,295 @@
+"""Block-tiled MXU formulation of the MPM transfers (the TPU hot path).
+
+The reference's performance design is: particles binned per 4^3-node block,
+one workgroup per block staging the (block+halo) 6^3 node neighborhood in
+shared memory, walking per-node atomic linked lists (p2g.wgsl:27-120,
+sort.wgsl).  TPUs have no atomics and love big matmuls, so the TPU-native
+equivalent implemented here is:
+
+  1. SORT: particles are sorted by flat block id (one XLA sort per substep —
+     replaces the reference's 12-dispatch hashmap+prefix-sum sort phase,
+     grid.rs:30-206).  All per-particle state is physically permuted so
+     later passes stream contiguously.
+  2. JOBS: each block's particle range is cut into jobs of at most G
+     particles: job j covers sorted ranks [start_j, start_j + G).  Job
+     metadata is built with cumsum + searchsorted — static shapes, no host
+     round trip (replaces indirect dispatch, grid.wgsl:355-360).
+  3. P2G: per job, per-axis B-spline weights produce a [G, 216] window
+     weight matrix W = Wx (x) Wy (x) Wz (2 mults/entry — no 27-way one-hot);
+     particle features [G, C] are contracted as W^T @ F on the MXU, giving a
+     6^3 node tile; tiles scatter-add into the block-major grid with 8
+     octant slice-scatters (indices unique per octant pass).
+  4. G2P: the transpose — 8 octant slice-gathers build the node tile, W @ N
+     contracts back to particles.
+
+CPIC coupling enters as elementwise [G, 216] masks multiplied into W
+(compatible pairs) or its complement (impulse pairs) — the affinity bit
+logic is unchanged from the dense path.
+
+Grid layout here is block-major: [num_blocks, 4, 4, 4, C] (2D: [NB, 8, 8, C]).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wgsparkl_tpu.grid import GridConfig
+
+BLOCK2D = 8   # nodes per axis per block in 2D (8x8 = 64, grid.wgsl:43)
+BLOCK3D = 4   # 3D: 4x4x4 = 64
+
+
+def block_size(dim: int) -> int:
+    return BLOCK3D if dim == 3 else BLOCK2D
+
+
+def window_size(dim: int) -> int:
+    return block_size(dim) + 2  # halo of 2 on the high side
+
+
+@functools.lru_cache(maxsize=None)
+def _octant_slices(dim: int) -> Tuple:
+    """Static decomposition of the window tile into per-neighbor-block chunks.
+
+    Yields (block_offset e in {0,1}^d, window start per axis, sizes per axis):
+    chunk [0:B] lands in the home block, [B:B+2] in the +1 neighbor.
+    """
+    bs = block_size(dim)
+    out = []
+    for e in np.ndindex(*((2,) * dim)):
+        starts = tuple(0 if ei == 0 else bs for ei in e)
+        sizes = tuple(bs if ei == 0 else 2 for ei in e)
+        out.append((e, starts, sizes))
+    return tuple(out)
+
+
+def num_blocks(cfg: GridConfig) -> Tuple[int, ...]:
+    bs = block_size(cfg.dim)
+    assert all(s % bs == 0 for s in cfg.shape), (
+        f"blocked grid needs node shape divisible by {bs}, got {cfg.shape}"
+    )
+    return tuple(s // bs for s in cfg.shape)
+
+
+def particle_block_ids(pos, cfg: GridConfig):
+    """Flat home-block id per particle (block of the stencil base cell).
+
+    Out-of-grid particles get id = NB_total (an overflow bucket sorted last).
+    """
+    d = pos.shape[-1]
+    bs = block_size(d)
+    base = jnp.round(pos / cfg.cell_width).astype(jnp.int32) - 1
+    rel = base - jnp.asarray(cfg.origin_cell, jnp.int32)
+    blk = jnp.floor_divide(rel, bs)
+    nb = num_blocks(cfg)
+    # The window is [block, block+1]; home block must have its +1 neighbor
+    # in-bounds on each axis handled by masking, but the home block itself
+    # must be in range for the scatter.
+    ok = jnp.all((blk >= 0) & (blk < jnp.asarray(nb, jnp.int32)), axis=-1)
+    flat = blk[..., 0]
+    for a in range(1, d):
+        flat = flat * nb[a] + blk[..., a]
+    nb_total = int(np.prod(nb))
+    return jnp.where(ok, flat, nb_total), blk
+
+
+def sort_by_block(state_arrays, block_ids):
+    """Sort a pytree of [N, ...] arrays by block id.  Returns (sorted tree,
+    sorted_ids, perm) — the TPU replacement of the reference's
+    finalize_particles_sort (sort.wgsl:117-137)."""
+    n = block_ids.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_ids, perm = jax.lax.sort((block_ids, iota), num_keys=1)
+    sorted_tree = jax.tree.map(lambda x: x[perm], state_arrays)
+    return sorted_tree, sorted_ids, perm
+
+
+def build_jobs(sorted_ids, nb_total: int, group: int, max_jobs: int):
+    """Job table from sorted block ids.
+
+    Returns dict of [max_jobs] arrays: block (flat id, clamped), start (rank
+    of first particle), len (<= group).  Jobs beyond the live count have
+    len 0.
+    """
+    n = sorted_ids.shape[0]
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(sorted_ids), sorted_ids, num_segments=nb_total + 1
+    )[:nb_total]
+    first = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
+    )
+    jobs_per_block = (counts + (group - 1)) // group
+    cum_jobs = jnp.cumsum(jobs_per_block)
+    total_jobs = cum_jobs[-1] if nb_total > 0 else 0
+
+    job_idx = jnp.arange(max_jobs, dtype=jnp.int32)
+    jb = jnp.searchsorted(cum_jobs, job_idx, side="right").astype(jnp.int32)
+    live = job_idx < total_jobs
+    jb_safe = jnp.where(live, jb, 0)
+    prev_cum = jnp.where(jb_safe > 0, cum_jobs[jnp.maximum(jb_safe - 1, 0)], 0)
+    rank = job_idx - prev_cum
+    start = first[jb_safe] + rank * group
+    length = jnp.clip(counts[jb_safe] - rank * group, 0, group)
+    length = jnp.where(live, length, 0)
+    return {"block": jb_safe, "start": start.astype(jnp.int32), "len": length}
+
+
+def _axis_weights(xloc, base_local, wsz: int):
+    """Per-axis window weight rows.
+
+    xloc: [..., ] fractional offset p/h - base (in [0.5, 1.5]) for one axis.
+    base_local: [...] int base cell position within the window (0..bs-1).
+    Returns [..., wsz] with the 3 B-spline weights placed at base_local+{0,1,2}.
+    """
+    w0 = 0.5 * (1.5 - xloc) ** 2
+    w1 = 0.75 - (xloc - 1.0) ** 2
+    w2 = 0.5 * (xloc - 0.5) ** 2
+    cols = jnp.arange(wsz, dtype=jnp.int32)
+    rel = cols - base_local[..., None]
+    w = jnp.where(rel == 0, w0[..., None], 0.0)
+    w = jnp.where(rel == 1, w1[..., None], w)
+    w = jnp.where(rel == 2, w2[..., None], w)
+    return w
+
+
+def window_weights(pos, blk_coords, cfg: GridConfig):
+    """[..., WSZ^d] window weight matrix rows + support data for one job.
+
+    pos: [..., d] particle positions; blk_coords [..., d] their home block.
+    Returns (w_flat [..., WSZ^d], base_local [..., d] ints, xfrac [..., d]).
+    """
+    d = pos.shape[-1]
+    bs = block_size(d)
+    wsz = window_size(d)
+    h = cfg.cell_width
+    base = jnp.round(pos / h).astype(jnp.int32) - 1
+    xfrac = pos / h - base.astype(pos.dtype)
+    base_local = base - jnp.asarray(cfg.origin_cell, jnp.int32) - blk_coords * bs
+    base_local = jnp.clip(base_local, 0, bs - 1)
+
+    waxes = [
+        _axis_weights(xfrac[..., a], base_local[..., a], wsz) for a in range(d)
+    ]
+    if d == 2:
+        w = waxes[0][..., :, None] * waxes[1][..., None, :]
+        w_flat = w.reshape(*w.shape[:-2], wsz * wsz)
+    else:
+        w = (
+            waxes[0][..., :, None, None]
+            * waxes[1][..., None, :, None]
+            * waxes[2][..., None, None, :]
+        )
+        w_flat = w.reshape(*w.shape[:-3], wsz * wsz * wsz)
+    return w_flat, base_local, xfrac
+
+
+@functools.lru_cache(maxsize=None)
+def window_node_offsets(dim: int) -> np.ndarray:
+    """[WSZ^d, d] static int offsets of window nodes from the block origin."""
+    wsz = window_size(dim)
+    grids = np.meshgrid(*([np.arange(wsz)] * dim), indexing="ij")
+    return np.stack([g.ravel() for g in grids], axis=-1).astype(np.int32)
+
+
+def neighbor_block_table(nb: Tuple[int, ...]):
+    """[NB_total + 1, 2^d] flat ids of each block's {0,1}^d neighbors.
+
+    Entry NB_total is the overflow bucket (all-invalid).  Out-of-range
+    neighbors map to NB_total (a zero-padded ghost block slot).
+    """
+    d = len(nb)
+    coords = np.stack(
+        np.meshgrid(*[np.arange(s) for s in nb], indexing="ij"), -1
+    ).reshape(-1, d)
+    out = []
+    for e, _, _ in _octant_slices(d):
+        nbr = coords + np.asarray(e)
+        ok = np.all(nbr < np.asarray(nb), axis=-1)
+        flat = nbr[..., 0]
+        for a in range(1, d):
+            flat = flat * nb[a] + nbr[..., a]
+        out.append(np.where(ok, flat, np.prod(nb)))
+    table = np.stack(out, axis=-1).astype(np.int32)      # [NB, 2^d]
+    pad = np.full((1, table.shape[1]), np.prod(nb), np.int32)
+    return np.concatenate([table, pad], axis=0)
+
+
+def scatter_tiles(grid_blocks, tiles, job_block, nbr_table, dim: int):
+    """Scatter-add job window tiles into the block-major grid.
+
+    grid_blocks: [NB+1, BS, BS(, BS), C]  (slot NB = ghost/overflow, discarded)
+    tiles:       [J, WSZ, WSZ(, WSZ), C]
+    job_block:   [J] flat home-block ids (may repeat across jobs).
+    2^d octant passes of pure slice scatters.
+    """
+    for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
+        tgt = nbr_table[job_block, oi]                      # [J]
+        if dim == 2:
+            chunk = jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_slice_in_dim(tiles, starts[0], sizes[0], 1),
+                starts[1], sizes[1], 2,
+            )
+            grid_blocks = grid_blocks.at[tgt, : sizes[0], : sizes[1]].add(chunk)
+        else:
+            chunk = tiles[
+                :, starts[0] : starts[0] + sizes[0],
+                starts[1] : starts[1] + sizes[1],
+                starts[2] : starts[2] + sizes[2],
+            ]
+            grid_blocks = grid_blocks.at[
+                tgt, : sizes[0], : sizes[1], : sizes[2]
+            ].add(chunk)
+    return grid_blocks
+
+
+def gather_tiles(grid_blocks, job_block, nbr_table, dim: int):
+    """Gather each job's window tile from the block-major grid.
+
+    Inverse of scatter_tiles: [NB+1, BS.., C] -> [J, WSZ.., C].
+    """
+    j = job_block.shape[0]
+    wsz = window_size(dim)
+    c = grid_blocks.shape[-1]
+    tile = jnp.zeros((j,) + (wsz,) * dim + (c,), grid_blocks.dtype)
+    for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
+        src = nbr_table[job_block, oi]
+        if dim == 2:
+            chunk = grid_blocks[src, : sizes[0], : sizes[1]]
+            tile = tile.at[
+                :, starts[0] : starts[0] + sizes[0], starts[1] : starts[1] + sizes[1]
+            ].set(chunk)
+        else:
+            chunk = grid_blocks[src, : sizes[0], : sizes[1], : sizes[2]]
+            tile = tile.at[
+                :, starts[0] : starts[0] + sizes[0],
+                starts[1] : starts[1] + sizes[1],
+                starts[2] : starts[2] + sizes[2],
+            ].set(chunk)
+    return tile
+
+
+def window_node_positions(blk_coords, cfg: GridConfig):
+    """[..., WSZ^d, d] world positions of a job's window nodes."""
+    d = cfg.dim
+    bs = block_size(d)
+    offs = jnp.asarray(window_node_offsets(d))  # [W, d]
+    origin = jnp.asarray(cfg.origin_cell, jnp.int32)
+    cell = blk_coords[..., None, :] * bs + origin + offs
+    return cell.astype(jnp.float32) * cfg.cell_width
+
+
+def block_coords_of(flat, nb: Tuple[int, ...]):
+    """Flat block id [-> d coords] (clamped to valid range)."""
+    d = len(nb)
+    coords = []
+    rem = flat
+    for a in reversed(range(d)):
+        coords.append(rem % nb[a])
+        rem = rem // nb[a]
+    return jnp.stack(list(reversed(coords)), axis=-1)
+

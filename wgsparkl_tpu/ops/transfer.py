@@ -160,13 +160,20 @@ def g2p(particles, bodies, grid_vel, node_aff, node_closest, grid_cfg, num_colli
         "nk,nki,nkj->nij", w, eff_vel, dpt
     )
 
-    # Rigid velocity: sum of body velocity fields the particle is affine to
-    # (g2p.wgsl:220-226).
+    rigid_vel = rigid_velocity_sum(
+        pos, particles.cdf_affinity, bodies, num_colliders
+    )
+    return new_vel, vel_grad, rigid_vel
+
+
+def rigid_velocity_sum(pos, affinity, bodies, num_colliders):
+    """Sum of body velocity fields the particle is affine to (g2p.wgsl:220-226)."""
+    n = pos.shape[0]
     rigid_vel = jnp.zeros_like(pos)
     for i in range(num_colliders):
-        has = cdf_mod.affinity_bit(i, particles.cdf_affinity)
+        has = cdf_mod.affinity_bit(i, affinity)
         bv = body_mod.velocity_at_point(
             bodies, jnp.full((n,), i, jnp.int32), pos
         )
         rigid_vel = rigid_vel + jnp.where(has[:, None], bv, 0.0)
-    return new_vel, vel_grad, rigid_vel
+    return rigid_vel

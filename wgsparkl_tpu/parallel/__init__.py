@@ -1,0 +1,3 @@
+from wgsparkl_tpu.parallel.domain import make_sharded_step, shard_state, state_specs
+
+__all__ = ["make_sharded_step", "shard_state", "state_specs"]

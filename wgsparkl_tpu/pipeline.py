@@ -51,11 +51,20 @@ class SimState:
 
 @dataclasses.dataclass(frozen=True)
 class MpmConfig:
-    """Static configuration (hashable; a jit static argument)."""
+    """Static configuration (hashable; a jit static argument).
+
+    transfer: 'dense' (scatter/gather reference path) or 'blocked' (sorted
+    block-tiled MXU path, ops/blocked*.py — the fast path on TPU).
+    group/job_chunk/max_jobs: blocked-path job sizing (see ops/blocked.py).
+    """
 
     grid: GridConfig
     collider_types: Tuple[int, ...] = ()
     elastic_model: str = "corotated"
+    transfer: str = "dense"
+    group: int = 256
+    job_chunk: int = 32
+    max_jobs: int = 0
 
     @property
     def num_colliders(self) -> int:
@@ -63,8 +72,19 @@ class MpmConfig:
 
 
 # ------------------------------------------------------------------ the step
-def substep(state: SimState, params: SimulationParams, cfg: MpmConfig) -> SimState:
-    """One MPM substep (pure; jit/scannable with cfg static)."""
+def substep(
+    state: SimState,
+    params: SimulationParams,
+    cfg: MpmConfig,
+    axis_name: Optional[str] = None,
+) -> SimState:
+    """One MPM substep (pure; jit/scannable with cfg static).
+
+    axis_name: when running SPMD under shard_map with particles sharded over
+    a device mesh axis, pass that axis name — grid contributions and rigid
+    impulses are then reduced with psum over ICI (the TPU-native replacement
+    for the reference's single-GPU global-memory accumulation; SURVEY.md P9).
+    """
     particles, models, bodies = state.particles, state.models, state.bodies
     nc = cfg.num_colliders
     d = particles.dim
@@ -98,6 +118,11 @@ def substep(state: SimState, params: SimulationParams, cfg: MpmConfig) -> SimSta
     grid_mom, grid_mass, lin_imp, ang_imp = transfer.p2g(
         particles, models, bodies, node_aff, node_closest, cfg.grid, nc
     )
+    if axis_name is not None:
+        grid_mom = jax.lax.psum(grid_mom, axis_name)
+        grid_mass = jax.lax.psum(grid_mass, axis_name)
+        lin_imp = jax.lax.psum(lin_imp, axis_name)
+        ang_imp = jax.lax.psum(ang_imp, axis_name)
     # 8. Grid update.
     grid_vel = transfer.grid_update(grid_mom, grid_mass, params, cfg.grid)
     # 9. G2P.
@@ -114,6 +139,127 @@ def substep(state: SimState, params: SimulationParams, cfg: MpmConfig) -> SimSta
     # 11. Rigid impulses + body integration.
     bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg.grid)
 
+    return SimState(particles=particles, models=models, bodies=bodies)
+
+
+def _to_blocks(arr_flat, grid_cfg, ghost_value):
+    """Row-major flat node array [M, C] -> block-major [NB+1, BS.., C]
+    (slot NB is the ghost block used for window overflow)."""
+    from wgsparkl_tpu.ops import blocked as bk
+
+    d = grid_cfg.dim
+    bs = bk.block_size(d)
+    shp = grid_cfg.shape
+    c = arr_flat.shape[-1] if arr_flat.ndim > 1 else 1
+    a = arr_flat.reshape(*shp, c)
+    if d == 2:
+        a = a.reshape(shp[0] // bs, bs, shp[1] // bs, bs, c)
+        a = a.transpose(0, 2, 1, 3, 4).reshape(-1, bs, bs, c)
+    else:
+        a = a.reshape(
+            shp[0] // bs, bs, shp[1] // bs, bs, shp[2] // bs, bs, c
+        )
+        a = a.transpose(0, 2, 4, 1, 3, 5, 6).reshape(-1, bs, bs, bs, c)
+    ghost = jnp.full((1,) + a.shape[1:], ghost_value, a.dtype)
+    return jnp.concatenate([a, ghost], axis=0)
+
+
+def substep_blocked(
+    state: SimState,
+    params: SimulationParams,
+    cfg: MpmConfig,
+    axis_name: Optional[str] = None,
+) -> SimState:
+    """One MPM substep on the blocked MXU transfer path.
+
+    Particles come out in block-sorted order (ids tracks identity); see
+    ops/blocked.py for the design.
+    """
+    from wgsparkl_tpu.ops import blocked as bk
+    from wgsparkl_tpu.ops import blocked_transfer as bt
+
+    particles, models, bodies = state.particles, state.models, state.bodies
+    nc = cfg.num_colliders
+    grid = cfg.grid
+    d = particles.dim
+    nb = bk.num_blocks(grid)
+    nb_total = int(np.prod(nb))
+    bs = bk.block_size(d)
+
+    bodies = body_mod.update_world_mass_properties(bodies)
+
+    # Sort phase (replaces grid.rs:30-206 hashmap sort).
+    block_ids, _ = bk.particle_block_ids(particles.pos, grid)
+    (particles, models), sorted_ids, _ = bk.sort_by_block(
+        (particles, models), block_ids
+    )
+    jobs = bk.build_jobs(sorted_ids, nb_total, cfg.group, cfg.max_jobs)
+
+    # Node CDF + particle CDF reconstruction.
+    if nc > 0:
+        node_pos = grid.node_positions()
+        node_dist, node_aff, node_closest = cdf_mod.node_cdf(
+            cfg.collider_types, bodies.shape_params, bodies.rot, bodies.pos,
+            node_pos, grid.cell_width,
+        )
+        pcdf = cdf_mod.particle_cdf_update(
+            particles.pos, particles.cdf_affinity, node_dist, node_aff,
+            grid, nc,
+        )
+        particles = particles.replace(
+            cdf_normal=pcdf["normal"],
+            cdf_signed_distance=pcdf["signed_distance"],
+            cdf_affinity=pcdf["affinity"],
+        )
+        grid_aff_b = _to_blocks(node_aff, grid, jnp.uint32(0))
+        grid_closest_b = _to_blocks(node_closest, grid, -1)
+    else:
+        grid_aff_b = jnp.zeros((nb_total + 1,) + (bs,) * d + (1,), jnp.uint32)
+        grid_closest_b = jnp.full(
+            (nb_total + 1,) + (bs,) * d + (1,), -1, jnp.int32
+        )
+
+    sp = {
+        "pos": particles.pos,
+        "vel": particles.vel,
+        "mass": particles.mass,
+        "affine": particles.affine,
+        "aff": particles.cdf_affinity,
+        "normal": particles.cdf_normal,
+    }
+
+    grid_mm, lin_imp, ang_imp = bt.p2g_blocked(
+        sp, jobs, bodies, grid_aff_b, grid_closest_b, grid, nc,
+        cfg.group, cfg.job_chunk,
+    )
+    if axis_name is not None:
+        grid_mm = jax.lax.psum(grid_mm, axis_name)
+        lin_imp = jax.lax.psum(lin_imp, axis_name)
+        ang_imp = jax.lax.psum(ang_imp, axis_name)
+
+    # Grid update (elementwise on blocks; ghost slot stays zero).
+    mass_b = grid_mm[..., d:]
+    inv_mass = jnp.where(mass_b > 0.0, 1.0 / jnp.maximum(mass_b, 1e-30), 0.0)
+    vel_b = (
+        grid_mm[..., :d] + mass_b * params.gravity * params.dt
+    ) * inv_mass
+    vel_limit = grid.cell_width / params.dt
+    vel_b = jnp.clip(vel_b, -vel_limit, vel_limit)
+
+    new_vel, vel_grad = bt.g2p_blocked(
+        sp, jobs, bodies, vel_b, grid_aff_b, grid_closest_b, grid, nc,
+        cfg.group, cfg.job_chunk, particles.count,
+    )
+    rigid_vel = transfer.rigid_velocity_sum(
+        particles.pos, particles.cdf_affinity, bodies, nc
+    )
+    particles = particles.replace(
+        vel=new_vel, affine=vel_grad, cdf_rigid_vel=rigid_vel
+    )
+    particles, models = particle_update(
+        particles, models, params, grid, cfg.elastic_model
+    )
+    bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, grid)
     return SimState(particles=particles, models=models, bodies=bodies)
 
 
@@ -152,9 +298,10 @@ def rigid_bodies_update(bodies, lin_imp, ang_imp, params, grid_cfg):
 
 def step(state: SimState, params: SimulationParams, cfg: MpmConfig, num_substeps: int):
     """num_substeps substeps under lax.scan (one device launch per frame)."""
+    fn = substep_blocked if cfg.transfer == "blocked" else substep
 
     def body(s, _):
-        return substep(s, params, cfg), None
+        return fn(s, params, cfg), None
 
     out, _ = jax.lax.scan(body, state, None, length=num_substeps)
     return out
@@ -255,6 +402,10 @@ class MpmData:
         grid: Optional[GridConfig] = None,
         grid_bounds: Optional[Tuple] = None,
         elastic_model: str = "corotated",
+        transfer: str = "dense",
+        group: int = 256,
+        job_chunk: int = 32,
+        max_jobs: int = 0,
     ):
         dim = particles.dim
         if grid is None:
@@ -267,8 +418,21 @@ class MpmData:
         self.params = params
         self.bodies_desc = tuple(bodies)
         collider_types = tuple(b.collider.shape_type for b in bodies)
+        if transfer == "blocked" and max_jobs == 0:
+            # Headroom: 4x the perfectly-packed job count (blocks at ~1/4
+            # of the group size on average still fit).
+            n = particles.count
+            max_jobs = -(-n // group) * 4 + 64
+        if max_jobs % job_chunk:
+            max_jobs += job_chunk - max_jobs % job_chunk
         self.config = MpmConfig(
-            grid=grid, collider_types=collider_types, elastic_model=elastic_model
+            grid=grid,
+            collider_types=collider_types,
+            elastic_model=elastic_model,
+            transfer=transfer,
+            group=group,
+            job_chunk=job_chunk,
+            max_jobs=max_jobs,
         )
         self.state = SimState(
             particles=particles,

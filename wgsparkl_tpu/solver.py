@@ -84,6 +84,10 @@ class Particles:
     cdf_rigid_vel: jnp.ndarray     # [N, d]
     cdf_signed_distance: jnp.ndarray  # [N]
     cdf_affinity: jnp.ndarray      # [N] uint32 (16 affinity bits | 16 sign bits)
+    # Original particle identity: the blocked pipeline keeps particles in
+    # block-sorted order (sorted_particle_ids equivalent, sort.wgsl:117-137);
+    # ids[i] is the scene-construction index of the particle now at row i.
+    ids: jnp.ndarray               # [N] int32
 
     @property
     def dim(self) -> int:
@@ -134,6 +138,7 @@ class Particles:
             cdf_rigid_vel=jnp.zeros((n, d), jnp.float32),
             cdf_signed_distance=jnp.zeros((n,), jnp.float32),
             cdf_affinity=jnp.zeros((n,), jnp.uint32),
+            ids=jnp.arange(n, dtype=jnp.int32),
         )
 
     @staticmethod
