@@ -3,9 +3,15 @@
 The reference offloads these to external WGSL shaders (wgebra ``svd2``/``svd3``,
 used by ``/root/reference/src/models/linear_elasticity.wgsl:4-5`` and
 ``/root/reference/src/solver/particle_update.wgsl:10-11``).  Here they are
-pure jnp functions over arbitrary leading batch dimensions, written with only
-elementwise ops and static-index shuffles so XLA vectorizes them onto the VPU
-without any gather/scatter or data-dependent control flow.
+pure jnp functions over arbitrary leading batch dimensions.
+
+Performance notes (this is the hottest math kernel: 3 SVDs per sand particle
+per substep, SURVEY.md 7.3):
+  * the 3x3 path is fully *channelized* — the symmetric matrix lives in 6
+    [N]-shaped channel arrays and the Jacobi rotations are straight-line
+    elementwise FMAs, so XLA vectorizes everything onto VPU lanes with no
+    tiny [N,3,3] dot_generals;
+  * rotations use trig-free Givens (rsqrt), no atan2/sin/cos transcendentals.
 
 Convention ("signed SVD" as used throughout graphics MPM):
   F = U @ diag(S) @ Vt  with  U, V proper rotations (det=+1),
@@ -17,8 +23,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-
-_EPS = 1e-20
 
 
 def _rot2(angle):
@@ -54,105 +58,166 @@ def svd2x2(f):
     return u, s, vt
 
 
-def _apply_jacobi(a, v, p, q):
-    """One cyclic Jacobi rotation zeroing a[..., p, q] of symmetric a.
+# ------------------------------------------------------------------ 3x3 path
+def _givens(app, aqq, apq):
+    """Trig-free Givens (c, s) zeroing the (p, q) entry of a symmetric 2x2.
 
-    Updates a <- J^T a J and v <- v J where J is a Givens rotation in the
-    (p, q) plane.  Expressed as tiny batched matmuls (einsum): XLA compiles
-    dot_general chains orders of magnitude faster than equivalent
-    stack/slice shuffles, and on TPU they vectorize cleanly.
+    For J = [[c, -s], [s, c]] in the (p, q) plane, J^T A J has zero (p, q)
+    entry when t = tan(theta) solves t^2 + 2 tau t - 1 = 0 with
+    tau = (app - aqq) / (2 apq); the stable root is
+    t = sign(tau)/(|tau| + sqrt(1 + tau^2)).  Pure FMA + rsqrt —
+    atan2/sin/cos would dominate the whole substep at 24 rotations x 3 SVDs
+    per particle.
     """
-    app = a[..., p, p]
-    aqq = a[..., q, q]
-    apq = a[..., p, q]
-    theta = 0.5 * jnp.arctan2(2.0 * apq, app - aqq)
-    c = jnp.cos(theta)
-    s = jnp.sin(theta)
-    eye = jnp.eye(3, dtype=a.dtype)
-    j = jnp.broadcast_to(eye, a.shape)
-    j = j.at[..., p, p].set(c).at[..., q, q].set(c)
-    j = j.at[..., p, q].set(-s).at[..., q, p].set(s)
-    a_new = jnp.einsum("...ji,...jk,...kl->...il", j, a, j)
-    v_new = jnp.einsum("...ij,...jk->...ik", v, j)
-    return a_new, v_new
+    nonzero = jnp.abs(apq) > 1e-30
+    safe = jnp.where(nonzero, apq, 1.0)
+    tau = (app - aqq) / (2.0 * safe)
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(nonzero, t, 0.0)
+    c = jax.lax.rsqrt(1.0 + t * t)
+    return c, t * c
 
 
-def _sort3_desc(lam, v):
-    """Sort 3 eigenpairs by decreasing eigenvalue, branch-free."""
-
-    def cswap(lam, v, i, j):
-        swap = lam[..., i] < lam[..., j]
-        li = jnp.where(swap, lam[..., j], lam[..., i])
-        lj = jnp.where(swap, lam[..., i], lam[..., j])
-        lams = [lam[..., k] for k in range(3)]
-        lams[i], lams[j] = li, lj
-        sw = swap[..., None]
-        vi = jnp.where(sw, v[..., :, j], v[..., :, i])
-        vj = jnp.where(sw, v[..., :, i], v[..., :, j])
-        cols = [v[..., :, k] for k in range(3)]
-        cols[i], cols[j] = vi, vj
-        return jnp.stack(lams, axis=-1), jnp.stack(cols, axis=-1)
-
-    lam, v = cswap(lam, v, 0, 1)
-    lam, v = cswap(lam, v, 0, 2)
-    lam, v = cswap(lam, v, 1, 2)
-    return lam, v
+def _key(i, j):
+    return (i, j) if i <= j else (j, i)
 
 
-def _normalize(x, fallback):
-    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    ok = n > 1e-12
-    return jnp.where(ok, x / jnp.where(ok, n, 1.0), fallback)
+def _jacobi_rot(sym, v, p, q):
+    """One Jacobi rotation in the (p, q) plane on channelized state.
+
+    sym: dict {(i,j) i<=j} -> [...] channels of the symmetric matrix.
+    v:   dict {(i,j)} -> [...] channels of the accumulated eigenvector matrix.
+    """
+    r = 3 - p - q
+    app, aqq, apq = sym[_key(p, p)], sym[_key(q, q)], sym[_key(p, q)]
+    c, s = _givens(app, aqq, apq)
+    c2, s2, cs = c * c, s * s, c * s
+
+    new = dict(sym)
+    new[_key(p, p)] = c2 * app + 2.0 * cs * apq + s2 * aqq
+    new[_key(q, q)] = s2 * app - 2.0 * cs * apq + c2 * aqq
+    new[_key(p, q)] = jnp.zeros_like(apq)
+    apr, aqr = sym[_key(p, r)], sym[_key(q, r)]
+    # Note key order: channels store (min, max) so sign bookkeeping is direct.
+    new[_key(p, r)] = c * apr + s * aqr
+    new[_key(q, r)] = -s * apr + c * aqr
+
+    vnew = dict(v)
+    for i in range(3):
+        vip, viq = v[(i, p)], v[(i, q)]
+        vnew[(i, p)] = c * vip + s * viq
+        vnew[(i, q)] = -s * vip + c * viq
+    return new, vnew
+
+
+def _norm3(x, y, z):
+    return jnp.sqrt(x * x + y * y + z * z)
 
 
 @partial(jax.jit, static_argnames=("sweeps",))
 def svd3x3(f, sweeps: int = 8):
-    """Signed SVD of [..., 3, 3] matrices via cyclic Jacobi on F^T F.
+    """Signed SVD of [..., 3, 3] matrices via channelized cyclic Jacobi on
+    F^T F.  Branch-free; `sweeps` full sweeps (3 rotations each) unrolled.
 
-    Branch-free: `sweeps` full Jacobi sweeps (3 rotations each) are unrolled
-    statically; degenerate / inverted cases are resolved with `where` masks.
     Returns (U, S, Vt) with U, V in SO(3), S[..., 0] >= S[..., 1] >= |S[..., 2]|
     and sign(S[..., 2]) = sign(det f).
     """
-    ata = jnp.einsum("...ji,...jk->...ik", f, f)
-    v = jnp.broadcast_to(jnp.eye(3, dtype=f.dtype), ata.shape)
-    a = ata
+    fc = {(i, j): f[..., i, j] for i in range(3) for j in range(3)}
+
+    # A = F^T F, symmetric channels.
+    sym = {}
+    for i in range(3):
+        for j in range(i, 3):
+            sym[(i, j)] = sum(fc[(k, i)] * fc[(k, j)] for k in range(3))
+
+    zero = jnp.zeros_like(f[..., 0, 0])
+    one = jnp.ones_like(zero)
+    v = {(i, j): (one if i == j else zero) for i in range(3) for j in range(3)}
+
     for _ in range(sweeps):
-        a, v = _apply_jacobi(a, v, 0, 1)
-        a, v = _apply_jacobi(a, v, 0, 2)
-        a, v = _apply_jacobi(a, v, 1, 2)
+        sym, v = _jacobi_rot(sym, v, 0, 1)
+        sym, v = _jacobi_rot(sym, v, 0, 2)
+        sym, v = _jacobi_rot(sym, v, 1, 2)
 
-    lam = jnp.stack([a[..., 0, 0], a[..., 1, 1], a[..., 2, 2]], axis=-1)
-    lam, v = _sort3_desc(lam, v)
+    lam = [sym[(0, 0)], sym[(1, 1)], sym[(2, 2)]]
+    vcols = [[v[(i, k)] for i in range(3)] for k in range(3)]  # vcols[k][i]
 
-    # Make V a proper rotation (flip sign of last column if needed).
-    detv = jnp.linalg.det(v)
-    v = v.at[..., :, 2].multiply(jnp.sign(detv)[..., None])
+    # Sort the 3 eigenpairs descending (3 compare-swaps, channelwise).
+    def cswap(a, b):
+        la, ca = a
+        lb, cb = b
+        swap = la < lb
+        pick = lambda x, y: jnp.where(swap, y, x)
+        na = (pick(la, lb), [pick(x, y) for x, y in zip(ca, cb)])
+        nb = (pick(lb, la), [pick(y, x) for x, y in zip(ca, cb)])
+        return na, nb
 
-    sig = jnp.sqrt(jnp.maximum(lam, 0.0))
+    e0, e1, e2 = (lam[0], vcols[0]), (lam[1], vcols[1]), (lam[2], vcols[2])
+    e0, e1 = cswap(e0, e1)
+    e0, e2 = cswap(e0, e2)
+    e1, e2 = cswap(e1, e2)
+    lam = [e0[0], e1[0], e2[0]]
+    vc = [e0[1], e1[1], e2[1]]  # vc[k][i] = V[i, k]
 
-    # U columns: normalize F @ v_i, Gram-Schmidt for robustness against
-    # (near-)zero singular values, last column via cross product so that
-    # det(U) = +1 always.
-    fv = jnp.einsum("...ij,...jk->...ik", f, v)
-    ex = jnp.zeros_like(fv[..., :, 0]).at[..., 0].set(1.0)
-    u0 = _normalize(fv[..., :, 0], ex)
-    u1_raw = fv[..., :, 1]
-    u1_raw = u1_raw - jnp.sum(u1_raw * u0, axis=-1, keepdims=True) * u0
-    # Fallback: any vector orthogonal to u0.
-    ey = jnp.zeros_like(u0).at[..., 1].set(1.0)
-    alt = jnp.cross(u0, ex)
-    alt = jnp.where(
-        jnp.linalg.norm(alt, axis=-1, keepdims=True) > 1e-6, alt, jnp.cross(u0, ey)
-    )
-    u1 = _normalize(u1_raw, _normalize(alt, ey))
-    u2 = jnp.cross(u0, u1)
-    u = jnp.stack([u0, u1, u2], axis=-1)
+    # Proper rotation: v2 <- v0 x v1 (forces det(V) = +1).
+    v2 = [
+        vc[0][1] * vc[1][2] - vc[0][2] * vc[1][1],
+        vc[0][2] * vc[1][0] - vc[0][0] * vc[1][2],
+        vc[0][0] * vc[1][1] - vc[0][1] * vc[1][0],
+    ]
+    vc = [vc[0], vc[1], v2]
+
+    sig = [jnp.sqrt(jnp.maximum(l, 0.0)) for l in lam]
+
+    # U columns: F v_k, Gram-Schmidt orthonormalized with fallbacks, last
+    # column via cross product (det(U) = +1 always).
+    def matvec(cols):
+        return [
+            sum(fc[(i, k)] * cols[k] for k in range(3)) for i in range(3)
+        ]
+
+    def normalize(u, fallback):
+        n = _norm3(*u)
+        ok = n > 1e-12
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, n, 1.0), 0.0)
+        return [jnp.where(ok, x * inv, fb) for x, fb in zip(u, fallback)]
+
+    fv0 = matvec(vc[0])
+    fv1 = matvec(vc[1])
+    u0 = normalize(fv0, [one, zero, zero])
+    d01 = sum(a * b for a, b in zip(fv1, u0))
+    u1r = [a - d01 * b for a, b in zip(fv1, u0)]
+    # Fallback: a vector orthogonal to u0 (cross with the least-aligned axis).
+    ax = jnp.abs(u0[0])
+    alt_a = [zero, -u0[2], u0[1]]       # u0 x e_x
+    alt_b = [u0[2], zero, -u0[0]]       # u0 x e_y
+    use_a = ax < 0.9
+    alt = [jnp.where(use_a, a, b) for a, b in zip(alt_a, alt_b)]
+    nalt = _norm3(*alt)
+    alt = [x / jnp.maximum(nalt, 1e-30) for x in alt]
+    u1 = normalize(u1r, alt)
+    u2 = [
+        u0[1] * u1[2] - u0[2] * u1[1],
+        u0[2] * u1[0] - u0[0] * u1[2],
+        u0[0] * u1[1] - u0[1] * u1[0],
+    ]
 
     # det(U)=det(V)=+1 forces the smallest singular value to carry det's sign.
-    detf = jnp.linalg.det(f)
-    sig = sig.at[..., 2].multiply(jnp.where(detf < 0, -1.0, 1.0))
-    return u, sig, jnp.swapaxes(v, -1, -2)
+    detf = (
+        fc[(0, 0)] * (fc[(1, 1)] * fc[(2, 2)] - fc[(1, 2)] * fc[(2, 1)])
+        - fc[(0, 1)] * (fc[(1, 0)] * fc[(2, 2)] - fc[(1, 2)] * fc[(2, 0)])
+        + fc[(0, 2)] * (fc[(1, 0)] * fc[(2, 1)] - fc[(1, 1)] * fc[(2, 0)])
+    )
+    sig[2] = sig[2] * jnp.where(detf < 0, -1.0, 1.0)
+
+    u = jnp.stack(
+        [jnp.stack(col, axis=-1) for col in (u0, u1, u2)], axis=-1
+    )
+    s = jnp.stack(sig, axis=-1)
+    vt = jnp.stack(
+        [jnp.stack(col, axis=-1) for col in vc], axis=-2
+    )
+    return u, s, vt
 
 
 def svd(f, sweeps: int = 8):

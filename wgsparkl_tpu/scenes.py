@@ -86,7 +86,7 @@ def sand_box_3d(
 
 def elastic_blocks_2d(
     n_side: int = 700,
-    cell_width: float = 0.05,
+    cell_width: float = 0.2,
     num_substeps: int = 15,
 ) -> MpmData:
     """2D elastic columns falling between tilted walls (elasticity2.rs:20-103
@@ -124,13 +124,14 @@ def elastic_blocks_2d(
 def sand_column_2d(
     nx: int = 256,
     ny: int = 256,
-    cell_width: float = 0.05,
+    cell_width: float = 0.2,
     num_substeps: int = 10,
 ) -> MpmData:
-    """2D sand column collapse on a flat floor (BASELINE config 2)."""
+    """2D sand column collapse on a flat floor (BASELINE config 2;
+    material parameters from sand2.rs:33-47: density 1000, E=1e7, nu=0.2)."""
     pos = _lattice((nx, ny), cell_width, (-nx * cell_width / 4, cell_width))
     n = len(pos)
-    particles = Particles.from_arrays(pos, density=1500.0, radius=cell_width / 4)
+    particles = Particles.from_arrays(pos, density=1000.0, radius=cell_width / 4)
     elast = ElasticCoefficients.from_young_modulus(1.0e7, 0.2)
     dp = drucker_prager_arrays([DruckerPrager.new(1.0e7, 0.2)])
     dp = {k: np.full(n, v[0]) for k, v in dp.items()}
