@@ -1,0 +1,111 @@
+"""Rigid-particle mesh collider (p2g_cdf path) correctness tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from wgsparkl_tpu.collision.shapes import Collider
+from wgsparkl_tpu.models import ElasticCoefficients
+from wgsparkl_tpu.params import SimulationParams
+from wgsparkl_tpu.pipeline import MpmData, RigidBodyDesc, substep
+from wgsparkl_tpu.rigid import sampling
+from wgsparkl_tpu.solver import Models, Particles
+
+
+def _flat_table(h=0.5):
+    verts = np.array(
+        [[-5, 0, -5], [5, 0, -5], [5, 0, 5], [-5, 0, 5]], np.float32
+    )
+    tris = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+    return Collider.trimesh(verts, tris)
+
+
+def test_sampler_spacing_and_coverage():
+    col = _flat_table()
+    s = sampling.sample_trimesh(col.vertices, col.indices, cell_width=0.5)
+    pts = s.points
+    # All samples on the surface (y == 0) and inside the extent.
+    assert np.abs(pts[:, 1]).max() < 1e-6
+    assert pts[:, 0].min() >= -5 - 1e-5 and pts[:, 0].max() <= 5 + 1e-5
+    # Coverage: no grid cell of size spacing inside the table lacks a sample.
+    spacing = 0.5 / np.sqrt(2)
+    gx = np.floor((pts[:, 0] + 5) / spacing).astype(int)
+    gz = np.floor((pts[:, 2] + 5) / spacing).astype(int)
+    occupied = set(zip(gx.tolist(), gz.tolist()))
+    n_cells = int(10 / spacing)
+    missing = [
+        (i, j)
+        for i in range(n_cells)
+        for j in range(n_cells)
+        if (i, j) not in occupied
+    ]
+    assert not missing, f"uncovered cells: {missing[:5]}"
+
+
+def test_node_cdf_from_trimesh():
+    """Node CDF distances near a flat trimesh table match |y|."""
+    from wgsparkl_tpu.ops import rigid_cdf
+    from wgsparkl_tpu.pipeline import _node_cdf_full
+
+    h = 0.5
+    col = _flat_table(h)
+    pos = np.array([[0.0, 2.0, 0.0]], np.float32)
+    parts = Particles.from_arrays(pos, density=1000.0, radius=h / 4)
+    m = ElasticCoefficients.from_young_modulus(1e6, 0.2)
+    models = Models.from_arrays(1, m.lam, m.mu, phase=1.0)
+    params = SimulationParams.new(dt=1 / 600, gravity=[0, -9.81, 0])
+    data = MpmData(
+        params, parts, models, [RigidBodyDesc(col, (0.0, 0.0, 0.0))],
+        cell_width=h,
+        grid_bounds=(np.array([-4.0, -2.0, -4.0]), np.array([4.0, 4.0, 4.0])),
+    )
+    from wgsparkl_tpu.rigid import body as body_mod
+
+    bodies = body_mod.update_world_mass_properties(data.state.bodies)
+    dist, aff, closest = jax.jit(
+        lambda s, b: _node_cdf_full(s, b, data.config), static_argnums=()
+    )(data.state, bodies)
+    grid = data.config.grid
+    npos = np.asarray(grid.node_positions())
+    dist = np.asarray(dist)
+    aff = np.asarray(aff)
+    closest = np.asarray(closest)
+
+    near = np.abs(npos[:, 1]) < 0.6
+    inside_xz = (np.abs(npos[:, 0]) < 4.0) & (np.abs(npos[:, 2]) < 4.0)
+    sel = near & inside_xz
+    assert sel.any()
+    np.testing.assert_allclose(dist[sel], np.abs(npos[sel, 1]), atol=1e-4)
+    assert (closest[sel] == 0).all()
+    assert (aff[sel] & 1 == 1).all()
+    # Sign bit set below the surface (normal +y for both triangles).
+    below = sel & (npos[:, 1] < -1e-6)
+    above = sel & (npos[:, 1] > 1e-6)
+    assert ((aff[below] >> 16) & 1 == 1).all()
+    assert ((aff[above] >> 16) & 1 == 0).all()
+
+
+def test_block_rests_on_trimesh():
+    h = 0.5
+    col = _flat_table(h)
+    xs = np.arange(6) * h / 2 + h / 4
+    g = np.meshgrid(xs - 0.75, xs + 0.4, xs - 0.75, indexing="ij")
+    pos = np.stack([a.ravel() for a in g], -1).astype(np.float32)
+    parts = Particles.from_arrays(pos, density=1000.0, radius=h / 4)
+    m = ElasticCoefficients.from_young_modulus(1e6, 0.2)
+    models = Models.from_arrays(len(pos), m.lam, m.mu, phase=1.0)
+    params = SimulationParams.new(dt=1 / 600, gravity=[0, -9.81, 0])
+    data = MpmData(
+        params, parts, models, [RigidBodyDesc(col, (0.0, 0.0, 0.0))],
+        cell_width=h,
+        grid_bounds=(np.array([-4.0, -2.0, -4.0]), np.array([4.0, 4.0, 4.0])),
+    )
+    f = jax.jit(substep, static_argnums=2)
+    s = data.state
+    for _ in range(240):  # 0.4 s
+        s = f(s, data.params, data.config)
+    p = np.asarray(s.particles.pos)
+    assert np.isfinite(p).all()
+    # Must not fall through the table (started 0.4 above it).
+    assert p[:, 1].min() > -0.3, p[:, 1].min()

@@ -82,6 +82,20 @@ class Collider:
         )
 
     @staticmethod
+    def heightfield(heights, scale) -> "Collider":
+        """Regular-grid heightfield, converted to a trimesh at build time
+        (the reference does the same via HeightField::to_trimesh,
+        particle3d.rs:115-133)."""
+        from wgsparkl_tpu.rigid.sampling import heightfield_to_trimesh
+
+        v, t = heightfield_to_trimesh(heights, scale)
+        return Collider(
+            SHAPE_HEIGHTFIELD, (),
+            vertices=np.asarray(v, np.float32),
+            indices=np.asarray(t, np.int32),
+        )
+
+    @staticmethod
     def polyline(vertices, indices=None) -> "Collider":
         v = np.asarray(vertices, np.float32)
         if indices is None:

@@ -219,31 +219,39 @@ def neighbor_block_table(nb: Tuple[int, ...]):
     return np.concatenate([table, pad], axis=0)
 
 
-def scatter_tiles(grid_blocks, tiles, job_block, nbr_table, dim: int):
-    """Scatter-add job window tiles into the block-major grid.
+def scatter_tiles(grid_blocks, tiles, job_block, nbr_table, dim: int,
+                  mode: str = "add"):
+    """Scatter-reduce job window tiles into the block-major grid.
 
     grid_blocks: [NB+1, BS, BS(, BS), C]  (slot NB = ghost/overflow, discarded)
     tiles:       [J, WSZ, WSZ(, WSZ), C]
     job_block:   [J] flat home-block ids (may repeat across jobs).
-    2^d octant passes of pure slice scatters.
+    2^d octant passes of pure slice scatters; mode in {add, min, max}
+    (min/max serve the rigid-mesh CDF pass, ops/rigid_cdf.py).
     """
     for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
         tgt = nbr_table[job_block, oi]                      # [J]
         if dim == 2:
-            chunk = jax.lax.dynamic_slice_in_dim(
-                jax.lax.dynamic_slice_in_dim(tiles, starts[0], sizes[0], 1),
-                starts[1], sizes[1], 2,
-            )
-            grid_blocks = grid_blocks.at[tgt, : sizes[0], : sizes[1]].add(chunk)
+            chunk = tiles[
+                :, starts[0] : starts[0] + sizes[0],
+                starts[1] : starts[1] + sizes[1],
+            ]
+            ref = grid_blocks.at[tgt, : sizes[0], : sizes[1]]
         else:
             chunk = tiles[
                 :, starts[0] : starts[0] + sizes[0],
                 starts[1] : starts[1] + sizes[1],
                 starts[2] : starts[2] + sizes[2],
             ]
-            grid_blocks = grid_blocks.at[
-                tgt, : sizes[0], : sizes[1], : sizes[2]
-            ].add(chunk)
+            ref = grid_blocks.at[tgt, : sizes[0], : sizes[1], : sizes[2]]
+        if mode == "add":
+            grid_blocks = ref.add(chunk)
+        elif mode == "min":
+            grid_blocks = ref.min(chunk)
+        elif mode == "max":
+            grid_blocks = ref.max(chunk)
+        else:
+            raise ValueError(mode)
     return grid_blocks
 
 

@@ -1,0 +1,255 @@
+"""Rigid-particle mesh CDF: grid-node signed distances to mesh colliders.
+
+TPU-native rebuild of the reference's rigid-particle pipeline:
+  * rigid_particle_update.wgsl:26-50 — transform samples + vertices to world
+  * sort.wgsl:139-161              — bin rigid samples per node
+  * p2g_cdf.wgsl:95-191            — per node: min |signed distance| over the
+    primitives of nearby samples, restricted to face/segment-interior
+    projections; OR of per-collider affinity+sign bits
+
+Here samples are block-sorted and processed with the same job machinery as
+particles (ops/blocked.py): each job computes pairwise node-window x sample
+primitive projections, reduces over samples within the job, and
+scatter-min/max-reduces tiles into node-CDF channel grids:
+  * a packed uint32 key per node: float32 distance bits with the low 4 bits
+    carrying the collider id (exact argmin without atomics)
+  * per-mesh-collider {affinity, sign} indicator channels (scatter-max = OR)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wgsparkl_tpu.grid import GridConfig
+from wgsparkl_tpu.math import pose as pose_math
+from wgsparkl_tpu.ops import blocked as bk
+
+INF_BITS = np.uint32(0x7F800000)  # +inf float32 bit pattern
+
+
+@flax.struct.dataclass
+class MeshColliders:
+    """Device-side rigid sample cloud (GpuRigidParticles equivalent,
+    particle3d.rs:82-174)."""
+
+    sample_local: jnp.ndarray   # [S, d]
+    sample_prim: jnp.ndarray    # [S, d] vertex ids (triangle / segment)
+    sample_cid: jnp.ndarray     # [S] body slot of the owning collider
+    vertices_local: jnp.ndarray  # [V, d]
+    vertex_cid: jnp.ndarray     # [V]
+
+    @property
+    def count(self):
+        return self.sample_local.shape[0]
+
+
+def world_transform(meshes: MeshColliders, bodies):
+    """Transform samples + mesh vertices to world space
+    (rigid_particle_update.wgsl:26-50)."""
+    rot_s = bodies.rot[meshes.sample_cid]
+    pos_s = bodies.pos[meshes.sample_cid]
+    sample_w = pose_math.transform_point(rot_s, pos_s, meshes.sample_local)
+    rot_v = bodies.rot[meshes.vertex_cid]
+    pos_v = bodies.pos[meshes.vertex_cid]
+    verts_w = pose_math.transform_point(rot_v, pos_v, meshes.vertices_local)
+    return sample_w, verts_w
+
+
+def _support_weights(pos, blk_coords, cfg):
+    """[..., WSZ^d] 0/1 indicator of the 3^d stencil nodes of each sample."""
+    d = pos.shape[-1]
+    bs = bk.block_size(d)
+    wsz = bk.window_size(d)
+    h = cfg.cell_width
+    base = jnp.round(pos / h).astype(jnp.int32) - 1
+    base_local = base - jnp.asarray(cfg.origin_cell, jnp.int32) - blk_coords * bs
+    base_local = jnp.clip(base_local, 0, bs - 1)
+    cols = jnp.arange(wsz, dtype=jnp.int32)
+    supp = None
+    for a in range(d):
+        rel = cols - base_local[..., a : a + 1]
+        sa = ((rel >= 0) & (rel <= 2)).astype(jnp.float32)
+        supp = sa if supp is None else (
+            supp[..., :, None] * sa[..., None, :]
+        ).reshape(*sa.shape[:-1], -1)
+    return supp
+
+
+def mesh_node_cdf(
+    meshes: MeshColliders,
+    bodies,
+    cfg: GridConfig,
+    mesh_cids: Tuple[int, ...],
+    group: int,
+    max_jobs: int,
+    chunk: int,
+):
+    """Block-major node CDF channels from mesh colliders.
+
+    Returns (key [NBt+1, BS.., 1] uint32, aff_sign [NBt+1, BS.., 2*C] f32)
+    where key packs (distance bits | collider id) and aff_sign holds per
+    mesh collider the {affinity, sign} indicators.
+    """
+    d = cfg.dim
+    bs = bk.block_size(d)
+    nb = bk.num_blocks(cfg)
+    nb_total = int(np.prod(nb))
+    nbr = jnp.asarray(bk.neighbor_block_table(nb))
+    wsz = bk.window_size(d)
+    wvol = wsz**d
+    n_mesh = len(mesh_cids)
+
+    sample_w, verts_w = world_transform(meshes, bodies)
+    block_ids, _ = bk.particle_block_ids(sample_w, cfg)
+    data = {"pos": sample_w, "prim": meshes.sample_prim, "cid": meshes.sample_cid}
+    data, sorted_ids, _ = bk.sort_by_block(data, block_ids)
+    jobs = bk.build_jobs(sorted_ids, nb_total, group, max_jobs)
+
+    key_grid = jnp.full(
+        (nb_total + 1,) + (bs,) * d + (1,), INF_BITS, jnp.uint32
+    )
+    asg_grid = jnp.zeros((nb_total + 1,) + (bs,) * d + (2 * n_mesh,), jnp.float32)
+
+    # Map body slot -> dense mesh channel index (static).
+    chan_of_slot = {cid: i for i, cid in enumerate(mesh_cids)}
+
+    mj = max_jobs
+    stacked = {k: v.reshape(mj // chunk, chunk) for k, v in jobs.items()}
+
+    def chunk_fn(carry, jb):
+        key_grid, asg_grid = carry
+        start, length, block = jb["start"], jb["len"], jb["block"]
+        gmask = jnp.arange(group, dtype=jnp.int32)[None, :] < length[:, None]
+        blk_coords = bk.block_coords_of(block, nb)
+
+        spos = _gather(data["pos"], start, group)
+        prim = _gather(data["prim"], start, group)     # [J,G,d]
+        cid = _gather(data["cid"], start, group)       # [J,G]
+
+        supp = _support_weights(spos, blk_coords[:, None, :], cfg)  # [J,G,W]
+        supp = supp * gmask[..., None]
+        xw = bk.window_node_positions(blk_coords, cfg)              # [J,W,d]
+
+        va = verts_w[prim[..., 0]]                                  # [J,G,d]
+        vb = verts_w[prim[..., 1]]
+        if d == 3:
+            vc = verts_w[prim[..., 2]]
+            ab = vb - va
+            ac = vc - va
+            bc2 = vc - vb
+            nrm = jnp.cross(ab, ac)                                 # [J,G,3]
+            nlen = jnp.linalg.norm(nrm, axis=-1)
+            ap = xw[:, None, :, :] - va[:, :, None, :]              # [J,G,W,3]
+            bp = xw[:, None, :, :] - vb[:, :, None, :]
+            cp = xw[:, None, :, :] - vc[:, :, None, :]
+            t1 = jnp.einsum(
+                "jgd,jgwd->jgw", jnp.cross(ab, nrm), ap
+            ) <= 0.0
+            t2 = jnp.einsum(
+                "jgd,jgwd->jgw", jnp.cross(bc2, nrm), bp
+            ) <= 0.0
+            t3 = jnp.einsum(
+                "jgd,jgwd->jgw", jnp.cross(ac, nrm), cp
+            ) >= 0.0
+            interior = t1 & t2 & t3 & (nlen[..., None] > 0.0)
+            signed = jnp.einsum("jgd,jgwd->jgw", nrm, ap) / jnp.maximum(
+                nlen[..., None], 1e-30
+            )
+        else:
+            ab = vb - va
+            ap = xw[:, None, :, :] - va[:, :, None, :]              # [J,G,W,2]
+            ab2 = jnp.maximum(jnp.sum(ab * ab, -1), 1e-30)
+            t = jnp.einsum("jgd,jgwd->jgw", ab, ap) / ab2[..., None]
+            interior = (t > 0.0) & (t < 1.0)
+            perp = jnp.stack([-ab[..., 1], ab[..., 0]], axis=-1)
+            plen = jnp.maximum(jnp.linalg.norm(perp, axis=-1), 1e-30)
+            signed = jnp.einsum("jgd,jgwd->jgw", perp, ap) / plen[..., None]
+
+        valid = interior & (supp > 0.0)                             # [J,G,W]
+        dist = jnp.abs(signed)
+        sign = signed < 0.0
+
+        # Packed argmin key: distance bits (low nibble replaced by cid).
+        dist_bits = jax.lax.bitcast_convert_type(dist, jnp.uint32)
+        key = (dist_bits & jnp.uint32(0xFFFFFFF0)) | cid[..., None].astype(
+            jnp.uint32
+        )
+        key = jnp.where(valid, key, INF_BITS)
+        key_tile = jnp.min(key, axis=1)                             # [J,W]
+        key_grid = bk.scatter_tiles(
+            key_grid, key_tile.reshape((-1,) + (wsz,) * d + (1,)),
+            block, nbr, d, mode="min",
+        )
+
+        # Per-mesh-collider affinity / sign indicators (OR via max).
+        chans = []
+        for slot in mesh_cids:
+            mine = valid & (cid[..., None] == slot)
+            chans.append(jnp.max(mine.astype(jnp.float32), axis=1))
+            chans.append(jnp.max((mine & sign).astype(jnp.float32), axis=1))
+        asg_tile = jnp.stack(chans, axis=-1)                        # [J,W,2C]
+        asg_grid = bk.scatter_tiles(
+            asg_grid, asg_tile.reshape((-1,) + (wsz,) * d + (2 * n_mesh,)),
+            block, nbr, d, mode="max",
+        )
+        return (key_grid, asg_grid), None
+
+    (key_grid, asg_grid), _ = jax.lax.scan(
+        chunk_fn, (key_grid, asg_grid), stacked
+    )
+    return key_grid, asg_grid
+
+
+def _gather(arr, start, group):
+    n = arr.shape[0]
+    idx = start[:, None] + jnp.arange(group, dtype=jnp.int32)[None, :]
+    return arr[jnp.clip(idx, 0, n - 1)]
+
+
+def merge_mesh_into_node_cdf(
+    node_dist, node_aff, node_closest, key_flat, asg_flat, mesh_cids
+):
+    """Merge mesh CDF channels (flat node order) into the analytic node CDF.
+
+    Mirrors the accumulation rules of p2g_cdf.wgsl:99-106: bits OR together;
+    closest = global argmin distance.
+    """
+    finite = key_flat < INF_BITS
+    mesh_dist = jax.lax.bitcast_convert_type(
+        key_flat & jnp.uint32(0xFFFFFFF0), jnp.float32
+    )
+    mesh_cid = (key_flat & jnp.uint32(0xF)).astype(jnp.int32)
+
+    closer = finite & (mesh_dist < node_dist)
+    node_dist = jnp.where(closer, mesh_dist, node_dist)
+    node_closest = jnp.where(closer, mesh_cid, node_closest)
+
+    for i, slot in enumerate(mesh_cids):
+        has = asg_flat[:, 2 * i] > 0.0
+        sgn = asg_flat[:, 2 * i + 1] > 0.0
+        bits = jnp.where(has, jnp.uint32(1 << slot), jnp.uint32(0)) | jnp.where(
+            sgn, jnp.uint32(1 << (slot + 16)), jnp.uint32(0)
+        )
+        node_aff = node_aff | bits
+    return node_dist, node_aff, node_closest
+
+
+def blocks_to_flat(blocked_arr, cfg: GridConfig):
+    """Block-major [NB+1, BS.., C] -> flat row-major [M, C] (drops ghost)."""
+    d = cfg.dim
+    bs = bk.block_size(d)
+    nb = bk.num_blocks(cfg)
+    a = blocked_arr[:-1]
+    c = a.shape[-1]
+    if d == 2:
+        a = a.reshape(nb[0], nb[1], bs, bs, c).transpose(0, 2, 1, 3, 4)
+    else:
+        a = a.reshape(nb[0], nb[1], nb[2], bs, bs, bs, c).transpose(
+            0, 3, 1, 4, 2, 5, 6
+        )
+    return a.reshape(-1, c)

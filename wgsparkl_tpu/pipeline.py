@@ -47,6 +47,7 @@ class SimState:
     particles: Particles
     models: Models
     bodies: RigidWorld
+    meshes: object = None  # Optional[ops.rigid_cdf.MeshColliders]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +66,12 @@ class MpmConfig:
     group: int = 256
     job_chunk: int = 32
     max_jobs: int = 0
+    # Rigid-particle mesh colliders (body slots with trimesh/polyline/
+    # heightfield shapes; see ops/rigid_cdf.py).
+    mesh_cids: Tuple[int, ...] = ()
+    sample_group: int = 128
+    sample_chunk: int = 32
+    sample_max_jobs: int = 0
 
     @property
     def num_colliders(self) -> int:
@@ -93,12 +100,8 @@ def substep(
     bodies = body_mod.update_world_mass_properties(bodies)
 
     if nc > 0:
-        # 4. Node CDF from analytic colliders.
-        node_pos = cfg.grid.node_positions()
-        node_dist, node_aff, node_closest = cdf_mod.node_cdf(
-            cfg.collider_types, bodies.shape_params, bodies.rot, bodies.pos,
-            node_pos, cfg.grid.cell_width,
-        )
+        # 4+5. Node CDF (analytic colliders + rigid-particle meshes).
+        node_dist, node_aff, node_closest = _node_cdf_full(state, bodies, cfg)
         # 6. Particle CDF reconstruction.
         pcdf = cdf_mod.particle_cdf_update(
             particles.pos, particles.cdf_affinity, node_dist, node_aff,
@@ -139,7 +142,31 @@ def substep(
     # 11. Rigid impulses + body integration.
     bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg.grid)
 
-    return SimState(particles=particles, models=models, bodies=bodies)
+    return SimState(particles=particles, models=models, bodies=bodies, meshes=state.meshes)
+
+
+def _node_cdf_full(state: SimState, bodies, cfg: MpmConfig):
+    """Node CDF: analytic shapes (grid_update_cdf/collide.wgsl) merged with
+    the rigid-particle mesh pass (p2g_cdf.wgsl; ops/rigid_cdf.py)."""
+    from wgsparkl_tpu.ops import rigid_cdf
+
+    grid = cfg.grid
+    node_pos = grid.node_positions()
+    node_dist, node_aff, node_closest = cdf_mod.node_cdf(
+        cfg.collider_types, bodies.shape_params, bodies.rot, bodies.pos,
+        node_pos, grid.cell_width,
+    )
+    if cfg.mesh_cids:
+        key_b, asg_b = rigid_cdf.mesh_node_cdf(
+            state.meshes, bodies, grid, cfg.mesh_cids,
+            cfg.sample_group, cfg.sample_max_jobs, cfg.sample_chunk,
+        )
+        key_f = rigid_cdf.blocks_to_flat(key_b, grid)[:, 0]
+        asg_f = rigid_cdf.blocks_to_flat(asg_b, grid)
+        node_dist, node_aff, node_closest = rigid_cdf.merge_mesh_into_node_cdf(
+            node_dist, node_aff, node_closest, key_f, asg_f, cfg.mesh_cids
+        )
+    return node_dist, node_aff, node_closest
 
 
 def _to_blocks(arr_flat, grid_cfg, ghost_value):
@@ -197,11 +224,7 @@ def substep_blocked(
 
     # Node CDF + particle CDF reconstruction.
     if nc > 0:
-        node_pos = grid.node_positions()
-        node_dist, node_aff, node_closest = cdf_mod.node_cdf(
-            cfg.collider_types, bodies.shape_params, bodies.rot, bodies.pos,
-            node_pos, grid.cell_width,
-        )
+        node_dist, node_aff, node_closest = _node_cdf_full(state, bodies, cfg)
         pcdf = cdf_mod.particle_cdf_update(
             particles.pos, particles.cdf_affinity, node_dist, node_aff,
             grid, nc,
@@ -260,7 +283,7 @@ def substep_blocked(
         particles, models, params, grid, cfg.elastic_model
     )
     bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, grid)
-    return SimState(particles=particles, models=models, bodies=bodies)
+    return SimState(particles=particles, models=models, bodies=bodies, meshes=state.meshes)
 
 
 def rigid_bodies_update(bodies, lin_imp, ang_imp, params, grid_cfg):
@@ -425,6 +448,50 @@ class MpmData:
             max_jobs = -(-n // group) * 4 + 64
         if max_jobs % job_chunk:
             max_jobs += job_chunk - max_jobs % job_chunk
+
+        # Rigid-particle mesh colliders (p2g_cdf path).
+        from wgsparkl_tpu.collision import shapes as shp
+
+        mesh_types = (shp.SHAPE_POLYLINE, shp.SHAPE_TRIMESH, shp.SHAPE_HEIGHTFIELD)
+        mesh_slots = tuple(
+            i for i, b in enumerate(bodies) if b.collider.shape_type in mesh_types
+        )
+        meshes = None
+        sample_group, sample_chunk, sample_max_jobs = 128, 32, 0
+        if mesh_slots:
+            from wgsparkl_tpu.ops.rigid_cdf import MeshColliders
+            from wgsparkl_tpu.rigid import sampling
+
+            parts_list, vertex_cids = [], []
+            voffset = 0
+            for slot in mesh_slots:
+                col = bodies[slot].collider
+                if dim == 2:
+                    s = sampling.sample_polyline(
+                        col.vertices, col.indices, cell_width,
+                        collider_id=slot, vertex_offset=voffset,
+                    )
+                else:
+                    s = sampling.sample_trimesh(
+                        col.vertices, col.indices, cell_width,
+                        collider_id=slot, vertex_offset=voffset,
+                    )
+                parts_list.append(s)
+                vertex_cids.append(np.full(len(col.vertices), slot, np.int32))
+                voffset += len(col.vertices)
+            comb = sampling.combine(parts_list)
+            meshes = MeshColliders(
+                sample_local=jnp.asarray(comb.points),
+                sample_prim=jnp.asarray(comb.primitives),
+                sample_cid=jnp.asarray(comb.collider_ids),
+                vertices_local=jnp.asarray(comb.vertices),
+                vertex_cid=jnp.asarray(np.concatenate(vertex_cids)),
+            )
+            s_count = comb.count
+            sample_max_jobs = -(-s_count // sample_group) * 4 + 64
+            if sample_max_jobs % sample_chunk:
+                sample_max_jobs += sample_chunk - sample_max_jobs % sample_chunk
+
         self.config = MpmConfig(
             grid=grid,
             collider_types=collider_types,
@@ -433,11 +500,16 @@ class MpmData:
             group=group,
             job_chunk=job_chunk,
             max_jobs=max_jobs,
+            mesh_cids=mesh_slots,
+            sample_group=sample_group,
+            sample_chunk=sample_chunk,
+            sample_max_jobs=sample_max_jobs,
         )
         self.state = SimState(
             particles=particles,
             models=models,
             bodies=build_rigid_world(bodies, dim),
+            meshes=meshes,
         )
 
     @property
