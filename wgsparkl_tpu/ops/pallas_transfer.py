@@ -1,0 +1,347 @@
+"""Pallas TPU kernels for the P2G / G2P transfers (3D), with CPIC coupling.
+
+Why Pallas: XLA's general gather/scatter lowering on TPU serializes per
+element, and [N, 3]/[N, 3, 3] layouts waste VPU lanes.  These kernels give
+the transfers the layout they want:
+
+  * particle state is CHANNEL-MAJOR: one [24, NPAD] f32 array (rows =
+    px py pz vx vy vz m A00..A22 aff nx ny nz) so a job's particles are one
+    contiguous [24, G] DMA with N on the lane axis;
+  * per job, the window weight matrix W [216(pad 224), G] is built with
+    elementwise FMAs (window nodes on sublanes, particles on lanes) and the
+    transfer core is ONE MXU matmul per job:
+        P2G: tile[224, 16] = W_compat @ feats^T  (contract G, the lane axis)
+        G2P: out[G, 16]    = W_compat^T @ nfeat  (contract the window axis)
+  * CPIC affinity compatibility (grid.wgsl:250-255) is an elementwise
+    [224, G] mask multiplied into W; incompatible pairs go through the
+    pairwise ghost-velocity / impulse paths (p2g.wgsl:200-231,
+    g2p.wgsl:184-207) as [224, G] VPU arrays reduced on the spot;
+  * the job table (start / len / block cell) is scalar-prefetched so DMA
+    offsets are ready before the body runs.
+
+The surrounding XLA does only slab-indexed work (per-job node-tile gather /
+scatter with J indices — few indices, big payloads), never per-element
+gathers.  The sequential TPU grid + contiguous job rank ranges let G2P write
+per-particle outputs with plain dynamic DMA stores (a job's padded tail is
+overwritten by the next job's real rows; dead jobs park at a sentinel row).
+
+Reference kernels rebuilt here: p2g.wgsl:69-236, g2p.wgsl:44-238.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wgsparkl_tpu.grid import GridConfig
+from wgsparkl_tpu.ops.transfer import DEFAULT_FRICTION
+
+# pdata channel-row indices
+PX, PY, PZ, VX, VY, VZ, PM = 0, 1, 2, 3, 4, 5, 6
+A0 = 7       # A00..A22 in rows 7..15
+AFF = 16     # uint32 affinity bits, bitcast to f32
+NX, NY, NZ = 17, 18, 19  # particle CDF normal
+NCHAN = 24
+
+WVOL = 216   # 6^3 window
+WPAD = 224   # sublane-padded window rows (multiple of 8)
+
+
+def _interpret() -> bool:
+    """Run kernels in interpreter mode off-TPU (CPU tests / virtual meshes)."""
+    return jax.default_backend() != "tpu"
+
+# node-tile f32 channels (G2P input / P2G aux input)
+NT_F32 = 8   # [vx vy vz | bvx bvy bvz | comx.. packed below]
+
+
+def pack_channels(pos, vel, mass, affine, aff, normal, npad: int):
+    """SoA state -> [24, NPAD] channel-major f32."""
+    n = pos.shape[0]
+    a = affine.reshape(n, 9)
+    rows = [pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2],
+            mass]
+    rows += [a[:, k] for k in range(9)]
+    rows += [
+        jax.lax.bitcast_convert_type(aff, jnp.float32),
+        normal[:, 0], normal[:, 1], normal[:, 2],
+    ]
+    rows += [jnp.zeros_like(mass)] * (NCHAN - len(rows))
+    pd = jnp.stack(rows, axis=0)
+    return jnp.pad(pd, ((0, 0), (0, npad - n)))
+
+
+def _axis_w(xf, bl):
+    g = xf.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, g), 0)
+    rel = rows - bl[None, :]
+    w0 = 0.5 * (1.5 - xf) ** 2
+    w1 = 0.75 - (xf - 1.0) ** 2
+    w2 = 0.5 * (xf - 0.5) ** 2
+    w = jnp.where(rel == 0, w0[None, :], 0.0)
+    w = jnp.where(rel == 1, w1[None, :], w)
+    w = jnp.where(rel == 2, w2[None, :], w)
+    return w
+
+
+def _window_w(pd, bcell, h, valid):
+    """W [WPAD, G] window weights from particle positions."""
+    g = pd.shape[-1]
+    u = pd[0:3] / h
+    base = jnp.floor(u + 0.5).astype(jnp.int32) - 1
+    xf = u - base.astype(jnp.float32)
+    bl = base - bcell[:, None]
+    wx = _axis_w(xf[0], bl[0])[:6]
+    wy = _axis_w(xf[1], bl[1])[:6]
+    wz = _axis_w(xf[2], bl[2])[:6]
+    w = (wx[:, None, :] * wy[None, :, :]).reshape(36, 1, g) * wz[None, :, :]
+    w = w.reshape(WVOL, g) * valid[None, :]
+    return jnp.pad(w, ((0, WPAD - WVOL), (0, 0)))
+
+
+def _window_positions(bcell, cell_width):
+    """[WPAD, 3] world positions of window nodes (computed via iota)."""
+    wid = jax.lax.broadcasted_iota(jnp.int32, (WPAD, 1), 0)
+    offs = jnp.concatenate(
+        [wid // 36, (wid // 6) % 6, wid % 6], axis=1
+    ).astype(jnp.float32)
+    return (offs + bcell.astype(jnp.float32)[None, :]) * cell_width
+
+
+def _compat(naff_col, paff_row):
+    """CPIC compatibility mask [WPAD, G] (grid.wgsl:250-255)."""
+    common = naff_col & paff_row & jnp.uint32(0xFFFF)
+    s1 = (naff_col >> 16) & common
+    s2 = (paff_row >> 16) & common
+    return s1 == s2
+
+
+def _ghost_velocity(pd, bv, friction=DEFAULT_FRICTION):
+    """CPIC ghost velocity per (window node, particle) pair.
+
+    pd: [24, G] particle channels; bv: tuple of [WPAD, 1] body velocities.
+    Returns 3 arrays [WPAD, G].
+    """
+    u = [pd[VX][None, :] - bv[0], pd[VY][None, :] - bv[1], pd[VZ][None, :] - bv[2]]
+    nrm = [pd[NX][None, :], pd[NY][None, :], pd[NZ][None, :]]
+    nv = u[0] * nrm[0] + u[1] * nrm[1] + u[2] * nrm[2]
+    tang = [u[i] - nrm[i] * nv for i in range(3)]
+    tl2 = tang[0] ** 2 + tang[1] ** 2 + tang[2] ** 2
+    tl = jnp.sqrt(tl2)
+    inv_tl = jnp.where(tl > 1e-8, 1.0 / jnp.maximum(tl, 1e-30), 0.0)
+    scale = jnp.maximum(0.0, tl + friction * nv) * inv_tl
+    proj = [tang[i] * scale for i in range(3)]
+    sliding = nv < 0.0
+    rel = [jnp.where(sliding, proj[i], u[i]) for i in range(3)]
+    return [bv[i] + rel[i] for i in range(3)]
+
+
+def _p2g_kernel(
+    starts, lens, bcells,
+    pdata_ref, itile_ref, ftile_ref,
+    out_ref,
+    pd, sem,
+    *, group: int, cell_width: float, nc: int,
+):
+    j = pl.program_id(0)
+    start = starts[j]
+    length = lens[j]
+    bcell = jnp.stack([bcells[j, 0], bcells[j, 1], bcells[j, 2]])
+
+    dma = pltpu.make_async_copy(pdata_ref.at[:, pl.ds(start, group)], pd, sem)
+    dma.start()
+    dma.wait()
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
+    valid = (lanes < length).astype(jnp.float32)
+    w = _window_w(pd[:], bcell, cell_width, valid)
+
+    if nc > 0:
+        naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)     # [WPAD,1]
+        closest = itile_ref[0][:, 1:2]                              # [WPAD,1]
+        paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)         # [1,G]
+        compat = _compat(naff, paff)                                # [WPAD,G]
+        w_c = jnp.where(compat, w, 0.0)
+    else:
+        w_c = w
+
+    mass = pd[PM] * valid
+    ap0 = pd[A0 + 0] * pd[PX] + pd[A0 + 1] * pd[PY] + pd[A0 + 2] * pd[PZ]
+    ap1 = pd[A0 + 3] * pd[PX] + pd[A0 + 4] * pd[PY] + pd[A0 + 5] * pd[PZ]
+    ap2 = pd[A0 + 6] * pd[PX] + pd[A0 + 7] * pd[PY] + pd[A0 + 8] * pd[PZ]
+    rows = [
+        mass * pd[VX] - ap0 * valid,
+        mass * pd[VY] - ap1 * valid,
+        mass * pd[VZ] - ap2 * valid,
+        mass,
+    ] + [pd[A0 + k] * valid for k in range(9)] + [jnp.zeros_like(mass)] * 3
+    feats = jnp.stack(rows, axis=0)                                 # [16, G]
+
+    tile = jax.lax.dot_general(
+        w_c, feats, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                               # [WPAD,16]
+
+    if nc > 0:
+        # CPIC impulse: incompatible pairs against the node's closest body
+        # (p2g.wgsl:200-231); node body velocity comes precomputed in the
+        # aux tile.  delta = (v_p - ghost) * w * m, reduced over particles.
+        has_body = closest >= 0
+        w_i = jnp.where(compat | ~has_body, 0.0, w) * mass[None, :]
+        bv = [ftile_ref[0][:, k : k + 1] for k in range(3)]
+        ghost = _ghost_velocity(pd[:], bv)
+        d0 = jnp.sum(w_i * (pd[VX][None, :] - ghost[0]), axis=1)
+        d1 = jnp.sum(w_i * (pd[VY][None, :] - ghost[1]), axis=1)
+        d2 = jnp.sum(w_i * (pd[VZ][None, :] - ghost[2]), axis=1)
+        imp = jnp.stack([d0, d1, d2], axis=1)                       # [WPAD,3]
+        tile = jnp.concatenate([tile[:, :13], imp], axis=1)
+
+    out_ref[0] = tile
+
+
+def p2g_tiles(pdata, itiles, ftiles, jobs, bcells, cfg: GridConfig,
+              group: int, nc: int):
+    """Per-job raw P2G tiles [MAXJ, WPAD, 16].
+
+    Columns: 0-2 Σw(mv - Ap), 3 Σw m, 4-12 Σw A, 13-15 per-node CPIC
+    impulse Σ_g delta (zero when nc == 0).
+    """
+    maxj = jobs["start"].shape[0]
+    kernel = functools.partial(
+        _p2g_kernel, group=group, cell_width=cfg.cell_width, nc=nc
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(maxj,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, WPAD, 16), lambda j, *_: (j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NCHAN, group), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((maxj, WPAD, 16), jnp.float32),
+        interpret=_interpret(),
+    )(jobs["start"], jobs["len"], bcells, pdata, itiles, ftiles)
+
+
+def _g2p_kernel(
+    starts, lens, bcells,
+    pdata_ref, ftile_ref, itile_ref,
+    out_hbm,
+    pd, res, sem, sem_out,
+    *, group: int, cell_width: float, nc: int,
+):
+    j = pl.program_id(0)
+    start = starts[j]
+    length = lens[j]
+    bcell = jnp.stack([bcells[j, 0], bcells[j, 1], bcells[j, 2]])
+
+    dma = pltpu.make_async_copy(pdata_ref.at[:, pl.ds(start, group)], pd, sem)
+    dma.start()
+    dma.wait()
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
+    valid = (lanes < length).astype(jnp.float32)
+    w = _window_w(pd[:], bcell, cell_width, valid)
+
+    xw = _window_positions(bcell, cell_width)                       # [WPAD,3]
+    v = ftile_ref[0][:, 0:3]
+    vx = (v[:, :, None] * xw[:, None, :]).reshape(WPAD, 9)
+    nfeat = jnp.concatenate(
+        [v, vx, jnp.zeros((WPAD, 4), jnp.float32)], axis=1
+    )
+
+    if nc > 0:
+        naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)
+        closest = itile_ref[0][:, 1:2]
+        paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
+        compat = _compat(naff, paff)
+        w_c = jnp.where(compat, w, 0.0)
+        w_i = w - w_c
+    else:
+        w_c = w
+
+    out = jax.lax.dot_general(
+        w_c, nfeat, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                               # [G, 16]
+
+    if nc > 0:
+        # Incompatible cells substitute the ghost velocity (g2p.wgsl:184-207):
+        # the body ghost when the node has a closest body, else v_p itself.
+        has_body = closest >= 0
+        bv = [ftile_ref[0][:, 3 + k : 4 + k] for k in range(3)]
+        ghost_b = _ghost_velocity(pd[:], bv)
+        vp = [pd[VX][None, :], pd[VY][None, :], pd[VZ][None, :]]
+        ghost = [jnp.where(has_body, ghost_b[i], vp[i]) for i in range(3)]
+        add = [jnp.sum(w_i * ghost[i], axis=0) for i in range(3)]   # [G]
+        madd = [
+            jnp.sum(w_i * ghost[i] * xw[:, k : k + 1], axis=0)
+            for i in range(3)
+            for k in range(3)
+        ]
+        extra = jnp.stack(
+            add + madd + [jnp.zeros_like(add[0])] * 4, axis=1
+        )                                                            # [G,16]
+        out = out + extra
+
+    res[:, :] = out
+    dma_out = pltpu.make_async_copy(
+        res, out_hbm.at[pl.ds(start, group)], sem_out
+    )
+    dma_out.start()
+    dma_out.wait()
+
+
+def g2p_rows(pdata, ftiles, itiles, jobs, bcells, cfg: GridConfig,
+             group: int, npad: int, nc: int):
+    """Per-particle G2P rows [NPAD + G, 16] in sorted order.
+
+    Rows 0:3 = PIC velocity, 3:12 = Σ w v_eff x^T (velocity moment).
+    """
+    maxj = jobs["start"].shape[0]
+    kernel = functools.partial(
+        _g2p_kernel, group=group, cell_width=cfg.cell_width, nc=nc
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(maxj,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((NCHAN, group), jnp.float32),
+            pltpu.VMEM((group, 16), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((npad + group, 16), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
+    )(jobs["start"], jobs["len"], bcells, pdata, ftiles, itiles)

@@ -286,6 +286,162 @@ def substep_blocked(
     return SimState(particles=particles, models=models, bodies=bodies, meshes=state.meshes)
 
 
+def substep_pallas(
+    state: SimState,
+    params: SimulationParams,
+    cfg: MpmConfig,
+    axis_name: Optional[str] = None,
+) -> SimState:
+    """One MPM substep with Pallas transfer kernels (3D only; the hot path).
+
+    Same physics as substep/substep_blocked; the P2G/G2P pair runs as MXU
+    matmul kernels (ops/pallas_transfer.py), all remaining XLA work is
+    elementwise or slab-indexed.
+    """
+    from wgsparkl_tpu.ops import blocked as bk
+    from wgsparkl_tpu.ops import pallas_transfer as ptf
+    from wgsparkl_tpu.ops.kernel import inv_d as inv_d_fn
+
+    particles, models, bodies = state.particles, state.models, state.bodies
+    nc = cfg.num_colliders
+    grid = cfg.grid
+    d = particles.dim
+    assert d == 3, "pallas transfer path is 3D (2D uses transfer='blocked')"
+    nb = bk.num_blocks(grid)
+    nb_total = int(np.prod(nb))
+    bs = bk.block_size(d)
+    group = cfg.group
+
+    bodies = body_mod.update_world_mass_properties(bodies)
+
+    # --- sort phase ---
+    block_ids, _ = bk.particle_block_ids(particles.pos, grid)
+    (particles, models), sorted_ids, _ = bk.sort_by_block(
+        (particles, models), block_ids
+    )
+    jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
+    n = particles.count
+    npad = -((n + group) // -128) * 128
+    starts = jnp.where(
+        jobs["len"] > 0, jnp.minimum(jobs["start"], npad - group), npad - group
+    )
+    jobs = {"start": starts, "len": jobs["len"], "block": jobs["block"]}
+    blk_coords = bk.block_coords_of(jobs["block"], nb)
+    bcells = blk_coords * bs + jnp.asarray(grid.origin_cell, jnp.int32)
+    nbr = jnp.asarray(bk.neighbor_block_table(nb))
+
+    # --- CDF phase ---
+    if nc > 0:
+        node_dist, node_aff, node_closest = _node_cdf_full(state, bodies, cfg)
+        pcdf = cdf_mod.particle_cdf_update(
+            particles.pos, particles.cdf_affinity, node_dist, node_aff,
+            grid, nc,
+        )
+        particles = particles.replace(
+            cdf_normal=pcdf["normal"],
+            cdf_signed_distance=pcdf["signed_distance"],
+            cdf_affinity=pcdf["affinity"],
+        )
+        # Block-major int tile (affinity, closest) and node body velocities.
+        aff_i32 = jax.lax.bitcast_convert_type(node_aff, jnp.int32)
+        int_grid = _to_blocks(
+            jnp.stack([aff_i32, node_closest], -1), grid, 0
+        )
+        node_pos = grid.node_positions()
+        bv = jnp.zeros((grid.num_nodes, 3), jnp.float32)
+        for b in range(nc):
+            mask = (node_closest == b)[:, None]
+            bvb = body_mod.velocity_at_point(
+                bodies, jnp.full((grid.num_nodes,), b, jnp.int32), node_pos
+            )
+            bv = jnp.where(mask, bvb, bv)
+        bv_grid = _to_blocks(bv, grid, 0.0)
+        itiles = bk.gather_tiles(int_grid, jobs["block"], nbr, d).reshape(
+            -1, 216, 2
+        )
+        itiles = jnp.pad(itiles, ((0, 0), (0, ptf.WPAD - 216), (0, 6)))
+        bv_tiles = bk.gather_tiles(bv_grid, jobs["block"], nbr, d).reshape(
+            -1, 216, 3
+        )
+        bv_tiles = jnp.pad(bv_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 5)))
+    else:
+        maxj = cfg.max_jobs
+        itiles = jnp.zeros((maxj, ptf.WPAD, 8), jnp.int32)
+        bv_tiles = jnp.zeros((maxj, ptf.WPAD, 8), jnp.float32)
+
+    # --- P2G ---
+    pdata = ptf.pack_channels(
+        particles.pos, particles.vel, particles.mass, particles.affine,
+        particles.cdf_affinity, particles.cdf_normal, npad,
+    )
+    tiles = ptf.p2g_tiles(pdata, itiles, bv_tiles, jobs, bcells, grid, group, nc)
+    t216 = tiles[:, :216, :]
+    xw = bk.window_node_positions(blk_coords, grid)            # [J, 216, 3]
+    a_sum = t216[..., 4:13].reshape(-1, 216, 3, 3)
+    mom = t216[..., :3] + jnp.einsum("jwik,jwk->jwi", a_sum, xw)
+    mm_tiles = jnp.concatenate([mom, t216[..., 3:4]], -1)
+    grid_mm = jnp.zeros((nb_total + 1,) + (bs,) * d + (d + 1,), jnp.float32)
+    grid_mm = bk.scatter_tiles(
+        grid_mm, mm_tiles.reshape((-1,) + (6,) * d + (d + 1,)),
+        jobs["block"], nbr, d,
+    )
+
+    # CPIC impulses: per-collider masked sums (no scatters).
+    adim = 3
+    lin_imp = jnp.zeros((bodies.count, 3), jnp.float32)
+    ang_imp = jnp.zeros((bodies.count, adim), jnp.float32)
+    if nc > 0:
+        dsum = t216[..., 13:16]                                # [J, 216, 3]
+        closest_jw = itiles[:, :216, 1]
+        cross_dx = jnp.cross(dsum, -xw)                        # -cross(D, x_w)
+        for b in range(nc):
+            mask = (closest_jw == b)[..., None]
+            db = jnp.sum(jnp.where(mask, dsum, 0.0), axis=(0, 1))
+            cb = jnp.sum(jnp.where(mask, cross_dx, 0.0), axis=(0, 1))
+            lin_imp = lin_imp.at[b].set(db)
+            ang_imp = ang_imp.at[b].set(jnp.cross(db, bodies.world_com[b]) + cb)
+
+    if axis_name is not None:
+        grid_mm = jax.lax.psum(grid_mm, axis_name)
+        lin_imp = jax.lax.psum(lin_imp, axis_name)
+        ang_imp = jax.lax.psum(ang_imp, axis_name)
+
+    # --- grid update ---
+    mass_b = grid_mm[..., d:]
+    inv_mass = jnp.where(mass_b > 0.0, 1.0 / jnp.maximum(mass_b, 1e-30), 0.0)
+    vel_b = (grid_mm[..., :d] + mass_b * params.gravity * params.dt) * inv_mass
+    vel_limit = grid.cell_width / params.dt
+    vel_b = jnp.clip(vel_b, -vel_limit, vel_limit)
+
+    # --- G2P ---
+    v_tiles = bk.gather_tiles(vel_b, jobs["block"], nbr, d).reshape(-1, 216, 3)
+    if nc > 0:
+        f_tiles = jnp.concatenate([v_tiles, bv_tiles[:, :216, :3]], axis=-1)
+        f_tiles = jnp.pad(f_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 2)))
+    else:
+        f_tiles = jnp.pad(v_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 5)))
+    rows = ptf.g2p_rows(
+        pdata, f_tiles, itiles, jobs, bcells, grid, group, npad, nc
+    )
+    new_vel = rows[:n, 0:3]
+    m1 = rows[:n, 3:12].reshape(n, 3, 3)
+    vel_grad = inv_d_fn(grid.cell_width) * (
+        m1 - new_vel[:, :, None] * particles.pos[:, None, :]
+    )
+    rigid_vel = transfer.rigid_velocity_sum(
+        particles.pos, particles.cdf_affinity, bodies, nc
+    )
+    particles = particles.replace(
+        vel=new_vel, affine=vel_grad, cdf_rigid_vel=rigid_vel
+    )
+    particles, models = particle_update(
+        particles, models, params, grid, cfg.elastic_model
+    )
+    bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, grid)
+    return SimState(particles=particles, models=models, bodies=bodies,
+                    meshes=state.meshes)
+
+
 def rigid_bodies_update(bodies, lin_imp, ang_imp, params, grid_cfg):
     """Apply accumulated CPIC impulses, cap velocities, integrate poses,
     apply gravity to dynamic bodies (rigid_impulses.wgsl:94-137)."""
@@ -321,7 +477,11 @@ def rigid_bodies_update(bodies, lin_imp, ang_imp, params, grid_cfg):
 
 def step(state: SimState, params: SimulationParams, cfg: MpmConfig, num_substeps: int):
     """num_substeps substeps under lax.scan (one device launch per frame)."""
-    fn = substep_blocked if cfg.transfer == "blocked" else substep
+    fn = {
+        "dense": substep,
+        "blocked": substep_blocked,
+        "pallas": substep_pallas,
+    }[cfg.transfer]
 
     def body(s, _):
         return fn(s, params, cfg), None
@@ -441,7 +601,7 @@ class MpmData:
         self.params = params
         self.bodies_desc = tuple(bodies)
         collider_types = tuple(b.collider.shape_type for b in bodies)
-        if transfer == "blocked" and max_jobs == 0:
+        if transfer in ("blocked", "pallas") and max_jobs == 0:
             # Headroom: 4x the perfectly-packed job count (blocks at ~1/4
             # of the group size on average still fit).
             n = particles.count
