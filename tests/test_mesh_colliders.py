@@ -109,3 +109,24 @@ def test_block_rests_on_trimesh():
     assert np.isfinite(p).all()
     # Must not fall through the table (started 0.4 above it).
     assert p[:, 1].min() > -0.3, p[:, 1].min()
+
+
+def test_native_sampler_matches_numpy():
+    """C++ sampler produces the same sample multiset as the numpy oracle."""
+    from wgsparkl_tpu.rigid.sampling import _load_native
+
+    if _load_native() is None:
+        import pytest
+
+        pytest.skip("native sampler unavailable")
+    col = _flat_table()
+    s_np = sampling.sample_trimesh(
+        col.vertices, col.indices, 0.5, use_native=False
+    )
+    s_cc = sampling.sample_trimesh(
+        col.vertices, col.indices, 0.5, use_native=True
+    )
+    assert s_np.count == s_cc.count
+    a = np.sort(np.round(s_np.points, 4).view([("x", "f4"), ("y", "f4"), ("z", "f4")]), axis=0)
+    b = np.sort(np.round(s_cc.points, 4).view([("x", "f4"), ("y", "f4"), ("z", "f4")]), axis=0)
+    assert (a == b).all()

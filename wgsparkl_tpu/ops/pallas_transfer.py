@@ -219,7 +219,7 @@ def p2g_tiles(pdata, itiles, ftiles, jobs, bcells, cfg: GridConfig,
         num_scalar_prefetch=3,
         grid=(maxj,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
@@ -324,13 +324,13 @@ def g2p_rows(pdata, ftiles, itiles, jobs, bcells, cfg: GridConfig,
         num_scalar_prefetch=3,
         grid=(maxj,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((NCHAN, group), jnp.float32),
             pltpu.VMEM((group, 16), jnp.float32),

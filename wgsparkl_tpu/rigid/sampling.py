@@ -62,12 +62,81 @@ def sample_triangle_face(a, b, c, spacing):
     return np.concatenate([p.reshape(-1, len(a)) for p in pts], axis=0)
 
 
+_native_lib = None
+
+
+def _load_native():
+    """Build/load the C++ sampler (native/sampler.cpp); None if unavailable."""
+    global _native_lib
+    if _native_lib is not None:
+        return _native_lib if _native_lib is not False else None
+    import ctypes
+    import os
+    import subprocess
+
+    root = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    so = os.path.join(root, "libwgsampler.so")
+    try:
+        if not os.path.exists(so):
+            subprocess.run(
+                ["make", "-C", root], check=True, capture_output=True
+            )
+        lib = ctypes.CDLL(so)
+        lib.wgs_sample_trimesh.restype = ctypes.c_int64
+        lib.wgs_sample_trimesh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ]
+        _native_lib = lib
+        return lib
+    except Exception:
+        _native_lib = False
+        return None
+
+
+def _sample_trimesh_native(lib, vertices, triangles, spacing):
+    import ctypes
+
+    v = np.ascontiguousarray(vertices, np.float32)
+    t = np.ascontiguousarray(triangles, np.int32)
+    vp = v.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    tp = t.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    count = lib.wgs_sample_trimesh(vp, len(v), tp, len(t), spacing, None, None)
+    pts = np.empty((count, 3), np.float32)
+    prim = np.empty((count, 3), np.int32)
+    lib.wgs_sample_trimesh(
+        vp, len(v), tp, len(t), spacing,
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        prim.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return pts, prim
+
+
 def sample_trimesh(vertices, triangles, cell_width, collider_id=0,
-                   vertex_offset=0):
+                   vertex_offset=0, use_native: bool = True):
     """Sample faces + unique edges at cell_width / sqrt(2) spacing."""
     vertices = np.asarray(vertices, np.float64)
     triangles = np.asarray(triangles, np.int64)
     spacing = cell_width / np.sqrt(2.0)
+
+    lib = _load_native() if use_native else None
+    if lib is not None:
+        pts, prim = _sample_trimesh_native(lib, vertices, triangles, spacing)
+        va = vertices[prim[:, 0]]
+        vb = vertices[prim[:, 1]]
+        vc = vertices[prim[:, 2]]
+        nrm = np.cross(vb - va, vc - va)
+        nl = np.linalg.norm(nrm, axis=-1, keepdims=True)
+        nrm = np.where(nl > 1e-12, nrm / np.maximum(nl, 1e-30), [0.0, 1.0, 0.0])
+        return MeshSamples(
+            points=pts,
+            primitives=(prim + vertex_offset).astype(np.int32),
+            collider_ids=np.full(len(pts), collider_id, np.int32),
+            vertices=vertices.astype(np.float32),
+            normals=nrm.astype(np.float32),
+        )
 
     pts, prims, norms = [], [], []
     # Faces.
