@@ -145,7 +145,7 @@ def _p2g_kernel(
     starts, lens, bcells,
     pdata_ref, itile_ref, ftile_ref,
     out_ref,
-    pd, sem,
+    pd_big, sem,
     *, group: int, cell_width: float, nc: int,
 ):
     j = pl.program_id(0)
@@ -153,13 +153,20 @@ def _p2g_kernel(
     length = lens[j]
     bcell = jnp.stack([bcells[j, 0], bcells[j, 1], bcells[j, 2]])
 
-    dma = pltpu.make_async_copy(pdata_ref.at[:, pl.ds(start, group)], pd, sem)
+    # Lane-dim DMA offsets must be 128-aligned on TPU: read an aligned
+    # [24, G+128] window and rotate the misalignment away in-register.
+    astart = (start // 128) * 128
+    off = start - astart
+    dma = pltpu.make_async_copy(
+        pdata_ref.at[:, pl.ds(astart, group + 128)], pd_big, sem
+    )
     dma.start()
     dma.wait()
+    pd = pltpu.roll(pd_big[:], (group + 128) - off, axis=1)[:, :group]
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
     valid = (lanes < length).astype(jnp.float32)
-    w = _window_w(pd[:], bcell, cell_width, valid)
+    w = _window_w(pd, bcell, cell_width, valid)
 
     if nc > 0:
         naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)     # [WPAD,1]
@@ -194,7 +201,7 @@ def _p2g_kernel(
         has_body = closest >= 0
         w_i = jnp.where(compat | ~has_body, 0.0, w) * mass[None, :]
         bv = [ftile_ref[0][:, k : k + 1] for k in range(3)]
-        ghost = _ghost_velocity(pd[:], bv)
+        ghost = _ghost_velocity(pd, bv)
         d0 = jnp.sum(w_i * (pd[VX][None, :] - ghost[0]), axis=1)
         d1 = jnp.sum(w_i * (pd[VY][None, :] - ghost[1]), axis=1)
         d2 = jnp.sum(w_i * (pd[VZ][None, :] - ghost[2]), axis=1)
@@ -229,7 +236,7 @@ def p2g_tiles(pdata, itiles, ftiles, jobs, bcells, cfg: GridConfig,
             (1, WPAD, 16), lambda j, *_: (j, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((NCHAN, group), jnp.float32),
+            pltpu.VMEM((NCHAN, group + 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -245,28 +252,40 @@ def _g2p_kernel(
     starts, lens, bcells,
     pdata_ref, ftile_ref, itile_ref,
     out_hbm,
-    pd, res, sem, sem_out,
+    pd_big, res_big, outbuf, sem, sem_rd, sem_out,
     *, group: int, cell_width: float, nc: int,
 ):
     j = pl.program_id(0)
     start = starts[j]
     length = lens[j]
     bcell = jnp.stack([bcells[j, 0], bcells[j, 1], bcells[j, 2]])
+    gl = group + 128
 
-    dma = pltpu.make_async_copy(pdata_ref.at[:, pl.ds(start, group)], pd, sem)
+    astart = (start // 128) * 128
+    off = start - astart
+    dma = pltpu.make_async_copy(
+        pdata_ref.at[:, pl.ds(astart, gl)], pd_big, sem
+    )
     dma.start()
+    # Overlap: read the aligned output window for the RMW merge while the
+    # particle DMA is in flight.
+    dma_rd = pltpu.make_async_copy(
+        out_hbm.at[:, pl.ds(astart, gl)], outbuf, sem_rd
+    )
+    dma_rd.start()
     dma.wait()
+    pd = pltpu.roll(pd_big[:], gl - off, axis=1)[:, :group]
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
     valid = (lanes < length).astype(jnp.float32)
-    w = _window_w(pd[:], bcell, cell_width, valid)
+    w = _window_w(pd, bcell, cell_width, valid)
 
     xw = _window_positions(bcell, cell_width)                       # [WPAD,3]
     v = ftile_ref[0][:, 0:3]
     vx = (v[:, :, None] * xw[:, None, :]).reshape(WPAD, 9)
     nfeat = jnp.concatenate(
         [v, vx, jnp.zeros((WPAD, 4), jnp.float32)], axis=1
-    )
+    )                                                                # [WPAD,16]
 
     if nc > 0:
         naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)
@@ -278,33 +297,40 @@ def _g2p_kernel(
     else:
         w_c = w
 
+    # [16, G] result: rows 0:3 PIC velocity, 3:12 velocity moment.
     out = jax.lax.dot_general(
-        w_c, nfeat, (((0,), (0,)), ((), ())),
+        nfeat, w_c, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                               # [G, 16]
+    )                                                                # [16, G]
 
     if nc > 0:
-        # Incompatible cells substitute the ghost velocity (g2p.wgsl:184-207):
-        # the body ghost when the node has a closest body, else v_p itself.
+        # Incompatible cells substitute the ghost velocity (g2p.wgsl:184-207).
         has_body = closest >= 0
         bv = [ftile_ref[0][:, 3 + k : 4 + k] for k in range(3)]
-        ghost_b = _ghost_velocity(pd[:], bv)
+        ghost_b = _ghost_velocity(pd, bv)
         vp = [pd[VX][None, :], pd[VY][None, :], pd[VZ][None, :]]
         ghost = [jnp.where(has_body, ghost_b[i], vp[i]) for i in range(3)]
-        add = [jnp.sum(w_i * ghost[i], axis=0) for i in range(3)]   # [G]
+        add = [jnp.sum(w_i * ghost[i], axis=0, keepdims=True) for i in range(3)]
         madd = [
-            jnp.sum(w_i * ghost[i] * xw[:, k : k + 1], axis=0)
+            jnp.sum(w_i * ghost[i] * xw[:, k : k + 1], axis=0, keepdims=True)
             for i in range(3)
             for k in range(3)
         ]
-        extra = jnp.stack(
-            add + madd + [jnp.zeros_like(add[0])] * 4, axis=1
-        )                                                            # [G,16]
+        extra = jnp.concatenate(
+            add + madd + [jnp.zeros((4, group), jnp.float32)], axis=0
+        )                                                            # [16, G]
         out = out + extra
 
-    res[:, :] = out
+    # RMW merge into the aligned window, then write back.
+    padded = jnp.pad(out, ((0, 0), (0, 128)))
+    rolled = pltpu.roll(padded, off, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (16, gl), 1)
+    mask = (lane >= off) & (lane < off + group)
+    dma_rd.wait()
+    merged = jnp.where(mask, rolled, outbuf[:])
+    res_big[:, :] = merged
     dma_out = pltpu.make_async_copy(
-        res, out_hbm.at[pl.ds(start, group)], sem_out
+        res_big, out_hbm.at[:, pl.ds(astart, gl)], sem_out
     )
     dma_out.start()
     dma_out.wait()
@@ -312,14 +338,14 @@ def _g2p_kernel(
 
 def g2p_rows(pdata, ftiles, itiles, jobs, bcells, cfg: GridConfig,
              group: int, npad: int, nc: int):
-    """Per-particle G2P rows [NPAD + G, 16] in sorted order.
-
-    Rows 0:3 = PIC velocity, 3:12 = Σ w v_eff x^T (velocity moment).
-    """
+    """Per-particle G2P result [16, NPAD + G + 128], channel-major, sorted
+    particle order.  Rows 0:3 = PIC velocity, 3:12 = velocity moment
+    (sum w v_eff x^T)."""
     maxj = jobs["start"].shape[0]
     kernel = functools.partial(
         _g2p_kernel, group=group, cell_width=cfg.cell_width, nc=nc
     )
+    gl = group + 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(maxj,),
@@ -332,8 +358,10 @@ def g2p_rows(pdata, ftiles, itiles, jobs, bcells, cfg: GridConfig,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((NCHAN, group), jnp.float32),
-            pltpu.VMEM((group, 16), jnp.float32),
+            pltpu.VMEM((NCHAN, gl), jnp.float32),
+            pltpu.VMEM((16, gl), jnp.float32),
+            pltpu.VMEM((16, gl), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -341,7 +369,7 @@ def g2p_rows(pdata, ftiles, itiles, jobs, bcells, cfg: GridConfig,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((npad + group, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((16, npad + group + 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
     )(jobs["start"], jobs["len"], bcells, pdata, ftiles, itiles)

@@ -423,8 +423,8 @@ def substep_pallas(
     rows = ptf.g2p_rows(
         pdata, f_tiles, itiles, jobs, bcells, grid, group, npad, nc
     )
-    new_vel = rows[:n, 0:3]
-    m1 = rows[:n, 3:12].reshape(n, 3, 3)
+    new_vel = rows[0:3, :n].T
+    m1 = rows[3:12, :n].T.reshape(n, 3, 3)
     vel_grad = inv_d_fn(grid.cell_width) * (
         m1 - new_vel[:, :, None] * particles.pos[:, None, :]
     )
