@@ -74,6 +74,18 @@ class GridConfig:
         mesh = jnp.meshgrid(*axes, indexing="ij")
         return jnp.stack([m.reshape(-1) for m in mesh], axis=-1)
 
+    def node_position_channels(self):
+        """d channel arrays [num_nodes] of node coords (lane-efficient form)."""
+        m = self.num_nodes
+        idx = jnp.arange(m, dtype=jnp.int32)
+        chans = []
+        stride = m
+        for a in range(self.dim):
+            stride = stride // self.shape[a]
+            coord = (idx // stride) % self.shape[a] + self.origin_cell[a]
+            chans.append(coord.astype(jnp.float32) * self.cell_width)
+        return chans
+
     def flatten_index(self, cell: jnp.ndarray) -> jnp.ndarray:
         """World integer cell coords [..., d] -> flat node index [...] (no clip)."""
         idx = cell - jnp.asarray(self.origin_cell, cell.dtype)

@@ -281,6 +281,78 @@ def gather_tiles(grid_blocks, job_block, nbr_table, dim: int):
     return tile
 
 
+def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int):
+    """Scatter-add via one-hot matmuls (MXU) instead of serial XLA scatter.
+
+    XLA lowers indexed scatter to a serial while loop (one tiny DMA per
+    index); on TPU it is *much* faster to burn MACs: per octant,
+    out[b, :] += sum_j onehot[j, b] * chunk[j, :] is a single
+    [NB+1, J] x [J, chunk] matmul.  Float32 exact (one-hot entries are 0/1).
+    """
+    nb1 = grid_blocks.shape[0]
+    c = grid_blocks.shape[-1]
+    bs = block_size(dim)
+    j = tiles.shape[0]
+    blk_ids = jax.lax.broadcasted_iota(jnp.int32, (j, nb1), 1)
+    flat_grid = grid_blocks.reshape(nb1, -1)
+    for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
+        tgt = nbr_table[job_block, oi]
+        onehot = (tgt[:, None] == blk_ids).astype(jnp.float32)      # [J, NB+1]
+        if dim == 2:
+            chunk = tiles[:, starts[0] : starts[0] + sizes[0],
+                          starts[1] : starts[1] + sizes[1]]
+            pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]), (0, 0))
+        else:
+            chunk = tiles[:, starts[0] : starts[0] + sizes[0],
+                          starts[1] : starts[1] + sizes[1],
+                          starts[2] : starts[2] + sizes[2]]
+            pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]),
+                   (0, bs - sizes[2]), (0, 0))
+        chunk = jnp.pad(chunk, pad).reshape(j, -1)
+        flat_grid = flat_grid + jax.lax.dot_general(
+            onehot, chunk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return flat_grid.reshape(grid_blocks.shape)
+
+
+def gather_tiles_mm(grid_blocks, job_block, nbr_table, dim: int):
+    """Window-tile gather via one-hot matmuls (see scatter_tiles_mm).
+
+    grid_blocks must be f32 with values exactly representable in f32
+    (ints must be pre-split into <=16-bit channels).
+    """
+    nb1 = grid_blocks.shape[0]
+    c = grid_blocks.shape[-1]
+    bs = block_size(dim)
+    wsz = window_size(dim)
+    j = job_block.shape[0]
+    blk_ids = jax.lax.broadcasted_iota(jnp.int32, (j, nb1), 1)
+    flat_grid = grid_blocks.reshape(nb1, -1)
+    tile = jnp.zeros((j,) + (wsz,) * dim + (c,), jnp.float32)
+    for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
+        src = nbr_table[job_block, oi]
+        onehot = (src[:, None] == blk_ids).astype(jnp.float32)
+        got = jax.lax.dot_general(
+            onehot, flat_grid, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape((j,) + (bs,) * dim + (c,))
+        if dim == 2:
+            chunk = got[:, : sizes[0], : sizes[1]]
+            tile = tile.at[
+                :, starts[0] : starts[0] + sizes[0],
+                starts[1] : starts[1] + sizes[1],
+            ].set(chunk)
+        else:
+            chunk = got[:, : sizes[0], : sizes[1], : sizes[2]]
+            tile = tile.at[
+                :, starts[0] : starts[0] + sizes[0],
+                starts[1] : starts[1] + sizes[1],
+                starts[2] : starts[2] + sizes[2],
+            ].set(chunk)
+    return tile
+
+
 def window_node_positions(blk_coords, cfg: GridConfig):
     """[..., WSZ^d, d] world positions of a job's window nodes."""
     d = cfg.dim

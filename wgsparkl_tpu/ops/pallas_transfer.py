@@ -282,9 +282,12 @@ def _g2p_kernel(
 
     xw = _window_positions(bcell, cell_width)                       # [WPAD,3]
     v = ftile_ref[0][:, 0:3]
-    vx = (v[:, :, None] * xw[:, None, :]).reshape(WPAD, 9)
+    # v (x) x_node, built column-wise (Mosaic rejects [W,3,3]->[W,9] casts).
+    vx_cols = [
+        v[:, i : i + 1] * xw[:, k : k + 1] for i in range(3) for k in range(3)
+    ]
     nfeat = jnp.concatenate(
-        [v, vx, jnp.zeros((WPAD, 4), jnp.float32)], axis=1
+        [v] + vx_cols + [jnp.zeros((WPAD, 4), jnp.float32)], axis=1
     )                                                                # [WPAD,16]
 
     if nc > 0:

@@ -150,11 +150,12 @@ def _node_cdf_full(state: SimState, bodies, cfg: MpmConfig):
     the rigid-particle mesh pass (p2g_cdf.wgsl; ops/rigid_cdf.py)."""
     from wgsparkl_tpu.ops import rigid_cdf
 
+    from wgsparkl_tpu.collision import cdf_channel
+
     grid = cfg.grid
-    node_pos = grid.node_positions()
-    node_dist, node_aff, node_closest = cdf_mod.node_cdf(
+    node_dist, node_aff, node_closest = cdf_channel.node_cdf_channels(
         cfg.collider_types, bodies.shape_params, bodies.rot, bodies.pos,
-        node_pos, grid.cell_width,
+        grid.node_position_channels(), grid.cell_width,
     )
     if cfg.mesh_cids:
         key_b, asg_b = rigid_cdf.mesh_node_cdf(
@@ -342,11 +343,9 @@ def substep_pallas(
             cdf_signed_distance=pcdf["signed_distance"],
             cdf_affinity=pcdf["affinity"],
         )
-        # Block-major int tile (affinity, closest) and node body velocities.
-        aff_i32 = jax.lax.bitcast_convert_type(node_aff, jnp.int32)
-        int_grid = _to_blocks(
-            jnp.stack([aff_i32, node_closest], -1), grid, 0
-        )
+        # Node-side channels for the kernels, gathered per job window with
+        # one-hot matmuls.  Integers ride as exact <=16-bit f32 channels:
+        # [aff_lo, aff_hi, closest, bvx, bvy, bvz].
         node_pos = grid.node_positions()
         bv = jnp.zeros((grid.num_nodes, 3), jnp.float32)
         for b in range(nc):
@@ -355,15 +354,30 @@ def substep_pallas(
                 bodies, jnp.full((grid.num_nodes,), b, jnp.int32), node_pos
             )
             bv = jnp.where(mask, bvb, bv)
-        bv_grid = _to_blocks(bv, grid, 0.0)
-        itiles = bk.gather_tiles(int_grid, jobs["block"], nbr, d).reshape(
-            -1, 216, 2
+        aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
+        aff_hi = (node_aff >> 16).astype(jnp.float32)
+        chan = jnp.concatenate(
+            [
+                aff_lo[:, None], aff_hi[:, None],
+                node_closest.astype(jnp.float32)[:, None], bv,
+            ],
+            axis=-1,
         )
+        chan_grid = _to_blocks(chan, grid, 0.0)
+        # Ghost block: closest channel must read as NONE (-1).
+        chan_grid = chan_grid.at[-1, ..., 2].set(-1.0)
+        tiles6 = bk.gather_tiles_mm(chan_grid, jobs["block"], nbr, d).reshape(
+            -1, 216, 6
+        )
+        aff_w = (
+            tiles6[..., 1].astype(jnp.int32) << 16
+        ) | tiles6[..., 0].astype(jnp.int32)
+        closest_w = tiles6[..., 2].astype(jnp.int32)
+        itiles = jnp.stack([aff_w, closest_w], axis=-1)
         itiles = jnp.pad(itiles, ((0, 0), (0, ptf.WPAD - 216), (0, 6)))
-        bv_tiles = bk.gather_tiles(bv_grid, jobs["block"], nbr, d).reshape(
-            -1, 216, 3
+        bv_tiles = jnp.pad(
+            tiles6[..., 3:6], ((0, 0), (0, ptf.WPAD - 216), (0, 5))
         )
-        bv_tiles = jnp.pad(bv_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 5)))
     else:
         maxj = cfg.max_jobs
         itiles = jnp.zeros((maxj, ptf.WPAD, 8), jnp.int32)
@@ -381,7 +395,7 @@ def substep_pallas(
     mom = t216[..., :3] + jnp.einsum("jwik,jwk->jwi", a_sum, xw)
     mm_tiles = jnp.concatenate([mom, t216[..., 3:4]], -1)
     grid_mm = jnp.zeros((nb_total + 1,) + (bs,) * d + (d + 1,), jnp.float32)
-    grid_mm = bk.scatter_tiles(
+    grid_mm = bk.scatter_tiles_mm(
         grid_mm, mm_tiles.reshape((-1,) + (6,) * d + (d + 1,)),
         jobs["block"], nbr, d,
     )
@@ -414,7 +428,9 @@ def substep_pallas(
     vel_b = jnp.clip(vel_b, -vel_limit, vel_limit)
 
     # --- G2P ---
-    v_tiles = bk.gather_tiles(vel_b, jobs["block"], nbr, d).reshape(-1, 216, 3)
+    v_tiles = bk.gather_tiles_mm(vel_b, jobs["block"], nbr, d).reshape(
+        -1, 216, 3
+    )
     if nc > 0:
         f_tiles = jnp.concatenate([v_tiles, bv_tiles[:, :216, :3]], axis=-1)
         f_tiles = jnp.pad(f_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 2)))
