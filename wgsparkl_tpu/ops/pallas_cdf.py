@@ -1,0 +1,255 @@
+"""Pallas kernel for particle CDF reconstruction (g2p_cdf, 3D).
+
+Same job machinery as ops/pallas_transfer.py.  Per job of G sorted particles:
+window node CDF channels [WPAD, 8] (aff_lo, aff_hi, dist) come pre-gathered
+(one-hot matmul); the kernel reproduces collision/cdf.py:particle_cdf_update:
+
+  * affinity-bit union over the particle's exact 3^3 stencil support
+  * per-collider sign votes (Eq. 21, g2p_cdf.wgsl:157-188) with temporal
+    sign persistence from the particle's previous affinity word
+  * MLS reconstruction of signed distance + normal: 4x4 normal equations
+    built from 14 masked [WPAD, G] reductions, solved channel-wise with the
+    cofactor inverse (wgebra inv4 equivalent)
+
+Outputs per particle (channel-major rows, RMW writeback like g2p):
+  row 0: new affinity word (bitcast f32), 1: signed distance, 2-4: normal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wgsparkl_tpu.grid import GridConfig
+from wgsparkl_tpu.ops.pallas_transfer import (
+    AFF,
+    NCHAN,
+    WPAD,
+    WVOL,
+    _interpret,
+    _window_positions,
+    _window_w,
+)
+
+
+def _inv4_solve_ch(a, b):
+    """Solve 4x4 a x = b with entries as channel arrays; returns (x, det).
+
+    a: dict (i, j) -> [G]; b: list of 4 [G].  Cofactor method (2x2 blocks).
+    """
+    s0 = a[0, 0] * a[1, 1] - a[1, 0] * a[0, 1]
+    s1 = a[0, 0] * a[1, 2] - a[1, 0] * a[0, 2]
+    s2 = a[0, 0] * a[1, 3] - a[1, 0] * a[0, 3]
+    s3 = a[0, 1] * a[1, 2] - a[1, 1] * a[0, 2]
+    s4 = a[0, 1] * a[1, 3] - a[1, 1] * a[0, 3]
+    s5 = a[0, 2] * a[1, 3] - a[1, 2] * a[0, 3]
+    c5 = a[2, 2] * a[3, 3] - a[3, 2] * a[2, 3]
+    c4 = a[2, 1] * a[3, 3] - a[3, 1] * a[2, 3]
+    c3 = a[2, 1] * a[3, 2] - a[3, 1] * a[2, 2]
+    c2 = a[2, 0] * a[3, 3] - a[3, 0] * a[2, 3]
+    c1 = a[2, 0] * a[3, 2] - a[3, 0] * a[2, 2]
+    c0 = a[2, 0] * a[3, 1] - a[3, 0] * a[2, 1]
+    det = s0 * c5 - s1 * c4 + s2 * c3 + s3 * c2 - s4 * c1 + s5 * c0
+
+    i = {}
+    i[0, 0] = a[1, 1] * c5 - a[1, 2] * c4 + a[1, 3] * c3
+    i[0, 1] = -a[0, 1] * c5 + a[0, 2] * c4 - a[0, 3] * c3
+    i[0, 2] = a[3, 1] * s5 - a[3, 2] * s4 + a[3, 3] * s3
+    i[0, 3] = -a[2, 1] * s5 + a[2, 2] * s4 - a[2, 3] * s3
+    i[1, 0] = -a[1, 0] * c5 + a[1, 2] * c2 - a[1, 3] * c1
+    i[1, 1] = a[0, 0] * c5 - a[0, 2] * c2 + a[0, 3] * c1
+    i[1, 2] = -a[3, 0] * s5 + a[3, 2] * s2 - a[3, 3] * s1
+    i[1, 3] = a[2, 0] * s5 - a[2, 2] * s2 + a[2, 3] * s1
+    i[2, 0] = a[1, 0] * c4 - a[1, 1] * c2 + a[1, 3] * c0
+    i[2, 1] = -a[0, 0] * c4 + a[0, 1] * c2 - a[0, 3] * c0
+    i[2, 2] = a[3, 0] * s4 - a[3, 1] * s2 + a[3, 3] * s0
+    i[2, 3] = -a[2, 0] * s4 + a[2, 1] * s2 - a[2, 3] * s0
+    i[3, 0] = -a[1, 0] * c3 + a[1, 1] * c1 - a[1, 2] * c0
+    i[3, 1] = a[0, 0] * c3 - a[0, 1] * c1 + a[0, 2] * c0
+    i[3, 2] = -a[3, 0] * s3 + a[3, 1] * s1 - a[3, 2] * s0
+    i[3, 3] = a[2, 0] * s3 - a[2, 1] * s1 + a[2, 2] * s0
+
+    inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+    x = [
+        (i[r, 0] * b[0] + i[r, 1] * b[1] + i[r, 2] * b[2] + i[r, 3] * b[3])
+        * inv_det
+        for r in range(4)
+    ]
+    return x, det
+
+
+def _pcdf_kernel(
+    starts, lens, bcells,
+    pdata_ref, ntile_ref,
+    out_hbm,
+    pd_big, res_big, outbuf, sem, sem_rd, sem_out,
+    *, group: int, cell_width: float, nc: int,
+):
+    j = pl.program_id(0)
+    start = starts[j]
+    length = lens[j]
+    bcell = jnp.stack([bcells[j, 0], bcells[j, 1], bcells[j, 2]])
+    gl = group + 128
+
+    astart = (start // 128) * 128
+    off = start - astart
+    dma = pltpu.make_async_copy(
+        pdata_ref.at[:, pl.ds(astart, gl)], pd_big, sem
+    )
+    dma.start()
+    dma_rd = pltpu.make_async_copy(
+        out_hbm.at[:, pl.ds(astart, gl)], outbuf, sem_rd
+    )
+    dma_rd.start()
+    dma.wait()
+    pd = pltpu.roll(pd_big[:], gl - off, axis=1)[:, :group]
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
+    valid_f = (lanes < length).astype(jnp.float32)
+    w = _window_w(pd, bcell, cell_width, valid_f)           # [WPAD, G]
+
+    # Exact 3^3 stencil support (unions include zero-weight stencil nodes,
+    # matching particle_cdf_update's in-bounds criterion).
+    h = cell_width
+    u = pd[0:3] / h
+    base = jnp.floor(u + 0.5).astype(jnp.int32) - 1
+    bl = base - bcell[:, None]                               # [3, G]
+    wid = jax.lax.broadcasted_iota(jnp.int32, (WPAD, 1), 0)
+    wx = wid // 36
+    wy = (wid // 6) % 6
+    wz = wid % 6
+    supp = (
+        (wx - bl[0][None, :] >= 0) & (wx - bl[0][None, :] < 3)
+        & (wy - bl[1][None, :] >= 0) & (wy - bl[1][None, :] < 3)
+        & (wz - bl[2][None, :] >= 0) & (wz - bl[2][None, :] < 3)
+        & (wid < WVOL)
+    ) & (valid_f[None, :] > 0)
+
+    # node channel order: 0 aff_lo, 1 aff_hi, 2 closest, 3 dist, 4-6 bv
+    aff_lo = ntile_ref[0][:, 0:1]
+    aff_hi = ntile_ref[0][:, 1:2]
+    ndist = ntile_ref[0][:, 3:4]
+    naff = (
+        aff_hi.astype(jnp.int32) << 16
+    ) | aff_lo.astype(jnp.int32)                             # [WPAD, 1]
+    naff_u = pltpu.bitcast(naff, jnp.uint32)
+    prev_aff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)  # [1, G]
+
+    # Per-collider union + sign votes.
+    p_aff_bits = jnp.zeros((1, group), jnp.uint32)
+    sign_word = jnp.zeros((1, group), jnp.uint32)
+    for c in range(nc):
+        has_c = ((naff_u >> c) & 1) != 0                     # [WPAD, 1]
+        present = jnp.max(
+            jnp.where(supp & has_c, 1.0, 0.0), axis=0, keepdims=True
+        )                                                     # [1, G]
+        p_aff_bits = p_aff_bits | jnp.where(
+            present > 0, jnp.uint32(1 << c), jnp.uint32(0)
+        )
+        sgn_c = jnp.where(((naff_u >> (16 + c)) & 1) != 0, -1.0, 1.0)
+        vote = jnp.sum(
+            jnp.where(has_c, w * sgn_c * ndist, 0.0), axis=0, keepdims=True
+        )
+        prev_has = ((prev_aff >> c) & 1) != 0
+        prev_sign = ((prev_aff >> (16 + c)) & 1) != 0
+        new_sign = jnp.where(prev_has, prev_sign, vote < 0.0)
+        sign_word = sign_word | jnp.where(
+            new_sign, jnp.uint32(1 << (16 + c)), jnp.uint32(0)
+        )
+    p_aff = p_aff_bits | sign_word                            # [1, G]
+
+    # MLS over nodes sharing affinity with the particle.
+    combined = naff_u & p_aff & jnp.uint32(0xFFFF)            # [WPAD, G]
+    use = combined != 0
+    sign_diff = ((naff_u ^ p_aff) >> 16) & combined
+    sgn = jnp.where(sign_diff == 0, 1.0, -1.0)
+    wk = jnp.where(use, w, 0.0)
+    sdist = ndist * sgn                                       # [WPAD, G]
+
+    xw = _window_positions(bcell, cell_width)                 # [WPAD, 3]
+    dx = [xw[:, k : k + 1] - pd[k][None, :] for k in range(3)]
+
+    def rsum(x):
+        return jnp.sum(x, axis=0)                             # [G]
+
+    a = {}
+    for r in range(3):
+        for cix in range(r, 3):
+            a[r, cix] = rsum(wk * dx[r] * dx[cix])
+    for r in range(3):
+        a[r, 3] = rsum(wk * dx[r])
+    a[3, 3] = rsum(wk)
+    for r in range(4):
+        for cix in range(r):
+            a[r, cix] = a[cix, r]
+    b = [rsum(wk * sdist * dx[k]) for k in range(3)] + [rsum(wk * sdist)]
+    x, det = _inv4_solve_ch(a, b)
+
+    ok = det > 1e-8
+    nlen = jnp.sqrt(x[0] ** 2 + x[1] ** 2 + x[2] ** 2)
+    ninv = jnp.where(nlen > 1e-6, 1.0 / jnp.maximum(nlen, 1e-30), 0.0)
+    normal = [jnp.where(ok, x[k] * ninv, 0.0) for k in range(3)]
+    sd = jnp.where(ok, x[3], 0.0)
+    aff_out = jnp.where(ok, p_aff[0], jnp.uint32(0))
+
+    res = jnp.concatenate(
+        [
+            pltpu.bitcast(aff_out[None, :], jnp.float32),
+            sd[None, :],
+            normal[0][None, :], normal[1][None, :], normal[2][None, :],
+            jnp.zeros((3, group), jnp.float32),
+        ],
+        axis=0,
+    )                                                         # [8, G]
+
+    padded = jnp.pad(res, ((0, 0), (0, 128)))
+    rolled = pltpu.roll(padded, off, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, gl), 1)
+    mask = (lane >= off) & (lane < off + group)
+    dma_rd.wait()
+    merged = jnp.where(mask, rolled, outbuf[:])
+    res_big[:, :] = merged
+    dma_out = pltpu.make_async_copy(
+        res_big, out_hbm.at[:, pl.ds(astart, gl)], sem_out
+    )
+    dma_out.start()
+    dma_out.wait()
+
+
+def pcdf_rows(pdata, ntiles, jobs, bcells, cfg: GridConfig, group: int,
+              npad: int, nc: int):
+    """[8, NPAD + G + 128] channel rows: aff (bitcast), sd, normal xyz."""
+    maxj = jobs["start"].shape[0]
+    kernel = functools.partial(
+        _pcdf_kernel, group=group, cell_width=cfg.cell_width, nc=nc
+    )
+    gl = group + 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(maxj,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((NCHAN, gl), jnp.float32),
+            pltpu.VMEM((8, gl), jnp.float32),
+            pltpu.VMEM((8, gl), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, npad + group + 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
+    )(jobs["start"], jobs["len"], bcells, pdata, ntiles)

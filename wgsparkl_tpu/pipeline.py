@@ -322,6 +322,9 @@ def substep_pallas(
     )
     jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
     n = particles.count
+    # Out-of-grid particles land in the overflow bucket and belong to no job;
+    # their kernel output rows are never written and must be masked off.
+    in_grid = (sorted_ids < nb_total)[:, None]
     npad = -((n + group) // -128) * 128
     starts = jnp.where(
         jobs["len"] > 0, jnp.minimum(jobs["start"], npad - group), npad - group
@@ -331,21 +334,19 @@ def substep_pallas(
     bcells = blk_coords * bs + jnp.asarray(grid.origin_cell, jnp.int32)
     nbr = jnp.asarray(bk.neighbor_block_table(nb))
 
+    # Particle channels packed with the PREVIOUS CDF state (the pcdf kernel
+    # needs prev affinity for temporal sign persistence).
+    pdata = ptf.pack_channels(
+        particles.pos, particles.vel, particles.mass, particles.affine,
+        particles.cdf_affinity, particles.cdf_normal, npad,
+    )
+
     # --- CDF phase ---
     if nc > 0:
         node_dist, node_aff, node_closest = _node_cdf_full(state, bodies, cfg)
-        pcdf = cdf_mod.particle_cdf_update(
-            particles.pos, particles.cdf_affinity, node_dist, node_aff,
-            grid, nc,
-        )
-        particles = particles.replace(
-            cdf_normal=pcdf["normal"],
-            cdf_signed_distance=pcdf["signed_distance"],
-            cdf_affinity=pcdf["affinity"],
-        )
         # Node-side channels for the kernels, gathered per job window with
         # one-hot matmuls.  Integers ride as exact <=16-bit f32 channels:
-        # [aff_lo, aff_hi, closest, bvx, bvy, bvz].
+        # [aff_lo, aff_hi, closest, dist, bvx, bvy, bvz, pad].
         node_pos = grid.node_positions()
         bv = jnp.zeros((grid.num_nodes, 3), jnp.float32)
         for b in range(nc):
@@ -359,24 +360,52 @@ def substep_pallas(
         chan = jnp.concatenate(
             [
                 aff_lo[:, None], aff_hi[:, None],
-                node_closest.astype(jnp.float32)[:, None], bv,
+                node_closest.astype(jnp.float32)[:, None],
+                node_dist[:, None], bv,
+                jnp.zeros((grid.num_nodes, 1), jnp.float32),
             ],
             axis=-1,
         )
         chan_grid = _to_blocks(chan, grid, 0.0)
         # Ghost block: closest channel must read as NONE (-1).
         chan_grid = chan_grid.at[-1, ..., 2].set(-1.0)
-        tiles6 = bk.gather_tiles_mm(chan_grid, jobs["block"], nbr, d).reshape(
-            -1, 216, 6
+        tiles8 = bk.gather_tiles_mm(chan_grid, jobs["block"], nbr, d).reshape(
+            -1, 216, 8
         )
+        ntiles = jnp.pad(tiles8, ((0, 0), (0, ptf.WPAD - 216), (0, 0)))
+
+        # Particle CDF reconstruction (Pallas g2p_cdf kernel).
+        from wgsparkl_tpu.ops import pallas_cdf
+
+        rows = pallas_cdf.pcdf_rows(
+            pdata, ntiles, jobs, bcells, grid, group, npad, nc
+        )
+        new_aff_rows = rows[0:1, :npad]
+        new_aff = jnp.where(
+            in_grid[:, 0],
+            jax.lax.bitcast_convert_type(rows[0, :n], jnp.uint32),
+            jnp.uint32(0),
+        )
+        particles = particles.replace(
+            cdf_affinity=new_aff,
+            cdf_signed_distance=jnp.where(in_grid[:, 0], rows[1, :n], 0.0),
+            cdf_normal=jnp.where(in_grid, rows[2:5, :n].T, 0.0),
+        )
+        # Patch the affinity + normal channel rows for the transfer kernels.
+        pdata = jax.lax.dynamic_update_slice(
+            pdata,
+            jnp.concatenate([new_aff_rows, rows[2:5, :npad]], axis=0),
+            (ptf.AFF, 0),
+        )
+
         aff_w = (
-            tiles6[..., 1].astype(jnp.int32) << 16
-        ) | tiles6[..., 0].astype(jnp.int32)
-        closest_w = tiles6[..., 2].astype(jnp.int32)
+            tiles8[..., 1].astype(jnp.int32) << 16
+        ) | tiles8[..., 0].astype(jnp.int32)
+        closest_w = tiles8[..., 2].astype(jnp.int32)
         itiles = jnp.stack([aff_w, closest_w], axis=-1)
         itiles = jnp.pad(itiles, ((0, 0), (0, ptf.WPAD - 216), (0, 6)))
         bv_tiles = jnp.pad(
-            tiles6[..., 3:6], ((0, 0), (0, ptf.WPAD - 216), (0, 5))
+            tiles8[..., 4:7], ((0, 0), (0, ptf.WPAD - 216), (0, 5))
         )
     else:
         maxj = cfg.max_jobs
@@ -384,10 +413,6 @@ def substep_pallas(
         bv_tiles = jnp.zeros((maxj, ptf.WPAD, 8), jnp.float32)
 
     # --- P2G ---
-    pdata = ptf.pack_channels(
-        particles.pos, particles.vel, particles.mass, particles.affine,
-        particles.cdf_affinity, particles.cdf_normal, npad,
-    )
     tiles = ptf.p2g_tiles(pdata, itiles, bv_tiles, jobs, bcells, grid, group, nc)
     t216 = tiles[:, :216, :]
     xw = bk.window_node_positions(blk_coords, grid)            # [J, 216, 3]
@@ -439,8 +464,8 @@ def substep_pallas(
     rows = ptf.g2p_rows(
         pdata, f_tiles, itiles, jobs, bcells, grid, group, npad, nc
     )
-    new_vel = rows[0:3, :n].T
-    m1 = rows[3:12, :n].T.reshape(n, 3, 3)
+    new_vel = jnp.where(in_grid, rows[0:3, :n].T, 0.0)
+    m1 = jnp.where(in_grid[:, :, None], rows[3:12, :n].T.reshape(n, 3, 3), 0.0)
     vel_grad = inv_d_fn(grid.cell_width) * (
         m1 - new_vel[:, :, None] * particles.pos[:, None, :]
     )
