@@ -114,23 +114,20 @@ def _norm3(x, y, z):
     return jnp.sqrt(x * x + y * y + z * z)
 
 
-@partial(jax.jit, static_argnames=("sweeps",))
-def svd3x3(f, sweeps: int = 8):
-    """Signed SVD of [..., 3, 3] matrices via channelized cyclic Jacobi on
-    F^T F.  Branch-free; `sweeps` full sweeps (3 rotations each) unrolled.
+def svd3x3_ch(fc, sweeps: int = 8):
+    """Channel-level signed SVD (see svd3x3).
 
-    Returns (U, S, Vt) with U, V in SO(3), S[..., 0] >= S[..., 1] >= |S[..., 2]|
-    and sign(S[..., 2]) = sign(det f).
+    fc: dict (i, j) -> [...] channels of F.
+    Returns (uc, sig, vc): uc[k]/vc[k] = list of the 3 channel entries of the
+    k-th COLUMN of U/V; sig = list of 3 singular-value channels.
     """
-    fc = {(i, j): f[..., i, j] for i in range(3) for j in range(3)}
-
     # A = F^T F, symmetric channels.
     sym = {}
     for i in range(3):
         for j in range(i, 3):
             sym[(i, j)] = sum(fc[(k, i)] * fc[(k, j)] for k in range(3))
 
-    zero = jnp.zeros_like(f[..., 0, 0])
+    zero = jnp.zeros_like(fc[(0, 0)])
     one = jnp.ones_like(zero)
     v = {(i, j): (one if i == j else zero) for i in range(3) for j in range(3)}
 
@@ -209,15 +206,41 @@ def svd3x3(f, sweeps: int = 8):
         + fc[(0, 2)] * (fc[(1, 0)] * fc[(2, 1)] - fc[(1, 1)] * fc[(2, 0)])
     )
     sig[2] = sig[2] * jnp.where(detf < 0, -1.0, 1.0)
+    return [u0, u1, u2], sig, vc
 
-    u = jnp.stack(
-        [jnp.stack(col, axis=-1) for col in (u0, u1, u2)], axis=-1
-    )
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def svd3x3(f, sweeps: int = 8):
+    """Signed SVD of [..., 3, 3] matrices via channelized cyclic Jacobi on
+    F^T F.  Branch-free; `sweeps` full sweeps (3 rotations each) unrolled.
+
+    Returns (U, S, Vt) with U, V in SO(3), S[..., 0] >= S[..., 1] >= |S[..., 2]|
+    and sign(S[..., 2]) = sign(det f).
+    """
+    fc = {(i, j): f[..., i, j] for i in range(3) for j in range(3)}
+    uc, sig, vc = svd3x3_ch(fc, sweeps)
+    u = jnp.stack([jnp.stack(col, axis=-1) for col in uc], axis=-1)
     s = jnp.stack(sig, axis=-1)
-    vt = jnp.stack(
-        [jnp.stack(col, axis=-1) for col in vc], axis=-2
-    )
+    vt = jnp.stack([jnp.stack(col, axis=-1) for col in vc], axis=-2)
     return u, s, vt
+
+
+def eig33_sigma_ch(fc, sweeps: int = 8):
+    """Singular values only (no U/V build) — for the fracture check."""
+    sym = {}
+    for i in range(3):
+        for j in range(i, 3):
+            sym[(i, j)] = sum(fc[(k, i)] * fc[(k, j)] for k in range(3))
+    zero = jnp.zeros_like(fc[(0, 0)])
+    one = jnp.ones_like(zero)
+    v = {(i, j): (one if i == j else zero) for i in range(3) for j in range(3)}
+    for _ in range(sweeps):
+        sym, v = _jacobi_rot(sym, v, 0, 1)
+        sym, v = _jacobi_rot(sym, v, 0, 2)
+        sym, v = _jacobi_rot(sym, v, 1, 2)
+    return [
+        jnp.sqrt(jnp.maximum(sym[(k, k)], 0.0)) for k in range(3)
+    ]
 
 
 def svd(f, sweeps: int = 8):

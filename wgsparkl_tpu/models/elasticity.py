@@ -79,6 +79,51 @@ def kirchoff_stress_neo_hookean(lam, mu, def_grad):
     return mu[..., None, None] * ft + diag[..., None, None] * eye
 
 
+# --------------------------------------------------------------- channel form
+def kirchoff_stress_corotated_ch(lam, mu, fc):
+    """Channel-level corotated stress: fc dict (i,j)->[N], returns same form.
+
+    Lane-efficient variant for the TPU hot path (no [N,3,3] intermediates).
+    """
+    from wgsparkl_tpu.math.svd import svd3x3_ch
+
+    uc, sig, vc = svd3x3_ch(fc)
+    j = sig[0] * sig[1] * sig[2]
+    diag = lam * (j - 1.0) * j
+    two_mu = 2.0 * mu
+    out = {}
+    for i in range(3):
+        for jj in range(3):
+            # shifted[i, k] = sum_m uc[m][i] (sig[m]-1) vc[m][k]
+            # result[i, jj] = 2 mu sum_k shifted[i, k] * F[jj, k]  (+ diag)
+            acc = 0.0
+            for k in range(3):
+                shifted_ik = sum(
+                    uc[m][i] * (sig[m] - 1.0) * vc[m][k] for m in range(3)
+                )
+                acc = acc + shifted_ik * fc[(jj, k)]
+            out[(i, jj)] = two_mu * acc + (diag if i == jj else 0.0)
+    return out
+
+
+def kirchoff_stress_neo_hookean_ch(lam, mu, fc):
+    import jax.numpy as jnp
+
+    det = (
+        fc[(0, 0)] * (fc[(1, 1)] * fc[(2, 2)] - fc[(1, 2)] * fc[(2, 1)])
+        - fc[(0, 1)] * (fc[(1, 0)] * fc[(2, 2)] - fc[(1, 2)] * fc[(2, 0)])
+        + fc[(0, 2)] * (fc[(1, 0)] * fc[(2, 1)] - fc[(1, 1)] * fc[(2, 0)])
+    )
+    j = jnp.maximum(det, 1e-10)
+    diag = lam * jnp.log(j) - mu
+    out = {}
+    for i in range(3):
+        for jj in range(3):
+            fft = sum(fc[(i, k)] * fc[(jj, k)] for k in range(3))
+            out[(i, jj)] = mu * fft + (diag if i == jj else 0.0)
+    return out
+
+
 def elastic_arrays(models: list[ElasticCoefficients]) -> tuple[np.ndarray, np.ndarray]:
     """Pack a list of per-particle coefficients into SoA arrays."""
     lam = np.asarray([m.lam for m in models], dtype=np.float32)

@@ -155,10 +155,11 @@ def _pcdf_kernel(
             jnp.where(has_c, w * sgn_c * ndist, 0.0), axis=0, keepdims=True
         )
         prev_has = ((prev_aff >> c) & 1) != 0
-        prev_sign = ((prev_aff >> (16 + c)) & 1) != 0
-        new_sign = jnp.where(prev_has, prev_sign, vote < 0.0)
+        prev_sign = ((prev_aff >> (16 + c)) & 1).astype(jnp.float32)
+        vote_sign = jnp.where(vote < 0.0, 1.0, 0.0)
+        new_sign = jnp.where(prev_has, prev_sign, vote_sign)
         sign_word = sign_word | jnp.where(
-            new_sign, jnp.uint32(1 << (16 + c)), jnp.uint32(0)
+            new_sign > 0.5, jnp.uint32(1 << (16 + c)), jnp.uint32(0)
         )
     p_aff = p_aff_bits | sign_word                            # [1, G]
 

@@ -99,3 +99,107 @@ def particle_update(particles, models, params, grid_cfg, elastic_model="corotate
     )
     new_models = models.replace(phase=new_phase, dp_state=new_dp_state)
     return new_particles, new_models
+
+
+# ----------------------------------------------------------- channel variant
+def particle_update_channels(ch, models, params, grid_cfg, elastic_model="corotated"):
+    """Channel-major fused particle update (3D, TPU hot path).
+
+    ch: dict with channel arrays [N]:
+      pos: [3 channels], vel: [3], grad: dict (i,j), F: dict (i,j),
+      sd, normal [3], rigid_vel [3], mass, vol0.
+    Returns dict(pos[3], vel[3], F dict, affine dict) + new models.
+    Physics identical to particle_update; layout avoids all [N,3,3]
+    intermediates (full VPU lane utilization).
+    """
+    from wgsparkl_tpu.math.svd import eig33_sigma_ch
+    from wgsparkl_tpu.models.drucker_prager import drucker_prager_project_ch
+    from wgsparkl_tpu.models.elasticity import (
+        kirchoff_stress_corotated_ch,
+        kirchoff_stress_neo_hookean_ch,
+    )
+
+    dt = params.dt
+    h = grid_cfg.cell_width
+    vel = ch["vel"]
+    nrm = ch["normal"]
+    rv = ch["rigid_vel"]
+    sd = ch["sd"]
+
+    # Contact projection (particle_update.wgsl:64-66).
+    penetrating = sd < -0.05 * h
+    rel = [vel[i] - rv[i] for i in range(3)]
+    nv = rel[0] * nrm[0] + rel[1] * nrm[1] + rel[2] * nrm[2]
+    tang = [rel[i] - nrm[i] * nv for i in range(3)]
+    tl = jnp.sqrt(tang[0] ** 2 + tang[1] ** 2 + tang[2] ** 2)
+    inv_tl = jnp.where(tl > 1e-8, 1.0 / jnp.maximum(tl, 1e-30), 0.0)
+    from wgsparkl_tpu.ops.transfer import DEFAULT_FRICTION
+
+    scale = jnp.maximum(0.0, tl + DEFAULT_FRICTION * nv) * inv_tl
+    proj = [
+        jnp.where(nv < 0.0, tang[i] * scale, rel[i]) for i in range(3)
+    ]
+    new_vel = [
+        jnp.where(penetrating, rv[i] + proj[i], vel[i]) for i in range(3)
+    ]
+
+    # Velocity clamp (particle_update.wgsl:70-72).
+    speed = jnp.sqrt(new_vel[0] ** 2 + new_vel[1] ** 2 + new_vel[2] ** 2)
+    limit = h / dt
+    cl = jnp.where(speed > limit, limit / jnp.maximum(speed, 1e-30), 1.0)
+    new_vel = [v * cl for v in new_vel]
+
+    new_pos = [ch["pos"][i] + new_vel[i] * dt for i in range(3)]
+
+    # Penalty impulse (particle_update.wgsl:79-84).
+    corrected = jnp.maximum(sd, -0.3 * h)
+    pen = dt * -corrected * PENALTY_COEFF
+    new_vel = [
+        jnp.where(penetrating, new_vel[i] + pen * nrm[i], new_vel[i])
+        for i in range(3)
+    ]
+
+    # F += dt grad F.
+    fc, gc = ch["F"], ch["grad"]
+    new_f = {
+        (i, j): fc[(i, j)] + dt * sum(gc[(i, k)] * fc[(k, j)] for k in range(3))
+        for i in range(3)
+        for j in range(3)
+    }
+
+    # Fracture check (sigma only — no U/V build).
+    check = (models.phase > 0.0) & (models.max_stretch > 0.0)
+    sig = eig33_sigma_ch(new_f)
+    over = (
+        (sig[0] > models.max_stretch)
+        | (sig[1] > models.max_stretch)
+        | (sig[2] > models.max_stretch)
+    )
+    new_phase = jnp.where(check & over, 0.0, models.phase)
+
+    # Plasticity.
+    dp_state, f_proj = drucker_prager_project_ch(
+        models.dp, models.dp_state, new_f
+    )
+    granular = new_phase == 0.0
+    new_f = {
+        k: jnp.where(granular, f_proj[k], new_f[k]) for k in new_f
+    }
+    new_dp_state = {
+        k: jnp.where(granular, dp_state[k], models.dp_state[k]) for k in dp_state
+    }
+
+    if elastic_model == "corotated":
+        stress = kirchoff_stress_corotated_ch(models.lam, models.mu, new_f)
+    else:
+        stress = kirchoff_stress_neo_hookean_ch(models.lam, models.mu, new_f)
+
+    scale_a = ch["vol0"] * inv_d(h) * dt
+    affine = {
+        k: gc[k] * ch["mass"] - stress[k] * scale_a for k in new_f
+    }
+    new_models = models.replace(phase=new_phase, dp_state=new_dp_state)
+    return (
+        {"pos": new_pos, "vel": new_vel, "F": new_f, "affine": affine},
+        new_models,
+    )

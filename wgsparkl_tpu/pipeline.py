@@ -464,19 +464,66 @@ def substep_pallas(
     rows = ptf.g2p_rows(
         pdata, f_tiles, itiles, jobs, bcells, grid, group, npad, nc
     )
-    new_vel = jnp.where(in_grid, rows[0:3, :n].T, 0.0)
-    m1 = jnp.where(in_grid[:, :, None], rows[3:12, :n].T.reshape(n, 3, 3), 0.0)
-    vel_grad = inv_d_fn(grid.cell_width) * (
-        m1 - new_vel[:, :, None] * particles.pos[:, None, :]
-    )
-    rigid_vel = transfer.rigid_velocity_sum(
-        particles.pos, particles.cdf_affinity, bodies, nc
+
+    # --- fused particle update, channel-major (no [N,3,3] intermediates) ---
+    from wgsparkl_tpu.ops.particle_update import particle_update_channels
+
+    ig = in_grid[:, 0]
+    inv_d_val = inv_d_fn(grid.cell_width)
+    pos_ch = [particles.pos[:, k] for k in range(3)]
+    v_ch = [jnp.where(ig, rows[k, :n], 0.0) for k in range(3)]
+    grad_ch = {
+        (i, k): jnp.where(
+            ig, inv_d_val * (rows[3 + 3 * i + k, :n] - v_ch[i] * pos_ch[k]), 0.0
+        )
+        for i in range(3)
+        for k in range(3)
+    }
+    f_ch = {
+        (i, k): particles.def_grad[:, i, k] for i in range(3) for k in range(3)
+    }
+
+    # Rigid contact velocity, channel form (g2p.wgsl:220-226).
+    rv_ch = [jnp.zeros((n,), jnp.float32) for _ in range(3)]
+    for b in range(nc):
+        has = ((particles.cdf_affinity >> b) & 1) != 0
+        lin = bodies.linvel[b]
+        ang = bodies.angvel[b]
+        com = bodies.world_com[b]
+        rel = [pos_ch[k] - com[k] for k in range(3)]
+        bvb = [
+            lin[0] + ang[1] * rel[2] - ang[2] * rel[1],
+            lin[1] + ang[2] * rel[0] - ang[0] * rel[2],
+            lin[2] + ang[0] * rel[1] - ang[1] * rel[0],
+        ]
+        rv_ch = [rv_ch[k] + jnp.where(has, bvb[k], 0.0) for k in range(3)]
+
+    ch = {
+        "pos": pos_ch,
+        "vel": v_ch,
+        "grad": grad_ch,
+        "F": f_ch,
+        "sd": particles.cdf_signed_distance,
+        "normal": [particles.cdf_normal[:, k] for k in range(3)],
+        "rigid_vel": rv_ch,
+        "mass": particles.mass,
+        "vol0": particles.init_volume,
+    }
+    out, models = particle_update_channels(
+        ch, models, params, grid, cfg.elastic_model
     )
     particles = particles.replace(
-        vel=new_vel, affine=vel_grad, cdf_rigid_vel=rigid_vel
-    )
-    particles, models = particle_update(
-        particles, models, params, grid, cfg.elastic_model
+        pos=jnp.stack(out["pos"], axis=-1),
+        vel=jnp.stack(out["vel"], axis=-1),
+        def_grad=jnp.stack(
+            [jnp.stack([out["F"][(i, k)] for k in range(3)], -1) for i in range(3)],
+            axis=-2,
+        ),
+        affine=jnp.stack(
+            [jnp.stack([out["affine"][(i, k)] for k in range(3)], -1) for i in range(3)],
+            axis=-2,
+        ),
+        cdf_rigid_vel=jnp.stack(rv_ch, axis=-1),
     )
     bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, grid)
     return SimState(particles=particles, models=models, bodies=bodies,
