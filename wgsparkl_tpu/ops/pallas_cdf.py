@@ -155,7 +155,9 @@ def _pcdf_kernel(
             jnp.where(has_c, w * sgn_c * ndist, 0.0), axis=0, keepdims=True
         )
         prev_has = ((prev_aff >> c) & 1) != 0
-        prev_sign = ((prev_aff >> (16 + c)) & 1).astype(jnp.float32)
+        prev_sign = ((prev_aff >> (16 + c)) & 1).astype(jnp.int32).astype(
+            jnp.float32
+        )
         vote_sign = jnp.where(vote < 0.0, 1.0, 0.0)
         new_sign = jnp.where(prev_has, prev_sign, vote_sign)
         sign_word = sign_word | jnp.where(

@@ -143,8 +143,8 @@ def _ghost_velocity(pd, bv, friction=DEFAULT_FRICTION):
 
 def _p2g_kernel(
     starts, lens, bcells,
-    pdata_ref, itile_ref, ftile_ref,
-    out_ref,
+    pdata_ref, itile_ref, ftile_ref, comtbl_ref,
+    out_ref, imp_ref,
     pd_big, sem,
     *, group: int, cell_width: float, nc: int,
 ):
@@ -194,29 +194,66 @@ def _p2g_kernel(
         preferred_element_type=jnp.float32,
     )                                                               # [WPAD,16]
 
+    # In-kernel momentum recombination: mom_i = f_mv_i + (Σ w A) @ x_node
+    # (keeps [J, 216, C] lane-starved elementwise out of XLA).
+    xw = _window_positions(bcell, cell_width)                       # [WPAD,3]
+    mm_cols = []
+    for i in range(3):
+        mom = tile[:, i : i + 1]
+        for k in range(3):
+            mom = mom + tile[:, 4 + 3 * i + k : 5 + 3 * i + k] * xw[:, k : k + 1]
+        mm_cols.append(mom)
+    mm_cols.append(tile[:, 3:4])
+    mm = jnp.concatenate(mm_cols + [jnp.zeros((WPAD, 4), jnp.float32)], axis=1)
+    out_ref[0] = mm                                                 # [WPAD, 8]
+
+    # CPIC impulses: incompatible pairs against the node's closest body
+    # (p2g.wgsl:200-231), reduced to per-job, per-collider totals in-kernel.
+    imp_out = jnp.zeros((8, 128), jnp.float32)
     if nc > 0:
-        # CPIC impulse: incompatible pairs against the node's closest body
-        # (p2g.wgsl:200-231); node body velocity comes precomputed in the
-        # aux tile.  delta = (v_p - ghost) * w * m, reduced over particles.
         has_body = closest >= 0
         w_i = jnp.where(compat | ~has_body, 0.0, w) * mass[None, :]
         bv = [ftile_ref[0][:, k : k + 1] for k in range(3)]
         ghost = _ghost_velocity(pd, bv)
-        d0 = jnp.sum(w_i * (pd[VX][None, :] - ghost[0]), axis=1)
-        d1 = jnp.sum(w_i * (pd[VY][None, :] - ghost[1]), axis=1)
-        d2 = jnp.sum(w_i * (pd[VZ][None, :] - ghost[2]), axis=1)
-        imp = jnp.stack([d0, d1, d2], axis=1)                       # [WPAD,3]
-        tile = jnp.concatenate([tile[:, :13], imp], axis=1)
+        vp = [pd[VX][None, :], pd[VY][None, :], pd[VZ][None, :]]
+        d = [
+            jnp.sum(w_i * (vp[k] - ghost[k]), axis=1, keepdims=True)
+            for k in range(3)
+        ]                                                           # [WPAD,1]
+        # cross(D_w, x_w) per node (lever arm split: com part added below).
+        cr = [
+            d[1] * xw[:, 2:3] - d[2] * xw[:, 1:2],
+            d[2] * xw[:, 0:1] - d[0] * xw[:, 2:3],
+            d[0] * xw[:, 1:2] - d[1] * xw[:, 0:1],
+        ]
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        for b in range(nc):
+            mask = (closest == b).astype(jnp.float32)               # [WPAD,1]
+            db = [jnp.sum(d[k] * mask) for k in range(3)]
+            cb = [jnp.sum(cr[k] * mask) for k in range(3)]
+            comb = [comtbl_ref[k, b] for k in range(3)]
+            ang = [
+                db[1] * comb[2] - db[2] * comb[1] - cb[0],
+                db[2] * comb[0] - db[0] * comb[2] - cb[1],
+                db[0] * comb[1] - db[1] * comb[0] - cb[2],
+            ]
+            vals = db + ang                                          # 6 scalars
+            for r in range(6):
+                imp_out = jnp.where(
+                    (rows_i == r) & (cols_i == b), vals[r], imp_out
+                )
+    imp_ref[0] = imp_out
 
-    out_ref[0] = tile
 
-
-def p2g_tiles(pdata, itiles, ftiles, jobs, bcells, cfg: GridConfig,
+def p2g_tiles(pdata, itiles, ftiles, comtbl, jobs, bcells, cfg: GridConfig,
               group: int, nc: int):
-    """Per-job raw P2G tiles [MAXJ, WPAD, 16].
+    """Per-job P2G outputs.
 
-    Columns: 0-2 Σw(mv - Ap), 3 Σw m, 4-12 Σw A, 13-15 per-node CPIC
-    impulse Σ_g delta (zero when nc == 0).
+    Returns (mm [MAXJ, WPAD, 8], imp [MAXJ, 8, 128]):
+      mm cols 0-2 node momentum, 3 node mass;
+      imp rows 0-2 linear / 3-5 angular impulse, lanes = collider slots.
+    comtbl: [8, 128] f32 with body world COM at [k, b].
     """
     maxj = jobs["start"].shape[0]
     kernel = functools.partial(
@@ -231,9 +268,14 @@ def p2g_tiles(pdata, itiles, ftiles, jobs, bcells, cfg: GridConfig,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, WPAD, 16), lambda j, *_: (j, 0, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((NCHAN, group + 128), jnp.float32),
@@ -243,9 +285,12 @@ def p2g_tiles(pdata, itiles, ftiles, jobs, bcells, cfg: GridConfig,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((maxj, WPAD, 16), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((maxj, WPAD, 8), jnp.float32),
+            jax.ShapeDtypeStruct((maxj, 8, 128), jnp.float32),
+        ),
         interpret=_interpret(),
-    )(jobs["start"], jobs["len"], bcells, pdata, itiles, ftiles)
+    )(jobs["start"], jobs["len"], bcells, pdata, itiles, ftiles, comtbl)
 
 
 def _g2p_kernel(

@@ -317,11 +317,28 @@ def substep_pallas(
 
     # --- sort phase ---
     block_ids, _ = bk.particle_block_ids(particles.pos, grid)
-    (particles, models), sorted_ids, _ = bk.sort_by_block(
-        (particles, models), block_ids
+    # CDF normal/sd/rigid_vel are rebuilt from scratch every substep (or
+    # stay zero when there are no colliders) — no need to drag them through
+    # the sorting network.
+    sort_in = {
+        "pos": particles.pos, "vel": particles.vel,
+        "def_grad": particles.def_grad, "affine": particles.affine,
+        "init_volume": particles.init_volume,
+        "init_radius": particles.init_radius, "mass": particles.mass,
+        "cdf_affinity": particles.cdf_affinity, "ids": particles.ids,
+    }
+    (sort_in, models), sorted_ids, _ = bk.sort_by_block_channels(
+        (sort_in, models), block_ids
+    )
+    n = particles.count
+    zeros3 = jnp.zeros((n, 3), jnp.float32)
+    particles = particles.replace(
+        cdf_normal=zeros3,
+        cdf_rigid_vel=zeros3,
+        cdf_signed_distance=jnp.zeros((n,), jnp.float32),
+        **sort_in,
     )
     jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
-    n = particles.count
     # Out-of-grid particles land in the overflow bucket and belong to no job;
     # their kernel output rows are never written and must be masked off.
     in_grid = (sorted_ids < nb_total)[:, None]
@@ -347,22 +364,26 @@ def substep_pallas(
         # Node-side channels for the kernels, gathered per job window with
         # one-hot matmuls.  Integers ride as exact <=16-bit f32 channels:
         # [aff_lo, aff_hi, closest, dist, bvx, bvy, bvz, pad].
-        node_pos = grid.node_positions()
-        bv = jnp.zeros((grid.num_nodes, 3), jnp.float32)
+        npx, npy, npz = grid.node_position_channels()
+        m_nodes = grid.num_nodes
+        bvx = jnp.zeros((m_nodes,), jnp.float32)
+        bvy = jnp.zeros((m_nodes,), jnp.float32)
+        bvz = jnp.zeros((m_nodes,), jnp.float32)
         for b in range(nc):
-            mask = (node_closest == b)[:, None]
-            bvb = body_mod.velocity_at_point(
-                bodies, jnp.full((grid.num_nodes,), b, jnp.int32), node_pos
-            )
-            bv = jnp.where(mask, bvb, bv)
+            mask = node_closest == b
+            lin = bodies.linvel[b]
+            ang = bodies.angvel[b]
+            com = bodies.world_com[b]
+            rx, ry, rz = npx - com[0], npy - com[1], npz - com[2]
+            bvx = jnp.where(mask, lin[0] + ang[1] * rz - ang[2] * ry, bvx)
+            bvy = jnp.where(mask, lin[1] + ang[2] * rx - ang[0] * rz, bvy)
+            bvz = jnp.where(mask, lin[2] + ang[0] * ry - ang[1] * rx, bvz)
         aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
         aff_hi = (node_aff >> 16).astype(jnp.float32)
-        chan = jnp.concatenate(
+        chan = jnp.stack(
             [
-                aff_lo[:, None], aff_hi[:, None],
-                node_closest.astype(jnp.float32)[:, None],
-                node_dist[:, None], bv,
-                jnp.zeros((grid.num_nodes, 1), jnp.float32),
+                aff_lo, aff_hi, node_closest.astype(jnp.float32),
+                node_dist, bvx, bvy, bvz, jnp.zeros_like(bvx),
             ],
             axis=-1,
         )
@@ -413,32 +434,22 @@ def substep_pallas(
         bv_tiles = jnp.zeros((maxj, ptf.WPAD, 8), jnp.float32)
 
     # --- P2G ---
-    tiles = ptf.p2g_tiles(pdata, itiles, bv_tiles, jobs, bcells, grid, group, nc)
-    t216 = tiles[:, :216, :]
-    xw = bk.window_node_positions(blk_coords, grid)            # [J, 216, 3]
-    a_sum = t216[..., 4:13].reshape(-1, 216, 3, 3)
-    mom = t216[..., :3] + jnp.einsum("jwik,jwk->jwi", a_sum, xw)
-    mm_tiles = jnp.concatenate([mom, t216[..., 3:4]], -1)
+    comtbl = jnp.zeros((8, 128), jnp.float32)
+    comtbl = comtbl.at[0:3, : bodies.count].set(bodies.world_com.T)
+    mm_out, imp_out = ptf.p2g_tiles(
+        pdata, itiles, bv_tiles, comtbl, jobs, bcells, grid, group, nc
+    )
+    mm_tiles = mm_out[:, :216, :4]
     grid_mm = jnp.zeros((nb_total + 1,) + (bs,) * d + (d + 1,), jnp.float32)
     grid_mm = bk.scatter_tiles_mm(
         grid_mm, mm_tiles.reshape((-1,) + (6,) * d + (d + 1,)),
         jobs["block"], nbr, d,
     )
 
-    # CPIC impulses: per-collider masked sums (no scatters).
-    adim = 3
-    lin_imp = jnp.zeros((bodies.count, 3), jnp.float32)
-    ang_imp = jnp.zeros((bodies.count, adim), jnp.float32)
-    if nc > 0:
-        dsum = t216[..., 13:16]                                # [J, 216, 3]
-        closest_jw = itiles[:, :216, 1]
-        cross_dx = jnp.cross(dsum, -xw)                        # -cross(D, x_w)
-        for b in range(nc):
-            mask = (closest_jw == b)[..., None]
-            db = jnp.sum(jnp.where(mask, dsum, 0.0), axis=(0, 1))
-            cb = jnp.sum(jnp.where(mask, cross_dx, 0.0), axis=(0, 1))
-            lin_imp = lin_imp.at[b].set(db)
-            ang_imp = ang_imp.at[b].set(jnp.cross(db, bodies.world_com[b]) + cb)
+    # CPIC impulses: per-job, per-collider totals already reduced in-kernel.
+    imp_sum = jnp.sum(imp_out, axis=0)                          # [8, 128]
+    lin_imp = imp_sum[0:3, : bodies.count].T
+    ang_imp = imp_sum[3:6, : bodies.count].T
 
     if axis_name is not None:
         grid_mm = jax.lax.psum(grid_mm, axis_name)
