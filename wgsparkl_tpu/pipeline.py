@@ -327,7 +327,10 @@ def substep_pallas(
         "init_radius": particles.init_radius, "mass": particles.mass,
         "cdf_affinity": particles.cdf_affinity, "ids": particles.ids,
     }
-    (sort_in, models), sorted_ids, _ = bk.sort_by_block_channels(
+    # NOTE: variadic lax.sort over all channels avoids post-sort gathers but
+    # explodes XLA sort compile time (41-operand comparator network); the
+    # (key, iota) sort + tree gather is the right trade.
+    (sort_in, models), sorted_ids, _ = bk.sort_by_block(
         (sort_in, models), block_ids
     )
     n = particles.count
