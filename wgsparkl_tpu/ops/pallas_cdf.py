@@ -31,6 +31,7 @@ from wgsparkl_tpu.ops.pallas_transfer import (
     WPAD,
     WVOL,
     _interpret,
+    _load_pdata_db,
     _window_positions,
     _window_w,
 )
@@ -94,19 +95,15 @@ def _pcdf_kernel(
     length = lens[j]
     bcell = jnp.stack([bcells[j, 0], bcells[j, 1], bcells[j, 2]])
     gl = group + 128
+    maxj = pl.num_programs(0)
 
     astart = (start // 128) * 128
     off = start - astart
-    dma = pltpu.make_async_copy(
-        pdata_ref.at[:, pl.ds(astart, gl)], pd_big, sem
-    )
-    dma.start()
     dma_rd = pltpu.make_async_copy(
         out_hbm.at[:, pl.ds(astart, gl)], outbuf, sem_rd
     )
     dma_rd.start()
-    dma.wait()
-    pd = pltpu.roll(pd_big[:], gl - off, axis=1)[:, :group]
+    pd = _load_pdata_db(pdata_ref, pd_big, sem, starts, j, group, maxj)
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
     valid_f = (lanes < length).astype(jnp.float32)
@@ -241,10 +238,10 @@ def pcdf_rows(pdata, ntiles, jobs, bcells, cfg: GridConfig, group: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((NCHAN, gl), jnp.float32),
+            pltpu.VMEM((2, NCHAN, gl), jnp.float32),
             pltpu.VMEM((8, gl), jnp.float32),
             pltpu.VMEM((8, gl), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

@@ -141,6 +141,42 @@ def _ghost_velocity(pd, bv, friction=DEFAULT_FRICTION):
     return [bv[i] + rel[i] for i in range(3)]
 
 
+
+def _load_pdata_db(pdata_ref, pd_big, sem, starts, j, group, maxj):
+    """Double-buffered particle-channel load: program j waits on a DMA that
+    was started during program j-1 (or at j==0, starts it itself), and
+    prefetches program j+1's window so DMA latency hides behind compute.
+
+    pd_big: VMEM scratch [2, NCHAN, G+128]; sem: DMA semaphore pair [2].
+    Returns the realigned [NCHAN, G] view for program j.
+    """
+    gl = group + 128
+
+    def dma_for(jj, slot):
+        s = starts[jnp.minimum(jj, maxj - 1)]
+        a = (s // 128) * 128
+        return pltpu.make_async_copy(
+            pdata_ref.at[:, pl.ds(a, gl)], pd_big.at[slot], sem.at[slot]
+        )
+
+    slot = jax.lax.rem(j, 2)
+    nslot = jax.lax.rem(j + 1, 2)
+
+    @pl.when(j == 0)
+    def _():
+        dma_for(j, slot).start()
+
+    @pl.when(j + 1 < maxj)
+    def _():
+        dma_for(j + 1, nslot).start()
+
+    dma_for(j, slot).wait()
+    start = starts[j]
+    off = start - (start // 128) * 128
+    buf = pd_big[slot]
+    return pltpu.roll(buf, gl - off, axis=1)[:, :group]
+
+
 def _p2g_kernel(
     starts, lens, bcells,
     pdata_ref, itile_ref, ftile_ref, comtbl_ref,
@@ -149,20 +185,10 @@ def _p2g_kernel(
     *, group: int, cell_width: float, nc: int,
 ):
     j = pl.program_id(0)
-    start = starts[j]
     length = lens[j]
     bcell = jnp.stack([bcells[j, 0], bcells[j, 1], bcells[j, 2]])
-
-    # Lane-dim DMA offsets must be 128-aligned on TPU: read an aligned
-    # [24, G+128] window and rotate the misalignment away in-register.
-    astart = (start // 128) * 128
-    off = start - astart
-    dma = pltpu.make_async_copy(
-        pdata_ref.at[:, pl.ds(astart, group + 128)], pd_big, sem
-    )
-    dma.start()
-    dma.wait()
-    pd = pltpu.roll(pd_big[:], (group + 128) - off, axis=1)[:, :group]
+    maxj = pl.num_programs(0)
+    pd = _load_pdata_db(pdata_ref, pd_big, sem, starts, j, group, maxj)
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
     valid = (lanes < length).astype(jnp.float32)
@@ -278,8 +304,8 @@ def p2g_tiles(pdata, itiles, ftiles, comtbl, jobs, bcells, cfg: GridConfig,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((NCHAN, group + 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, NCHAN, group + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -305,21 +331,17 @@ def _g2p_kernel(
     length = lens[j]
     bcell = jnp.stack([bcells[j, 0], bcells[j, 1], bcells[j, 2]])
     gl = group + 128
+    maxj = pl.num_programs(0)
 
     astart = (start // 128) * 128
     off = start - astart
-    dma = pltpu.make_async_copy(
-        pdata_ref.at[:, pl.ds(astart, gl)], pd_big, sem
-    )
-    dma.start()
     # Overlap: read the aligned output window for the RMW merge while the
     # particle DMA is in flight.
     dma_rd = pltpu.make_async_copy(
         out_hbm.at[:, pl.ds(astart, gl)], outbuf, sem_rd
     )
     dma_rd.start()
-    dma.wait()
-    pd = pltpu.roll(pd_big[:], gl - off, axis=1)[:, :group]
+    pd = _load_pdata_db(pdata_ref, pd_big, sem, starts, j, group, maxj)
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
     valid = (lanes < length).astype(jnp.float32)
@@ -406,10 +428,10 @@ def g2p_rows(pdata, ftiles, itiles, jobs, bcells, cfg: GridConfig,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((NCHAN, gl), jnp.float32),
+            pltpu.VMEM((2, NCHAN, gl), jnp.float32),
             pltpu.VMEM((16, gl), jnp.float32),
             pltpu.VMEM((16, gl), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
