@@ -19,18 +19,29 @@ import numpy as np
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     n_target = int(os.environ.get("BENCH_PARTICLES", 1_000_000))
     substeps = int(os.environ.get("BENCH_SUBSTEPS", 20))
     frames = int(os.environ.get("BENCH_FRAMES", 5))
+    group = int(os.environ.get("BENCH_GROUP", 512))
 
     from wgsparkl_tpu import scenes
-    from wgsparkl_tpu.pipeline import step
+    from wgsparkl_tpu.pipeline import MpmData, step
 
     # ~n_target particles: nxz^2 * ny lattice at 2 per cell per axis.
     nxz = int(round((n_target / 2.2) ** (1.0 / 3.0)))
     ny = int(round(n_target / (nxz * nxz)))
-    data = scenes.sand_box_3d(nxz=nxz, ny=ny, cell_width=1.0, with_paddle=True)
-    n = data.num_particles
+    base = scenes.sand_box_3d(nxz=nxz, ny=ny, cell_width=1.0, with_paddle=True)
+    n = base.num_particles
+    # Flagship config: Pallas MXU transfer path, tuned job table.
+    max_jobs = int((-(-n // group) * 1.5 + 128) // 32 * 32)
+    data = MpmData(
+        base.params, base.state.particles, base.state.models,
+        base.bodies_desc, 1.0, grid=base.config.grid,
+        transfer="pallas", group=group, max_jobs=max_jobs,
+    )
     print(
         f"bench scene: {n} particles, grid {data.config.grid.shape}, "
         f"{substeps} substeps/frame, device={jax.devices()[0]}",

@@ -150,3 +150,29 @@ def test_free_fall_exact():
     np.testing.assert_allclose(v[:, 0], 0.0, atol=1e-5)
     f = np.asarray(state.particles.def_grad)
     np.testing.assert_allclose(f, np.broadcast_to(np.eye(2), f.shape), atol=1e-5)
+
+
+def test_fracture_phase_flip():
+    """Particles stretched beyond max_stretch lose phase (fracture,
+    particle_update.wgsl:96-115) and start taking the plastic branch."""
+    import jax.numpy as jnp
+
+    h = 0.1
+    pos = _block2d(h, n=4)
+    m = ElasticCoefficients.from_young_modulus(1e5, 0.3)
+    grid = GridConfig(shape=(32, 32), cell_width=h, origin_cell=(-8, -8))
+    cfg = MpmConfig(grid=grid)
+    state = _make_state(
+        pos, np.zeros_like(pos), m.lam, m.mu, h, phase=1.0, max_stretch=1.2
+    )
+    # Pre-stretch half the particles beyond the limit.
+    f = np.tile(np.eye(2, dtype=np.float32), (len(pos), 1, 1))
+    f[: len(pos) // 2, 0, 0] = 1.5
+    state = state.replace(
+        particles=state.particles.replace(def_grad=jnp.asarray(f))
+    )
+    params = SimulationParams.new(dt=1e-3, gravity=[0.0, 0.0])
+    out = jax.jit(substep, static_argnums=2)(state, params, cfg)
+    phase = np.asarray(out.models.phase)
+    assert (phase[: len(pos) // 2] == 0.0).all(), "overstretched must fracture"
+    assert (phase[len(pos) // 2:] == 1.0).all(), "others keep phase"
