@@ -84,7 +84,7 @@ def _inv4_solve_ch(a, b):
 
 
 def _pcdf_kernel(
-    starts, lens, bcells,
+    starts, lens, bcx, bcy, bcz,
     pdata_ref, ntile_ref,
     out_hbm,
     pd_big, res_big, outbuf, sem, sem_rd, sem_out,
@@ -93,7 +93,7 @@ def _pcdf_kernel(
     j = pl.program_id(0)
     start = starts[j]
     length = lens[j]
-    bcell = jnp.stack([bcells[j, 0], bcells[j, 1], bcells[j, 2]])
+    bcell = jnp.stack([bcx[j], bcy[j], bcz[j]])
     gl = group + 128
     maxj = pl.num_programs(0)
 
@@ -229,7 +229,7 @@ def pcdf_rows(pdata, ntiles, jobs, bcells, cfg: GridConfig, group: int,
     )
     gl = group + 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -252,4 +252,5 @@ def pcdf_rows(pdata, ntiles, jobs, bcells, cfg: GridConfig, group: int,
         out_shape=jax.ShapeDtypeStruct((8, npad + group + 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
-    )(jobs["start"], jobs["len"], bcells, pdata, ntiles)
+    )(jobs["start"], jobs["len"], bcells[:, 0], bcells[:, 1],
+      bcells[:, 2], pdata, ntiles)

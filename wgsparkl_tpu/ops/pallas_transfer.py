@@ -178,7 +178,7 @@ def _load_pdata_db(pdata_ref, pd_big, sem, starts, j, group, maxj):
 
 
 def _p2g_kernel(
-    starts, lens, bcells,
+    starts, lens, bcx, bcy, bcz,
     pdata_ref, itile_ref, ftile_ref, comtbl_ref,
     out_ref, imp_ref,
     pd_big, sem,
@@ -186,7 +186,7 @@ def _p2g_kernel(
 ):
     j = pl.program_id(0)
     length = lens[j]
-    bcell = jnp.stack([bcells[j, 0], bcells[j, 1], bcells[j, 2]])
+    bcell = jnp.stack([bcx[j], bcy[j], bcz[j]])
     maxj = pl.num_programs(0)
     pd = _load_pdata_db(pdata_ref, pd_big, sem, starts, j, group, maxj)
 
@@ -286,7 +286,7 @@ def p2g_tiles(pdata, itiles, ftiles, comtbl, jobs, bcells, cfg: GridConfig,
         _p2g_kernel, group=group, cell_width=cfg.cell_width, nc=nc
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -316,11 +316,12 @@ def p2g_tiles(pdata, itiles, ftiles, comtbl, jobs, bcells, cfg: GridConfig,
             jax.ShapeDtypeStruct((maxj, 8, 128), jnp.float32),
         ),
         interpret=_interpret(),
-    )(jobs["start"], jobs["len"], bcells, pdata, itiles, ftiles, comtbl)
+    )(jobs["start"], jobs["len"], bcells[:, 0], bcells[:, 1],
+      bcells[:, 2], pdata, itiles, ftiles, comtbl)
 
 
 def _g2p_kernel(
-    starts, lens, bcells,
+    starts, lens, bcx, bcy, bcz,
     pdata_ref, ftile_ref, itile_ref,
     out_hbm,
     pd_big, res_big, outbuf, sem, sem_rd, sem_out,
@@ -329,7 +330,7 @@ def _g2p_kernel(
     j = pl.program_id(0)
     start = starts[j]
     length = lens[j]
-    bcell = jnp.stack([bcells[j, 0], bcells[j, 1], bcells[j, 2]])
+    bcell = jnp.stack([bcx[j], bcy[j], bcz[j]])
     gl = group + 128
     maxj = pl.num_programs(0)
 
@@ -417,7 +418,7 @@ def g2p_rows(pdata, ftiles, itiles, jobs, bcells, cfg: GridConfig,
     )
     gl = group + 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -442,4 +443,5 @@ def g2p_rows(pdata, ftiles, itiles, jobs, bcells, cfg: GridConfig,
         out_shape=jax.ShapeDtypeStruct((16, npad + group + 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
-    )(jobs["start"], jobs["len"], bcells, pdata, ftiles, itiles)
+    )(jobs["start"], jobs["len"], bcells[:, 0], bcells[:, 1],
+      bcells[:, 2], pdata, ftiles, itiles)
