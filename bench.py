@@ -53,16 +53,21 @@ def main():
         lambda s, p: step(s, p, cfg, num_substeps=substeps)
     )
 
+    def sync(st):
+        # Force a real device->host readback: through the axon tunnel,
+        # block_until_ready alone can return before execution drains.
+        return float(np.asarray(st.particles.pos[0, 0]))
+
     t0 = time.time()
     state = stepper(data.state, data.params)
-    jax.block_until_ready(state)
+    sync(state)
     compile_s = time.time() - t0
     print(f"compile+first frame: {compile_s:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     for _ in range(frames):
         state = stepper(state, data.params)
-    jax.block_until_ready(state)
+    sync(state)
     elapsed = time.time() - t0
 
     total_steps = frames * substeps

@@ -48,6 +48,19 @@ AFF = 16     # uint32 affinity bits, bitcast to f32
 NX, NY, NZ = 17, 18, 19  # particle CDF normal
 NCHAN = 24
 
+# Extended packed-state rows (sorted as ONE [N, PCHAN] row gather; rows
+# 0..NCHAN-1 are the kernel pdata layout above, the rest carry the
+# particle-update / model channels through the per-substep sort).
+R_LAM, R_MU = 24, 25
+R_DP0 = 26          # h0 h1 h2 h3 lam mu (6 rows)
+R_DPS0 = 32         # det hardening log_vol_gain (3 rows)
+R_PHASE, R_STRETCH = 35, 36
+R_F0 = 37           # F00..F22 (9 rows)
+R_VOL, R_RAD, R_IDS = 46, 47, 48
+PCHAN = 56          # padded to a multiple of 8 sublanes
+DP_KEYS = ("h0", "h1", "h2", "h3", "lam", "mu")
+DPS_KEYS = ("det", "hardening", "log_vol_gain")
+
 WVOL = 216   # 6^3 window
 WPAD = 224   # sublane-padded window rows (multiple of 8)
 
@@ -74,6 +87,64 @@ def pack_channels(pos, vel, mass, affine, aff, normal, npad: int):
     rows += [jnp.zeros_like(mass)] * (NCHAN - len(rows))
     pd = jnp.stack(rows, axis=0)
     return jnp.pad(pd, ((0, 0), (0, npad - n)))
+
+
+def pack_state_cols(particles, models):
+    """Full per-particle state -> [N, PCHAN] column matrix.
+
+    ONE row-gather by the sort permutation then replaces ~40 per-leaf
+    gathers (XLA TPU gathers serialize per index; 224-byte row slices beat
+    4-byte elements ~50x).  Columns 0..NCHAN-1 are the kernel pdata layout.
+    """
+    n = particles.count
+    z = jnp.zeros((n,), jnp.float32)
+    cols = [
+        particles.pos[:, 0], particles.pos[:, 1], particles.pos[:, 2],
+        particles.vel[:, 0], particles.vel[:, 1], particles.vel[:, 2],
+        particles.mass,
+    ]
+    a = particles.affine.reshape(n, 9)
+    cols += [a[:, k] for k in range(9)]
+    cols += [
+        jax.lax.bitcast_convert_type(particles.cdf_affinity, jnp.float32),
+        z, z, z,                      # normals: rebuilt by the pcdf kernel
+        z, z, z, z,                   # pad to NCHAN
+        models.lam, models.mu,
+    ]
+    cols += [models.dp[k] for k in DP_KEYS]
+    cols += [models.dp_state[k] for k in DPS_KEYS]
+    cols += [models.phase, models.max_stretch]
+    f = particles.def_grad.reshape(n, 9)
+    cols += [f[:, k] for k in range(9)]
+    cols += [
+        particles.init_volume, particles.init_radius,
+        particles.ids.astype(jnp.float32),
+    ]
+    cols += [z] * (PCHAN - len(cols))
+    return jnp.stack(cols, axis=-1)
+
+
+def unpack_state_rows(rows, particles, models):
+    """[PCHAN, N] sorted channel rows -> (particles, models) pytrees."""
+    n = particles.count
+    pos = rows[0:3, :].T
+    vel = rows[3:6, :].T
+    mass = rows[PM]
+    affine = rows[A0 : A0 + 9, :].T.reshape(n, 3, 3)
+    aff = jax.lax.bitcast_convert_type(rows[AFF], jnp.uint32)
+    new_p = particles.replace(
+        pos=pos, vel=vel, mass=mass, affine=affine, cdf_affinity=aff,
+        def_grad=rows[R_F0 : R_F0 + 9, :].T.reshape(n, 3, 3),
+        init_volume=rows[R_VOL], init_radius=rows[R_RAD],
+        ids=rows[R_IDS].astype(jnp.int32),
+    )
+    new_m = models.replace(
+        lam=rows[R_LAM], mu=rows[R_MU],
+        dp={k: rows[R_DP0 + i] for i, k in enumerate(DP_KEYS)},
+        dp_state={k: rows[R_DPS0 + i] for i, k in enumerate(DPS_KEYS)},
+        phase=rows[R_PHASE], max_stretch=rows[R_STRETCH],
+    )
+    return new_p, new_m
 
 
 def _axis_w(xf, bl):

@@ -317,35 +317,31 @@ def substep_pallas(
 
     # --- sort phase ---
     block_ids, _ = bk.particle_block_ids(particles.pos, grid)
-    # CDF normal/sd/rigid_vel are rebuilt from scratch every substep (or
-    # stay zero when there are no colliders) — no need to drag them through
-    # the sorting network.
-    sort_in = {
-        "pos": particles.pos, "vel": particles.vel,
-        "def_grad": particles.def_grad, "affine": particles.affine,
-        "init_volume": particles.init_volume,
-        "init_radius": particles.init_radius, "mass": particles.mass,
-        "cdf_affinity": particles.cdf_affinity, "ids": particles.ids,
-    }
-    # NOTE: variadic lax.sort over all channels avoids post-sort gathers but
-    # explodes XLA sort compile time (41-operand comparator network); the
-    # (key, iota) sort + tree gather is the right trade.
-    (sort_in, models), sorted_ids, _ = bk.sort_by_block(
-        (sort_in, models), block_ids
-    )
     n = particles.count
+    # Pack the ENTIRE per-particle state into one [N, PCHAN] row matrix and
+    # sort it with a single row gather (40 per-leaf element gathers dominated
+    # the substep at 1M particles).  The sorted transpose doubles as the
+    # kernels' channel-major pdata.  (A variadic lax.sort over all channels
+    # would avoid the gather entirely but explodes XLA compile time.)
+    packed = ptf.pack_state_cols(particles, models)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_ids, perm = jax.lax.sort((block_ids, iota), num_keys=1)
+    packed = packed[perm]
+    npad = -((n + group) // -128) * 128
+    rows_all = jnp.pad(packed.T, ((0, 0), (0, npad - n)))
+    particles, models = ptf.unpack_state_rows(
+        rows_all[:, :n], particles, models
+    )
     zeros3 = jnp.zeros((n, 3), jnp.float32)
     particles = particles.replace(
         cdf_normal=zeros3,
         cdf_rigid_vel=zeros3,
         cdf_signed_distance=jnp.zeros((n,), jnp.float32),
-        **sort_in,
     )
     jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
     # Out-of-grid particles land in the overflow bucket and belong to no job;
     # their kernel output rows are never written and must be masked off.
     in_grid = (sorted_ids < nb_total)[:, None]
-    npad = -((n + group) // -128) * 128
     starts = jnp.where(
         jobs["len"] > 0, jnp.minimum(jobs["start"], npad - group), npad - group
     )
@@ -354,12 +350,9 @@ def substep_pallas(
     bcells = blk_coords * bs + jnp.asarray(grid.origin_cell, jnp.int32)
     nbr = jnp.asarray(bk.neighbor_block_table(nb))
 
-    # Particle channels packed with the PREVIOUS CDF state (the pcdf kernel
-    # needs prev affinity for temporal sign persistence).
-    pdata = ptf.pack_channels(
-        particles.pos, particles.vel, particles.mass, particles.affine,
-        particles.cdf_affinity, particles.cdf_normal, npad,
-    )
+    # Particle channels = rows 0..NCHAN-1 of the sorted state (prev affinity
+    # rides along for the pcdf kernel's temporal sign persistence).
+    pdata = rows_all[: ptf.NCHAN]
 
     # --- CDF phase ---
     if nc > 0:
