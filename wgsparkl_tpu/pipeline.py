@@ -324,9 +324,26 @@ def substep_pallas(
     # kernels' channel-major pdata.  (A variadic lax.sort over all channels
     # would avoid the gather entirely but explodes XLA compile time.)
     packed = ptf.pack_state_cols(particles, models)
-    iota = jnp.arange(n, dtype=jnp.int32)
-    sorted_ids, perm = jax.lax.sort((block_ids, iota), num_keys=1)
-    packed = packed[perm]
+    # Lazy re-sort: particles move << 1 cell/substep, so the block-key order
+    # only breaks every few dozen substeps.  When the keys are still
+    # nondecreasing the current order IS a valid sort — skip the expensive
+    # permutation gather entirely (the reference re-sorts unconditionally
+    # every substep, grid.rs:30-206).
+    still_sorted = jnp.all(block_ids[1:] >= block_ids[:-1])
+
+    def keep(args):
+        pk, bids = args
+        return pk, bids
+
+    def resort(args):
+        pk, bids = args
+        iota = jnp.arange(n, dtype=jnp.int32)
+        sids, perm = jax.lax.sort((bids, iota), num_keys=1)
+        return pk[perm], sids
+
+    packed, sorted_ids = jax.lax.cond(
+        still_sorted, keep, resort, (packed, block_ids)
+    )
     npad = -((n + group) // -128) * 128
     rows_all = jnp.pad(packed.T, ((0, 0), (0, npad - n)))
     particles, models = ptf.unpack_state_rows(
