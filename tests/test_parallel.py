@@ -55,3 +55,23 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(a.particles.pos), np.asarray(b.particles.pos), atol=1e-7
     )
+
+
+def test_health_diagnostics():
+    from wgsparkl_tpu.utils import diagnostics
+
+    data = scenes.sand_box_3d(nxz=4, ny=8, cell_width=1.0)
+    rep = diagnostics.check(data)
+    assert rep.ok and rep.out_of_grid == 0 and rep.non_finite == 0
+
+    # Blocked config with absurdly small job capacity must flag overflow.
+    from wgsparkl_tpu.pipeline import MpmData
+
+    data2 = MpmData(
+        data.params, data.state.particles, data.state.models,
+        data.bodies_desc, 1.0, grid=data.config.grid,
+        transfer="blocked", group=64, max_jobs=1, job_chunk=1,
+    )
+    rep2 = diagnostics.check(data2)
+    assert rep2.job_overflow and not rep2.ok
+    assert "OVERFLOW" in rep2.summary()

@@ -1,4 +1,4 @@
 from wgsparkl_tpu.utils.timing import Timestamps, time_passes
-from wgsparkl_tpu.utils import checkpoint
+from wgsparkl_tpu.utils import checkpoint, diagnostics
 
-__all__ = ["Timestamps", "time_passes", "checkpoint"]
+__all__ = ["Timestamps", "time_passes", "checkpoint", "diagnostics"]
