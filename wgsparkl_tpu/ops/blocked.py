@@ -160,12 +160,14 @@ def build_jobs(sorted_ids, nb_total: int, group: int, max_jobs: int):
     len 0.
     """
     n = sorted_ids.shape[0]
-    counts = jax.ops.segment_sum(
-        jnp.ones_like(sorted_ids), sorted_ids, num_segments=nb_total + 1
-    )[:nb_total]
-    first = jnp.concatenate(
-        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
+    # Keys are sorted: per-block ranges come from binary search (log2(N)
+    # vectorized rounds) instead of a 1M-element scatter-add.
+    edges = jnp.searchsorted(
+        sorted_ids, jnp.arange(nb_total + 1, dtype=sorted_ids.dtype),
+        side="left",
     )
+    first = edges[:nb_total]
+    counts = edges[1:] - first
     jobs_per_block = (counts + (group - 1)) // group
     cum_jobs = jnp.cumsum(jobs_per_block)
     total_jobs = cum_jobs[-1] if nb_total > 0 else 0
