@@ -167,13 +167,27 @@ def particle_update_channels(ch, models, params, grid_cfg, elastic_model="corota
         for j in range(3)
     }
 
-    # Fracture check (sigma only — no U/V build).
+    # Fracture check (sigma only — no U/V build).  Signed convention: the
+    # smallest singular value carries sign(det F), matching the dense path
+    # and the reference SVD (math/svd.py).  With max_stretch > 0 this is
+    # equivalent to checking the largest sigma, but keep the signed form so
+    # the channel and dense paths agree bit-for-bit on inverted elements.
     check = (models.phase > 0.0) & (models.max_stretch > 0.0)
     sig = eig33_sigma_ch(new_f)
+    detf = (
+        new_f[(0, 0)]
+        * (new_f[(1, 1)] * new_f[(2, 2)] - new_f[(1, 2)] * new_f[(2, 1)])
+        - new_f[(0, 1)]
+        * (new_f[(1, 0)] * new_f[(2, 2)] - new_f[(1, 2)] * new_f[(2, 0)])
+        + new_f[(0, 2)]
+        * (new_f[(1, 0)] * new_f[(2, 1)] - new_f[(1, 1)] * new_f[(2, 0)])
+    )
+    smin = jnp.minimum(jnp.minimum(sig[0], sig[1]), sig[2])
+    sgn = jnp.where(detf < 0.0, -1.0, 1.0)
     over = (
-        (sig[0] > models.max_stretch)
-        | (sig[1] > models.max_stretch)
-        | (sig[2] > models.max_stretch)
+        (sig[0] * jnp.where(sig[0] == smin, sgn, 1.0) > models.max_stretch)
+        | (sig[1] * jnp.where(sig[1] == smin, sgn, 1.0) > models.max_stretch)
+        | (sig[2] * jnp.where(sig[2] == smin, sgn, 1.0) > models.max_stretch)
     )
     new_phase = jnp.where(check & over, 0.0, models.phase)
 

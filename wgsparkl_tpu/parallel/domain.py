@@ -32,6 +32,9 @@ def state_specs(state: SimState, axis: str = "dp") -> SimState:
         particles=jax.tree.map(shard_leading, state.particles),
         models=jax.tree.map(shard_leading, state.models),
         bodies=jax.tree.map(lambda x: P(), state.bodies),
+        # Mesh-collider buffers (trimesh/polyline samples) are replicated;
+        # tree.map over None stays None for scenes without meshes.
+        meshes=jax.tree.map(lambda x: P(), state.meshes),
     )
 
 

@@ -50,6 +50,11 @@ class SimState:
     meshes: object = None  # Optional[ops.rigid_cdf.MeshColliders]
 
 
+# Coupling modes (BodyCouplingEntry parity, pipeline.rs:107-168).
+COUPLING_ONE_WAY = 1
+COUPLING_TWO_WAY = 2
+
+
 @dataclasses.dataclass(frozen=True)
 class MpmConfig:
     """Static configuration (hashable; a jit static argument).
@@ -57,10 +62,16 @@ class MpmConfig:
     transfer: 'dense' (scatter/gather reference path) or 'blocked' (sorted
     block-tiled MXU path, ops/blocked*.py — the fast path on TPU).
     group/job_chunk/max_jobs: blocked-path job sizing (see ops/blocked.py).
+    dynamic_slots: body slots integrated dynamically (contact-resolved
+    against static/kinematic colliders each substep).
+    coupling: per-slot COUPLING_ONE_WAY / COUPLING_TWO_WAY (empty = all
+    two-way, the reference's MpmData::new default, pipeline.rs:107-117).
     """
 
     grid: GridConfig
     collider_types: Tuple[int, ...] = ()
+    dynamic_slots: Tuple[int, ...] = ()
+    coupling: Tuple[int, ...] = ()
     elastic_model: str = "corotated"
     transfer: str = "dense"
     group: int = 256
@@ -140,7 +151,7 @@ def substep(
         particles, models, params, cfg.grid, cfg.elastic_model
     )
     # 11. Rigid impulses + body integration.
-    bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg.grid)
+    bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
 
     return SimState(particles=particles, models=models, bodies=bodies, meshes=state.meshes)
 
@@ -283,7 +294,7 @@ def substep_blocked(
     particles, models = particle_update(
         particles, models, params, grid, cfg.elastic_model
     )
-    bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, grid)
+    bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
     return SimState(particles=particles, models=models, bodies=bodies, meshes=state.meshes)
 
 
@@ -358,7 +369,15 @@ def substep_pallas(
     jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
     # Out-of-grid particles land in the overflow bucket and belong to no job;
     # their kernel output rows are never written and must be masked off.
-    in_grid = (sorted_ids < nb_total)[:, None]
+    # Likewise, on job-table overflow (jobs_needed > max_jobs) the dropped
+    # jobs' particles would read uninitialized kernel output — mask every
+    # sorted rank past the last live job's end (live jobs cover a contiguous
+    # rank prefix).  diagnostics.check reports the overflow itself.
+    covered_end = jnp.max(
+        jnp.where(jobs["len"] > 0, jobs["start"] + jobs["len"], 0)
+    )
+    rank = jnp.arange(n, dtype=jnp.int32)
+    in_grid = ((sorted_ids < nb_total) & (rank < covered_end))[:, None]
     starts = jnp.where(
         jobs["len"] > 0, jnp.minimum(jobs["start"], npad - group), npad - group
     )
@@ -549,15 +568,34 @@ def substep_pallas(
         ),
         cdf_rigid_vel=jnp.stack(rv_ch, axis=-1),
     )
-    bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, grid)
+    bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
     return SimState(particles=particles, models=models, bodies=bodies,
                     meshes=state.meshes)
 
 
-def rigid_bodies_update(bodies, lin_imp, ang_imp, params, grid_cfg):
+def rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg):
     """Apply accumulated CPIC impulses, cap velocities, integrate poses,
-    apply gravity to dynamic bodies (rigid_impulses.wgsl:94-137)."""
+    apply gravity to dynamic bodies (rigid_impulses.wgsl:94-137), then
+    resolve body-body contacts against static/kinematic colliders
+    (rapier's role in the reference testbed, step.rs:201-217).
+
+    cfg: MpmConfig (GridConfig also accepted for grid-only callers such as
+    utils/timing.py; contacts/coupling are skipped then).
+    """
+    grid_cfg = cfg.grid if isinstance(cfg, MpmConfig) else cfg
     dt = params.dt
+
+    # Coupling-mode mask (MpmData::with_select_coupling parity,
+    # pipeline.rs:130-168): one-way bodies see the sand (CDF/ghost velocity)
+    # but receive no impulses from it.
+    if isinstance(cfg, MpmConfig) and cfg.coupling:
+        mask = jnp.asarray(
+            [1.0 if m == COUPLING_TWO_WAY else 0.0 for m in cfg.coupling],
+            jnp.float32,
+        )[:, None]
+        lin_imp = lin_imp * mask
+        ang_imp = ang_imp * mask
+
     new_lin, new_ang = body_mod.apply_impulse(bodies, lin_imp, ang_imp)
 
     imp_nonzero = (jnp.linalg.norm(lin_imp, axis=-1) != 0.0) | (
@@ -583,6 +621,22 @@ def rigid_bodies_update(bodies, lin_imp, ang_imp, params, grid_cfg):
     # Gravity only moves bodies with nonzero inverse mass (per-axis mask).
     mass_mask = (bodies.inv_mass != 0.0).astype(new_lin.dtype)
     new_lin = new_lin + params.gravity[None, :] * mass_mask * dt
+
+    # Body-body contacts (dynamic vs static/kinematic colliders).
+    if isinstance(cfg, MpmConfig) and cfg.dynamic_slots:
+        from wgsparkl_tpu.rigid import contacts as contacts_mod
+
+        new_lin, new_ang = contacts_mod.resolve_contacts(
+            body_mod.update_world_mass_properties(
+                bodies.replace(rot=new_rot, pos=new_pos)
+            ),
+            cfg.collider_types,
+            cfg.dynamic_slots,
+            new_lin,
+            new_ang,
+            dt,
+            slop=0.05 * grid_cfg.cell_width,
+        )
 
     return bodies.replace(rot=new_rot, pos=new_pos, linvel=new_lin, angvel=new_ang)
 
@@ -701,7 +755,13 @@ class MpmData:
         group: int = 256,
         job_chunk: int = 32,
         max_jobs: int = 0,
+        coupling: Optional[Sequence[int]] = None,
+        body_contacts: bool = True,
     ):
+        """coupling: per-body COUPLING_ONE_WAY / COUPLING_TWO_WAY list
+        (with_select_coupling parity, pipeline.rs:130-168); default = all
+        two-way.  body_contacts: resolve dynamic bodies against
+        static/kinematic colliders (rapier's role, step.rs:201-217)."""
         dim = particles.dim
         if grid is None:
             if grid_bounds is not None:
@@ -764,9 +824,20 @@ class MpmData:
             if sample_max_jobs % sample_chunk:
                 sample_max_jobs += sample_chunk - sample_max_jobs % sample_chunk
 
+        dynamic_slots = tuple(
+            i for i, b in enumerate(bodies) if b.body_type == "dynamic"
+        )
+        if coupling is None:
+            coupling_t = tuple(COUPLING_TWO_WAY for _ in bodies)
+        else:
+            coupling_t = tuple(int(c) for c in coupling)
+            assert len(coupling_t) == len(bodies)
+
         self.config = MpmConfig(
             grid=grid,
             collider_types=collider_types,
+            dynamic_slots=dynamic_slots if body_contacts else (),
+            coupling=coupling_t,
             elastic_model=elastic_model,
             transfer=transfer,
             group=group,

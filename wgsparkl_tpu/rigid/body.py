@@ -7,9 +7,9 @@ rigid_impulses.wgsl:94-150).  Bodies are SoA over a fixed slot count
 (<= 16, the CPIC affinity bitmask cap); static colliders are bodies with
 inv_mass = 0, kinematic bodies have inv_mass = 0 but nonzero velocity.
 
-Body-body contacts are out of scope here, as in the reference (rapier runs
-them on CPU, src_testbed/step.rs:201-217); see pipeline.RapierData for the
-host-side analogue.
+Body-body contact resolution (rapier's job in the reference testbed,
+src_testbed/step.rs:201-217) lives in rigid/contacts.py and is applied by
+pipeline.rigid_bodies_update after impulse integration.
 """
 
 from __future__ import annotations

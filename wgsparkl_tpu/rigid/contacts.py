@@ -1,0 +1,182 @@
+"""Minimal body-body contact resolution (dynamic vs static/kinematic).
+
+In the reference, dynamic rigid bodies rest on floors and hit other colliders
+through rapier's CPU contact solver, stepped once per frame
+(/root/reference/src_testbed/step.rs:201-217).  This module is the TPU-native
+stand-in: velocity-level sequential impulses with Coulomb friction and a
+Baumgarte positional bias, resolved for each *dynamic* body against every
+static/kinematic analytic collider.  That covers the scene-level behavior the
+demos need (sand2's falling plates come to rest on the ground instead of
+tunnelling); it is not a general rigid-body engine (no dynamic-dynamic pairs,
+no joints) — matching the scope the reference outsources to rapier.
+
+Contact generation is shape-aware but deliberately simple:
+  * dynamic cuboid: its 2^d corners tested against the other collider;
+  * dynamic ball: deepest point toward the other collider's boundary;
+  * dynamic capsule: its two cap centers treated as balls.
+All static control flow (which slots are dynamic, shape types) is unrolled in
+Python so XLA sees straight-line code; everything else is branch-free.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from wgsparkl_tpu.collision import shapes as shp
+from wgsparkl_tpu.math import pose as pose_math
+
+CONTACT_BETA = 0.2      # Baumgarte positional-correction factor
+CONTACT_FRICTION = 0.4
+
+
+def _corner_offsets(dim: int) -> np.ndarray:
+    """[2^d, d] unit corner signs of a cuboid."""
+    corners = np.stack(
+        np.meshgrid(*([np.array([-1.0, 1.0])] * dim), indexing="ij"), -1
+    ).reshape(-1, dim)
+    return corners.astype(np.float32)
+
+
+def _ball_contacts(centers, radius, project):
+    """Sphere-sample contacts: centers [K, d] of radius `radius` vs collider."""
+    dpt, inside = project(centers)
+    dist = jnp.linalg.norm(dpt, axis=-1)
+    safe = jnp.maximum(dist, 1e-12)
+    dirn = dpt / safe[..., None]
+    # Outside: push-out normal points from the boundary back to the center;
+    # inside: keep pushing through the boundary along dpt.
+    normal = jnp.where(inside[..., None], dirn, -dirn)
+    depth = jnp.where(inside, radius + dist, radius - dist)
+    point = centers + dpt  # closest boundary point of c
+    return point, normal, depth
+
+
+def _point_contacts(points, project):
+    """Point-sample contacts (cuboid corners): contact only when inside."""
+    dpt, inside = project(points)
+    dist = jnp.linalg.norm(dpt, axis=-1)
+    safe = jnp.maximum(dist, 1e-12)
+    normal = dpt / safe[..., None]
+    depth = jnp.where(inside, dist, -1.0)
+    return points, normal, depth
+
+
+def _cross(dim, a, b):
+    if dim == 3:
+        return jnp.cross(a, b)
+    # 2D: scalar cross returned as [..., 1]
+    return (a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0])[..., None]
+
+
+def _ang_vel_at(dim, angvel, rel):
+    if dim == 3:
+        return jnp.cross(angvel, rel)
+    omega = angvel[..., 0]
+    return jnp.stack([-omega * rel[..., 1], omega * rel[..., 0]], axis=-1)
+
+
+def resolve_contacts(
+    bodies,
+    collider_types: Tuple[int, ...],
+    dynamic_slots: Tuple[int, ...],
+    linvel,
+    angvel,
+    dt,
+    slop: float,
+    friction: float = CONTACT_FRICTION,
+):
+    """Sequential-impulse contact pass.  Returns updated (linvel, angvel).
+
+    bodies: RigidWorld with fresh world_com / inv_inertia_world;
+    linvel/angvel: the post-MPM-impulse, post-gravity velocities to correct;
+    slop: penetration tolerance (in world units) before the positional bias
+    engages — pass a fraction of the grid cell width.
+    """
+    dim = bodies.dim
+    analytic = set(shp._ANALYTIC)
+
+    for b in dynamic_slots:
+        bt = collider_types[b]
+        for c, ct in enumerate(collider_types):
+            if c == b or c in dynamic_slots or ct not in analytic:
+                continue
+
+            # ---- contact candidates of b against c ----
+            if bt == shp.SHAPE_CUBOID:
+                he = bodies.shape_params[b, :dim]
+                local = jnp.asarray(_corner_offsets(dim)) * he[None, :]
+                pts = pose_math.transform_point(
+                    bodies.rot[b][None], bodies.pos[b][None], local
+                )
+                proj = lambda p: shp.project_on_boundary(
+                    ct, bodies.shape_params[c], bodies.rot[c], bodies.pos[c], p
+                )
+                points, normals, depths = _point_contacts(pts, proj)
+            elif bt in (shp.SHAPE_BALL, shp.SHAPE_CAPSULE):
+                if bt == shp.SHAPE_BALL:
+                    radius = bodies.shape_params[b, 0]
+                    centers = bodies.world_com[b][None, :]
+                else:
+                    hh, radius = (
+                        bodies.shape_params[b, 0],
+                        bodies.shape_params[b, 1],
+                    )
+                    axis_local = jnp.zeros((2, dim), jnp.float32)
+                    axis_local = axis_local.at[0, 1].set(hh).at[1, 1].set(-hh)
+                    centers = pose_math.transform_point(
+                        bodies.rot[b][None], bodies.pos[b][None], axis_local
+                    )
+                proj = lambda p: shp.project_on_boundary(
+                    ct, bodies.shape_params[c], bodies.rot[c], bodies.pos[c], p
+                )
+                points, normals, depths = _ball_contacts(centers, radius, proj)
+            else:
+                continue  # mesh-shaped dynamic bodies: not supported
+
+            # ---- sequential impulses over this pair's contact points ----
+            k_pts = points.shape[0]
+            for k in range(k_pts):
+                p, n, depth = points[k], normals[k], depths[k]
+                active = depth > 0.0
+
+                r = p - bodies.world_com[b]
+                v_b = linvel[b] + _ang_vel_at(dim, angvel[b], r)
+                # c is static/kinematic: its velocity field is prescribed.
+                rel_c = p - bodies.world_com[c]
+                v_c = bodies.linvel[c] + _ang_vel_at(dim, bodies.angvel[c], rel_c)
+                v_rel = v_b - v_c
+                vn = jnp.dot(v_rel, n)
+
+                rxn = _cross(dim, r, n)
+                inv_i = bodies.inv_inertia_world[b]
+                k_n = jnp.sum(n * n * bodies.inv_mass[b]) + jnp.dot(
+                    rxn, inv_i @ rxn
+                )
+                bias = CONTACT_BETA * jnp.maximum(depth - slop, 0.0) / dt
+                jn = jnp.maximum((-vn + bias) / jnp.maximum(k_n, 1e-12), 0.0)
+                jn = jnp.where(active, jn, 0.0)
+
+                linvel = linvel.at[b].add(jn * n * bodies.inv_mass[b])
+                angvel = angvel.at[b].add(inv_i @ (rxn * jn))
+
+                # Coulomb friction against the updated normal state.
+                v_b = linvel[b] + _ang_vel_at(dim, angvel[b], r)
+                v_rel = v_b - v_c
+                vt = v_rel - jnp.dot(v_rel, n) * n
+                vt_len = jnp.linalg.norm(vt)
+                t_hat = vt / jnp.maximum(vt_len, 1e-12)
+                rxt = _cross(dim, r, t_hat)
+                k_t = jnp.sum(t_hat * t_hat * bodies.inv_mass[b]) + jnp.dot(
+                    rxt, inv_i @ rxt
+                )
+                jt = jnp.clip(
+                    vt_len / jnp.maximum(k_t, 1e-12), 0.0, friction * jn
+                )
+                jt = jnp.where(active & (vt_len > 1e-9), jt, 0.0)
+                linvel = linvel.at[b].add(-jt * t_hat * bodies.inv_mass[b])
+                angvel = angvel.at[b].add(inv_i @ (rxt * -jt))
+
+    return linvel, angvel
