@@ -1,0 +1,50 @@
+"""Banded lane-permutation op (ops/permute.py): exactness for near-sorted,
+adversarial, and overflow permutations (kernel runs in interpret mode on CPU).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from wgsparkl_tpu.ops.permute import CHUNK, permute_lanes
+
+
+def _check(perm, c0=56, emax=64):
+    npad = perm.shape[0]
+    rng = np.random.default_rng(npad + c0)
+    rows = jnp.asarray(rng.normal(size=(c0, npad)).astype(np.float32))
+    out = np.asarray(permute_lanes(rows, jnp.asarray(perm), emax=emax))
+    ref = np.asarray(rows)[:, perm]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_identity():
+    _check(np.arange(2 * CHUNK, dtype=np.int32))
+
+
+def test_near_sorted_with_far_movers():
+    n = 4 * CHUNK
+    rng = np.random.default_rng(0)
+    # local jitter within the band
+    keys = np.arange(n) + rng.integers(-40, 40, size=n)
+    perm = np.argsort(keys, kind="stable").astype(np.int32)
+    # a handful of far movers (swap distant elements)
+    for a, b in [(3, n - 7), (CHUNK + 5, 3 * CHUNK + 9), (0, n - 1)]:
+        perm[[a, b]] = perm[[b, a]]
+    _check(perm)
+
+
+def test_reverse_triggers_fallback():
+    n = 2 * CHUNK
+    perm = np.arange(n, dtype=np.int32)[::-1].copy()
+    _check(perm, emax=16)  # way more than 16 far movers -> full-gather path
+
+
+def test_block_sort_like():
+    # realistic: sort keys with ~10% random block changes
+    n = 8 * CHUNK
+    rng = np.random.default_rng(1)
+    keys = np.sort(rng.integers(0, 200, size=n))
+    movers = rng.random(n) < 0.1
+    keys = keys + movers * rng.integers(-2, 3, size=n)
+    perm = np.argsort(keys, kind="stable").astype(np.int32)
+    _check(perm, emax=n // 2)

@@ -25,40 +25,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _rot2(angle):
-    c, s = jnp.cos(angle), jnp.sin(angle)
-    row0 = jnp.stack([c, -s], axis=-1)
-    row1 = jnp.stack([s, c], axis=-1)
-    return jnp.stack([row0, row1], axis=-2)
-
-
-def svd2x2(f):
-    """Closed-form signed SVD of [..., 2, 2] matrices.
-
-    Returns (U, S, Vt): U,V in SO(2), S = [s0, s1] with s0 >= |s1| and
-    sign(s1) = sign(det f).
-    """
-    a, b = f[..., 0, 0], f[..., 0, 1]
-    c, d = f[..., 1, 0], f[..., 1, 1]
-    e_ = (a + d) * 0.5
-    f_ = (a - d) * 0.5
-    g_ = (c + b) * 0.5
-    h_ = (c - b) * 0.5
-    q = jnp.sqrt(e_ * e_ + h_ * h_)
-    r = jnp.sqrt(f_ * f_ + g_ * g_)
-    s0 = q + r
-    s1 = q - r
-    a1 = jnp.arctan2(g_, f_)
-    a2 = jnp.arctan2(h_, e_)
-    beta = (a2 - a1) * 0.5
-    gamma = (a2 + a1) * 0.5
-    u = _rot2(gamma)
-    vt = _rot2(beta)  # F = R(gamma) diag(s) R(beta): R(beta) already is V^T.
-    s = jnp.stack([s0, s1], axis=-1)
-    return u, s, vt
-
-
-# ------------------------------------------------------------------ 3x3 path
 def _givens(app, aqq, apq):
     """Trig-free Givens (c, s) zeroing the (p, q) entry of a symmetric 2x2.
 
@@ -78,6 +44,79 @@ def _givens(app, aqq, apq):
     return c, t * c
 
 
+def svd2x2_ch(fc):
+    """Channel-level trig-free signed SVD of 2x2 matrices.
+
+    fc: dict (i, j) -> [...] channels of F.  Polar decomposition (exact in
+    closed form for 2x2) followed by one trig-free Givens eigen-rotation of
+    the symmetric factor — rsqrt/FMA only, no atan2/sin/cos (CLAUDE.md TPU
+    rule #1; the old arctan2 form made 2D substeps transcendental-bound).
+
+    Returns (uc, sig, vc) like svd3x3_ch: uc[k]/vc[k] = channel entries of
+    the k-th COLUMN of U/V; sig = [s0, s1], s0 >= |s1|,
+    sign(s1) = sign(det F), U/V in SO(2).
+    """
+    a, b = fc[(0, 0)], fc[(0, 1)]
+    c, d = fc[(1, 0)], fc[(1, 1)]
+    det = a * d - b * c
+    sgn = jnp.where(det < 0.0, -1.0, 1.0)
+    # Reflect so det(B) >= 0: B = F @ diag(1, sgn).
+    b01, b11 = b * sgn, d * sgn
+
+    # Polar rotation R of B: [[x, -y], [y, x]] / hypot(x, y).
+    x = a + b11
+    y = c - b01
+    h2 = x * x + y * y
+    ok = h2 > 1e-30
+    inv_h = jnp.where(ok, jax.lax.rsqrt(jnp.maximum(h2, 1e-30)), 0.0)
+    cr = jnp.where(ok, x * inv_h, 1.0)
+    sr = y * inv_h
+
+    # Symmetric factor P = R^T B (PSD up to roundoff).
+    p00 = cr * a + sr * c
+    p01 = cr * b01 + sr * b11
+    p11 = -sr * b01 + cr * b11
+
+    # Trig-free Givens diagonalizing P: V = [[cv, -sv], [sv, cv]].
+    cv, sv = _givens(p00, p11, p01)
+    l0 = cv * cv * p00 + 2.0 * cv * sv * p01 + sv * sv * p11
+    l1 = sv * sv * p00 - 2.0 * cv * sv * p01 + cv * cv * p11
+
+    # Sort descending; the 90-degree rotation keeps V in SO(2).
+    swap = l0 < l1
+    cv, sv = (
+        jnp.where(swap, -sv, cv),
+        jnp.where(swap, cv, sv),
+    )
+    s0 = jnp.where(swap, l1, l0)
+    s1 = jnp.where(swap, l0, l1)
+
+    # U = R V.
+    cu = cr * cv - sr * sv
+    su = sr * cv + cr * sv
+
+    # Undo the reflection: F = U diag(s0, sgn*s1) (diag(1,sgn) V^T diag(1,sgn)).
+    uc = [[cu, su], [-su, cu]]          # columns of U
+    vc = [[cv, sv * sgn], [-sv * sgn, cv]]  # columns of V'
+    sig = [s0, s1 * sgn]
+    return uc, sig, vc
+
+
+def svd2x2(f):
+    """Closed-form signed SVD of [..., 2, 2] matrices (trig-free).
+
+    Returns (U, S, Vt): U,V in SO(2), S = [s0, s1] with s0 >= |s1| and
+    sign(s1) = sign(det f).
+    """
+    fc = {(i, j): f[..., i, j] for i in range(2) for j in range(2)}
+    uc, sig, vc = svd2x2_ch(fc)
+    u = jnp.stack([jnp.stack(col, axis=-1) for col in uc], axis=-1)
+    s = jnp.stack(sig, axis=-1)
+    vt = jnp.stack([jnp.stack(col, axis=-1) for col in vc], axis=-2)
+    return u, s, vt
+
+
+# ------------------------------------------------------------------ 3x3 path
 def _key(i, j):
     return (i, j) if i <= j else (j, i)
 

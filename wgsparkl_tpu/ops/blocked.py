@@ -181,7 +181,11 @@ def build_jobs(sorted_ids, nb_total: int, group: int, max_jobs: int):
     start = first[jb_safe] + rank * group
     length = jnp.clip(counts[jb_safe] - rank * group, 0, group)
     length = jnp.where(live, length, 0)
-    return {"block": jb_safe, "start": start.astype(jnp.int32), "len": length}
+    # Dead jobs route to the ghost/overflow block (nb_total): tile gathers
+    # read the ghost slab and tile scatters land in the discarded ghost row,
+    # so dead jobs cost nothing downstream and kernels can skip them.
+    block = jnp.where(live, jb_safe, nb_total)
+    return {"block": block, "start": start.astype(jnp.int32), "len": length}
 
 
 def _axis_weights(xloc, base_local, wsz: int):
@@ -396,6 +400,203 @@ def gather_tiles_mm(grid_blocks, job_block, nbr_table, dim: int):
                 starts[2] : starts[2] + sizes[2],
             ].set(chunk)
     return tile
+
+
+# --------------------------------------------------------- banded tile moves
+#
+# The plain one-hot matmuls above cost 2 * J * (NB+1) * cols FLOPs — quadratic
+# in scene size (J and NB both grow with the particle count / domain), ~20 ms
+# at 1M particles.  But jobs are SORTED by home block, so a chunk of CJ
+# consecutive jobs touches a narrow band of block ids, and every non-ghost
+# octant neighbor sits at a *static* flat offset (off_o = flat(e), e in
+# {0,1}^d) from the home block.  The banded variants therefore slice ONE
+# [W2, cols] slab of the grid per job chunk (W2 = band + max octant offset)
+# and run the 2^d one-hot matmuls against the slab: cost
+# 2 * J * W2 * cols — linear in J, ~20x cheaper at 1M.
+#
+# Ghost targets (out-of-range neighbors and dead jobs, id == NB) are masked
+# out of the one-hot and patched with the ghost row's value, so results are
+# bit-exact vs the full variants.  Callers must check `bands_ok` (every job
+# chunk's block span fits the static band) and fall back to the full
+# variants otherwise (lax.cond) — sparse scenes can exceed any static band.
+
+
+def octant_flat_offsets(nb: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Static flat-id offset of each {0,1}^d neighbor (row-major layout)."""
+    d = len(nb)
+    strides = [int(np.prod(nb[a + 1 :])) for a in range(d)]
+    return tuple(
+        int(sum(e[a] * strides[a] for a in range(d)))
+        for e, _, _ in _octant_slices(d)
+    )
+
+
+def band_info(job_block, nb_total: int, band: int, cj: int):
+    """Per-chunk band starts + global validity for the banded tile moves.
+
+    Returns (lo [J//cj] int32 chunk band starts over non-ghost blocks,
+    bands_ok scalar bool: every chunk's non-ghost block span < band).
+    """
+    jb = job_block.reshape(-1, cj)
+    nonghost = jb < nb_total
+    lo = jnp.min(jnp.where(nonghost, jb, nb_total), axis=1)
+    hi = jnp.max(jnp.where(nonghost, jb, -1), axis=1)
+    lo = jnp.where(hi < 0, 0, lo)                 # all-ghost (dead) chunk
+    hi = jnp.maximum(hi, lo)
+    bands_ok = jnp.max(hi - lo) < band
+    return lo.astype(jnp.int32), bands_ok
+
+
+def _octant_targets(jb, nb: Tuple[int, ...], nb_total: int, oi: int,
+                    offs: Tuple[int, ...]):
+    """Flat target/source block for octant oi per job (ghost -> nb_total).
+
+    Pure elementwise arithmetic replacement for nbr_table[jb, oi] (per-index
+    gathers serialize on TPU): tgt = jb + off unless the +1 neighbor runs off
+    the grid on some axis, or the job is dead (jb == nb_total).
+    """
+    d = len(nb)
+    e = _octant_slices(d)[oi][0]
+    strides = [int(np.prod(nb[a + 1 :])) for a in range(d)]
+    ok = jb < nb_total
+    for a in range(d):
+        if e[a]:
+            ok = ok & ((jb // strides[a]) % nb[a] + 1 < nb[a])
+    return jnp.where(ok, jb + offs[oi], nb_total)
+
+
+def _band_geometry(nb: Tuple[int, ...], band: int):
+    nb_total = int(np.prod(nb))
+    offs = octant_flat_offsets(nb)
+    w2 = band + max(offs) + 1
+    w2 = min(-(-w2 // 8) * 8, nb_total + 1)
+    return nb_total, offs, w2
+
+
+def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
+                        dim: int, band: int, cj: int):
+    """Banded gather_tiles_mm (see module notes above); bit-exact when
+    band_info(...)[1] holds."""
+    nb_total, offs, w2 = _band_geometry(nb, band)
+    nb1 = grid_blocks.shape[0]
+    c = grid_blocks.shape[-1]
+    bs = block_size(dim)
+    wsz = window_size(dim)
+    j = job_block.shape[0]
+    flat_grid = grid_blocks.reshape(nb1, -1)
+    ghost_row = flat_grid[nb_total]                               # [bs^d * c]
+    jb_chunks = job_block.reshape(-1, cj)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cj, w2), 1)
+
+    def body(_, args):
+        jb, lo = args
+        s = jnp.clip(lo, 0, nb1 - w2)
+        slab = jax.lax.dynamic_slice(flat_grid, (s, 0), (w2, flat_grid.shape[1]))
+        tile = jnp.zeros((cj,) + (wsz,) * dim + (c,), jnp.float32)
+        for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
+            src = _octant_targets(jb, nb, nb_total, oi, offs)
+            is_ghost = src >= nb_total
+            onehot = ((src[:, None] - s) == lane) & ~is_ghost[:, None]
+            got = jax.lax.dot_general(
+                onehot.astype(jnp.float32), slab, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            got = got + is_ghost[:, None].astype(jnp.float32) * ghost_row[None, :]
+            got = got.reshape((cj,) + (bs,) * dim + (c,))
+            if dim == 2:
+                chunk = got[:, : sizes[0], : sizes[1]]
+                tile = tile.at[
+                    :, starts[0] : starts[0] + sizes[0],
+                    starts[1] : starts[1] + sizes[1],
+                ].set(chunk)
+            else:
+                chunk = got[:, : sizes[0], : sizes[1], : sizes[2]]
+                tile = tile.at[
+                    :, starts[0] : starts[0] + sizes[0],
+                    starts[1] : starts[1] + sizes[1],
+                    starts[2] : starts[2] + sizes[2],
+                ].set(chunk)
+        return _, tile
+
+    _, tiles = jax.lax.scan(body, 0, (jb_chunks, band_lo))
+    return tiles.reshape((j,) + (wsz,) * dim + (c,))
+
+
+def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
+                         nb, dim: int, band: int, cj: int):
+    """Banded scatter_tiles_mm; bit-exact on non-ghost rows when
+    band_info(...)[1] holds.  Ghost-target contributions (out-of-range
+    neighbors, dead jobs) are dropped instead of accumulated in the ghost
+    row — the ghost row is discarded/zero-weight downstream."""
+    nb_total, offs, w2 = _band_geometry(nb, band)
+    nb1 = grid_blocks.shape[0]
+    c = grid_blocks.shape[-1]
+    bs = block_size(dim)
+    flat_grid = grid_blocks.reshape(nb1, -1)
+    cols = flat_grid.shape[1]
+    jb_chunks = job_block.reshape(-1, cj)
+    tile_chunks = tiles.reshape((-1, cj) + tiles.shape[1:])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cj, w2), 1)
+
+    def body(flat_grid, args):
+        jb, lo, tchunk = args
+        s = jnp.clip(lo, 0, nb1 - w2)
+        delta = jnp.zeros((w2, cols), jnp.float32)
+        for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
+            tgt = _octant_targets(jb, nb, nb_total, oi, offs)
+            onehot = ((tgt[:, None] - s) == lane) & (tgt < nb_total)[:, None]
+            if dim == 2:
+                chunk = tchunk[:, starts[0] : starts[0] + sizes[0],
+                               starts[1] : starts[1] + sizes[1]]
+                pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]), (0, 0))
+            else:
+                chunk = tchunk[:, starts[0] : starts[0] + sizes[0],
+                               starts[1] : starts[1] + sizes[1],
+                               starts[2] : starts[2] + sizes[2]]
+                pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]),
+                       (0, bs - sizes[2]), (0, 0))
+            chunk = jnp.pad(chunk, pad).reshape(cj, -1)
+            delta = delta + jax.lax.dot_general(
+                onehot.astype(jnp.float32), chunk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        slab = jax.lax.dynamic_slice(flat_grid, (s, 0), (w2, cols))
+        return (
+            jax.lax.dynamic_update_slice(flat_grid, slab + delta, (s, 0)),
+            None,
+        )
+
+    flat_grid, _ = jax.lax.scan(body, flat_grid, (jb_chunks, band_lo, tile_chunks))
+    return flat_grid.reshape(grid_blocks.shape)
+
+
+def gather_tiles_auto(grid_blocks, job_block, band_lo, bands_ok, nbr_table,
+                      nb, dim: int, band: int, cj: int):
+    """Banded gather when every job chunk's block span fits the static band
+    (the common case — jobs are block-sorted), full one-hot matmul otherwise."""
+    if job_block.shape[0] % cj or band >= int(np.prod(nb)):
+        return gather_tiles_mm(grid_blocks, job_block, nbr_table, dim)
+    return jax.lax.cond(
+        bands_ok,
+        lambda g: gather_tiles_banded(g, job_block, band_lo, nb, dim, band, cj),
+        lambda g: gather_tiles_mm(g, job_block, nbr_table, dim),
+        grid_blocks,
+    )
+
+
+def scatter_tiles_auto(grid_blocks, tiles, job_block, band_lo, bands_ok,
+                       nbr_table, nb, dim: int, band: int, cj: int):
+    """Banded scatter-add with full one-hot matmul fallback (see gather)."""
+    if job_block.shape[0] % cj or band >= int(np.prod(nb)):
+        return scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim)
+    return jax.lax.cond(
+        bands_ok,
+        lambda g, t: scatter_tiles_banded(
+            g, t, job_block, band_lo, nb, dim, band, cj
+        ),
+        lambda g, t: scatter_tiles_mm(g, t, job_block, nbr_table, dim),
+        grid_blocks, tiles,
+    )
 
 
 def window_node_positions(blk_coords, cfg: GridConfig):

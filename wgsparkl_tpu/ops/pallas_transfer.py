@@ -89,12 +89,12 @@ def pack_channels(pos, vel, mass, affine, aff, normal, npad: int):
     return jnp.pad(pd, ((0, 0), (0, npad - n)))
 
 
-def pack_state_cols(particles, models):
-    """Full per-particle state -> [N, PCHAN] column matrix.
+def pack_state_rows(particles, models):
+    """Full per-particle state -> [PCHAN, N] channel-major row matrix.
 
-    ONE row-gather by the sort permutation then replaces ~40 per-leaf
-    gathers (XLA TPU gathers serialize per index; 224-byte row slices beat
-    4-byte elements ~50x).  Columns 0..NCHAN-1 are the kernel pdata layout.
+    ONE banded lane permutation (ops/permute.py) then replaces ~40 per-leaf
+    gathers on re-sort (XLA TPU gathers serialize per index).  Rows
+    0..NCHAN-1 are the kernel pdata layout.
     """
     n = particles.count
     z = jnp.zeros((n,), jnp.float32)
@@ -121,7 +121,7 @@ def pack_state_cols(particles, models):
         particles.ids.astype(jnp.float32),
     ]
     cols += [z] * (PCHAN - len(cols))
-    return jnp.stack(cols, axis=-1)
+    return jnp.stack(cols, axis=0)
 
 
 def unpack_state_rows(rows, particles, models):
@@ -213,10 +213,14 @@ def _ghost_velocity(pd, bv, friction=DEFAULT_FRICTION):
 
 
 
-def _load_pdata_db(pdata_ref, pd_big, sem, starts, j, group, maxj):
+def _load_pdata_db(pdata_ref, pd_big, sem, starts, lens, j, group, maxj):
     """Double-buffered particle-channel load: program j waits on a DMA that
     was started during program j-1 (or at j==0, starts it itself), and
     prefetches program j+1's window so DMA latency hides behind compute.
+
+    Must only be called by LIVE programs (lens[j] > 0); live jobs form a
+    contiguous prefix of the grid, so j-1 is live whenever j is, and the
+    prefetch is skipped when j+1 is dead (no dangling DMA/semaphore).
 
     pd_big: VMEM scratch [2, NCHAN, G+128]; sem: DMA semaphore pair [2].
     Returns the realigned [NCHAN, G] view for program j.
@@ -237,7 +241,9 @@ def _load_pdata_db(pdata_ref, pd_big, sem, starts, j, group, maxj):
     def _():
         dma_for(j, slot).start()
 
-    @pl.when(j + 1 < maxj)
+    nxt = jnp.minimum(j + 1, maxj - 1)
+
+    @pl.when((j + 1 < maxj) & (lens[nxt] > 0))
     def _():
         dma_for(j + 1, nslot).start()
 
@@ -249,7 +255,7 @@ def _load_pdata_db(pdata_ref, pd_big, sem, starts, j, group, maxj):
 
 
 def _p2g_kernel(
-    starts, lens, bcx, bcy, bcz,
+    starts, lens, bcx, bcy, bcz, jbody,
     pdata_ref, itile_ref, ftile_ref, comtbl_ref,
     out_ref, imp_ref,
     pd_big, sem,
@@ -257,107 +263,140 @@ def _p2g_kernel(
 ):
     j = pl.program_id(0)
     length = lens[j]
-    bcell = jnp.stack([bcx[j], bcy[j], bcz[j]])
+    live = length > 0
     maxj = pl.num_programs(0)
-    pd = _load_pdata_db(pdata_ref, pd_big, sem, starts, j, group, maxj)
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
-    valid = (lanes < length).astype(jnp.float32)
-    w = _window_w(pd, bcell, cell_width, valid)
+    # Dead jobs (the tail of the job table) write zero tiles and skip all
+    # DMA/compute: their tiles scatter into the discarded ghost block.
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_ref[0] = jnp.zeros((WPAD, 8), jnp.float32)
+        imp_ref[0] = jnp.zeros((8, 128), jnp.float32)
 
-    if nc > 0:
-        naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)     # [WPAD,1]
-        closest = itile_ref[0][:, 1:2]                              # [WPAD,1]
-        paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)         # [1,G]
-        compat = _compat(naff, paff)                                # [WPAD,G]
-        w_c = jnp.where(compat, w, 0.0)
-    else:
-        w_c = w
+    @pl.when(live)
+    def _():
+        bcell = jnp.stack([bcx[j], bcy[j], bcz[j]])
+        pd = _load_pdata_db(pdata_ref, pd_big, sem, starts, lens, j, group, maxj)
 
-    mass = pd[PM] * valid
-    ap0 = pd[A0 + 0] * pd[PX] + pd[A0 + 1] * pd[PY] + pd[A0 + 2] * pd[PZ]
-    ap1 = pd[A0 + 3] * pd[PX] + pd[A0 + 4] * pd[PY] + pd[A0 + 5] * pd[PZ]
-    ap2 = pd[A0 + 6] * pd[PX] + pd[A0 + 7] * pd[PY] + pd[A0 + 8] * pd[PZ]
-    rows = [
-        mass * pd[VX] - ap0 * valid,
-        mass * pd[VY] - ap1 * valid,
-        mass * pd[VZ] - ap2 * valid,
-        mass,
-    ] + [pd[A0 + k] * valid for k in range(9)] + [jnp.zeros_like(mass)] * 3
-    feats = jnp.stack(rows, axis=0)                                 # [16, G]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
+        valid = (lanes < length).astype(jnp.float32)
+        w = _window_w(pd, bcell, cell_width, valid)
 
-    tile = jax.lax.dot_general(
-        w_c, feats, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                               # [WPAD,16]
+        mass = pd[PM] * valid
+        ap0 = pd[A0 + 0] * pd[PX] + pd[A0 + 1] * pd[PY] + pd[A0 + 2] * pd[PZ]
+        ap1 = pd[A0 + 3] * pd[PX] + pd[A0 + 4] * pd[PY] + pd[A0 + 5] * pd[PZ]
+        ap2 = pd[A0 + 6] * pd[PX] + pd[A0 + 7] * pd[PY] + pd[A0 + 8] * pd[PZ]
+        rows = [
+            mass * pd[VX] - ap0 * valid,
+            mass * pd[VY] - ap1 * valid,
+            mass * pd[VZ] - ap2 * valid,
+            mass,
+        ] + [pd[A0 + k] * valid for k in range(9)] + [jnp.zeros_like(mass)] * 3
+        feats = jnp.stack(rows, axis=0)                             # [16, G]
+        xw = _window_positions(bcell, cell_width)                   # [WPAD,3]
 
-    # In-kernel momentum recombination: mom_i = f_mv_i + (Σ w A) @ x_node
-    # (keeps [J, 216, C] lane-starved elementwise out of XLA).
-    xw = _window_positions(bcell, cell_width)                       # [WPAD,3]
-    mm_cols = []
-    for i in range(3):
-        mom = tile[:, i : i + 1]
-        for k in range(3):
-            mom = mom + tile[:, 4 + 3 * i + k : 5 + 3 * i + k] * xw[:, k : k + 1]
-        mm_cols.append(mom)
-    mm_cols.append(tile[:, 3:4])
-    mm = jnp.concatenate(mm_cols + [jnp.zeros((WPAD, 4), jnp.float32)], axis=1)
-    out_ref[0] = mm                                                 # [WPAD, 8]
+        def write_mm(w_c):
+            tile = jax.lax.dot_general(
+                w_c, feats, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                       # [WPAD,16]
+            # In-kernel momentum recombination:
+            # mom_i = f_mv_i + (Σ w A) @ x_node (keeps [J, 216, C]
+            # lane-starved elementwise out of XLA).
+            mm_cols = []
+            for i in range(3):
+                mom = tile[:, i : i + 1]
+                for k in range(3):
+                    mom = mom + (
+                        tile[:, 4 + 3 * i + k : 5 + 3 * i + k]
+                        * xw[:, k : k + 1]
+                    )
+                mm_cols.append(mom)
+            mm_cols.append(tile[:, 3:4])
+            out_ref[0] = jnp.concatenate(
+                mm_cols + [jnp.zeros((WPAD, 4), jnp.float32)], axis=1
+            )                                                       # [WPAD, 8]
 
-    # CPIC impulses: incompatible pairs against the node's closest body
-    # (p2g.wgsl:200-231), reduced to per-job, per-collider totals in-kernel.
-    imp_out = jnp.zeros((8, 128), jnp.float32)
-    if nc > 0:
-        has_body = closest >= 0
-        w_i = jnp.where(compat | ~has_body, 0.0, w) * mass[None, :]
-        bv = [ftile_ref[0][:, k : k + 1] for k in range(3)]
-        ghost = _ghost_velocity(pd, bv)
-        vp = [pd[VX][None, :], pd[VY][None, :], pd[VZ][None, :]]
-        d = [
-            jnp.sum(w_i * (vp[k] - ghost[k]), axis=1, keepdims=True)
-            for k in range(3)
-        ]                                                           # [WPAD,1]
-        # cross(D_w, x_w) per node (lever arm split: com part added below).
-        cr = [
-            d[1] * xw[:, 2:3] - d[2] * xw[:, 1:2],
-            d[2] * xw[:, 0:1] - d[0] * xw[:, 2:3],
-            d[0] * xw[:, 1:2] - d[1] * xw[:, 0:1],
-        ]
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        cols_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        for b in range(nc):
-            mask = (closest == b).astype(jnp.float32)               # [WPAD,1]
-            db = [jnp.sum(d[k] * mask) for k in range(3)]
-            cb = [jnp.sum(cr[k] * mask) for k in range(3)]
-            comb = [comtbl_ref[k, b] for k in range(3)]
-            ang = [
-                db[1] * comb[2] - db[2] * comb[1] - cb[0],
-                db[2] * comb[0] - db[0] * comb[2] - cb[1],
-                db[0] * comb[1] - db[1] * comb[0] - cb[2],
-            ]
-            vals = db + ang                                          # 6 scalars
-            for r in range(6):
-                imp_out = jnp.where(
-                    (rows_i == r) & (cols_i == b), vals[r], imp_out
-                )
-    imp_ref[0] = imp_out
+        if nc > 0:
+            # Per-job CPIC gate: jobs whose window holds no collider node
+            # (the vast majority away from boundaries) skip the [WPAD, G]
+            # pairwise compat/ghost-velocity work entirely.
+            has_b = jbody[j] > 0
+
+            @pl.when(jnp.logical_not(has_b))
+            def _():
+                write_mm(w)
+                imp_ref[0] = jnp.zeros((8, 128), jnp.float32)
+
+            @pl.when(has_b)
+            def _():
+                naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)
+                closest = itile_ref[0][:, 1:2]                      # [WPAD,1]
+                paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
+                compat = _compat(naff, paff)                        # [WPAD,G]
+                write_mm(jnp.where(compat, w, 0.0))
+
+                # CPIC impulses: incompatible pairs against the node's
+                # closest body (p2g.wgsl:200-231), reduced to per-job,
+                # per-collider totals in-kernel.
+                has_body = closest >= 0
+                w_i = jnp.where(compat | ~has_body, 0.0, w) * mass[None, :]
+                bv = [ftile_ref[0][:, k : k + 1] for k in range(3)]
+                ghost = _ghost_velocity(pd, bv)
+                vp = [pd[VX][None, :], pd[VY][None, :], pd[VZ][None, :]]
+                d = [
+                    jnp.sum(w_i * (vp[k] - ghost[k]), axis=1, keepdims=True)
+                    for k in range(3)
+                ]                                                   # [WPAD,1]
+                # cross(D_w, x_w) per node (lever arm split: com below).
+                cr = [
+                    d[1] * xw[:, 2:3] - d[2] * xw[:, 1:2],
+                    d[2] * xw[:, 0:1] - d[0] * xw[:, 2:3],
+                    d[0] * xw[:, 1:2] - d[1] * xw[:, 0:1],
+                ]
+                rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                cols_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                imp_out = jnp.zeros((8, 128), jnp.float32)
+                for b in range(nc):
+                    mask = (closest == b).astype(jnp.float32)       # [WPAD,1]
+                    db = [jnp.sum(d[k] * mask) for k in range(3)]
+                    cb = [jnp.sum(cr[k] * mask) for k in range(3)]
+                    comb = [comtbl_ref[k, b] for k in range(3)]
+                    ang = [
+                        db[1] * comb[2] - db[2] * comb[1] - cb[0],
+                        db[2] * comb[0] - db[0] * comb[2] - cb[1],
+                        db[0] * comb[1] - db[1] * comb[0] - cb[2],
+                    ]
+                    vals = db + ang                                  # 6 scalars
+                    for r in range(6):
+                        imp_out = jnp.where(
+                            (rows_i == r) & (cols_i == b), vals[r], imp_out
+                        )
+                imp_ref[0] = imp_out
+        else:
+            write_mm(w)
+            imp_ref[0] = jnp.zeros((8, 128), jnp.float32)
 
 
 def p2g_tiles(pdata, itiles, ftiles, comtbl, jobs, bcells, cfg: GridConfig,
-              group: int, nc: int):
+              group: int, nc: int, jbody=None):
     """Per-job P2G outputs.
 
     Returns (mm [MAXJ, WPAD, 8], imp [MAXJ, 8, 128]):
       mm cols 0-2 node momentum, 3 node mass;
       imp rows 0-2 linear / 3-5 angular impulse, lanes = collider slots.
     comtbl: [8, 128] f32 with body world COM at [k, b].
+    jbody: [MAXJ] int32, nonzero for jobs whose window holds collider nodes
+    (gates the per-pair CPIC work; pass None for all-on).
     """
     maxj = jobs["start"].shape[0]
+    if jbody is None:
+        jbody = jnp.ones((maxj,), jnp.int32)
     kernel = functools.partial(
         _p2g_kernel, group=group, cell_width=cfg.cell_width, nc=nc
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -388,11 +427,11 @@ def p2g_tiles(pdata, itiles, ftiles, comtbl, jobs, bcells, cfg: GridConfig,
         ),
         interpret=_interpret(),
     )(jobs["start"], jobs["len"], bcells[:, 0], bcells[:, 1],
-      bcells[:, 2], pdata, itiles, ftiles, comtbl)
+      bcells[:, 2], jbody, pdata, itiles, ftiles, comtbl)
 
 
 def _g2p_kernel(
-    starts, lens, bcx, bcy, bcz,
+    starts, lens, bcx, bcy, bcz, jbody,
     pdata_ref, ftile_ref, itile_ref,
     out_hbm,
     pd_big, res_big, outbuf, sem, sem_rd, sem_out,
@@ -401,95 +440,125 @@ def _g2p_kernel(
     j = pl.program_id(0)
     start = starts[j]
     length = lens[j]
-    bcell = jnp.stack([bcx[j], bcy[j], bcz[j]])
+    live = length > 0
     gl = group + 128
     maxj = pl.num_programs(0)
 
-    astart = (start // 128) * 128
-    off = start - astart
-    # Overlap: read the aligned output window for the RMW merge while the
-    # particle DMA is in flight.
-    dma_rd = pltpu.make_async_copy(
-        out_hbm.at[:, pl.ds(astart, gl)], outbuf, sem_rd
-    )
-    dma_rd.start()
-    pd = _load_pdata_db(pdata_ref, pd_big, sem, starts, j, group, maxj)
+    # Dead jobs skip everything: their output rows are never read (the
+    # pipeline masks sorted ranks past the last live job).
+    @pl.when(live)
+    def _():
+        bcell = jnp.stack([bcx[j], bcy[j], bcz[j]])
+        astart = (start // 128) * 128
+        off = start - astart
+        # Overlap: read the aligned output window for the RMW merge while
+        # the particle DMA is in flight.
+        dma_rd = pltpu.make_async_copy(
+            out_hbm.at[:, pl.ds(astart, gl)], outbuf, sem_rd
+        )
+        dma_rd.start()
+        pd = _load_pdata_db(pdata_ref, pd_big, sem, starts, lens, j, group, maxj)
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
-    valid = (lanes < length).astype(jnp.float32)
-    w = _window_w(pd, bcell, cell_width, valid)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
+        valid = (lanes < length).astype(jnp.float32)
+        w = _window_w(pd, bcell, cell_width, valid)
 
-    xw = _window_positions(bcell, cell_width)                       # [WPAD,3]
-    v = ftile_ref[0][:, 0:3]
-    # v (x) x_node, built column-wise (Mosaic rejects [W,3,3]->[W,9] casts).
-    vx_cols = [
-        v[:, i : i + 1] * xw[:, k : k + 1] for i in range(3) for k in range(3)
-    ]
-    nfeat = jnp.concatenate(
-        [v] + vx_cols + [jnp.zeros((WPAD, 4), jnp.float32)], axis=1
-    )                                                                # [WPAD,16]
-
-    if nc > 0:
-        naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)
-        closest = itile_ref[0][:, 1:2]
-        paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
-        compat = _compat(naff, paff)
-        w_c = jnp.where(compat, w, 0.0)
-        w_i = w - w_c
-    else:
-        w_c = w
-
-    # [16, G] result: rows 0:3 PIC velocity, 3:12 velocity moment.
-    out = jax.lax.dot_general(
-        nfeat, w_c, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                                # [16, G]
-
-    if nc > 0:
-        # Incompatible cells substitute the ghost velocity (g2p.wgsl:184-207).
-        has_body = closest >= 0
-        bv = [ftile_ref[0][:, 3 + k : 4 + k] for k in range(3)]
-        ghost_b = _ghost_velocity(pd, bv)
-        vp = [pd[VX][None, :], pd[VY][None, :], pd[VZ][None, :]]
-        ghost = [jnp.where(has_body, ghost_b[i], vp[i]) for i in range(3)]
-        add = [jnp.sum(w_i * ghost[i], axis=0, keepdims=True) for i in range(3)]
-        madd = [
-            jnp.sum(w_i * ghost[i] * xw[:, k : k + 1], axis=0, keepdims=True)
+        xw = _window_positions(bcell, cell_width)                   # [WPAD,3]
+        v = ftile_ref[0][:, 0:3]
+        # v (x) x_node, column-wise (Mosaic rejects [W,3,3]->[W,9] casts).
+        vx_cols = [
+            v[:, i : i + 1] * xw[:, k : k + 1]
             for i in range(3)
             for k in range(3)
         ]
-        extra = jnp.concatenate(
-            add + madd + [jnp.zeros((4, group), jnp.float32)], axis=0
-        )                                                            # [16, G]
-        out = out + extra
+        nfeat = jnp.concatenate(
+            [v] + vx_cols + [jnp.zeros((WPAD, 4), jnp.float32)], axis=1
+        )                                                            # [WPAD,16]
 
-    # RMW merge into the aligned window, then write back.
-    padded = jnp.pad(out, ((0, 0), (0, 128)))
-    rolled = pltpu.roll(padded, off, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (16, gl), 1)
-    mask = (lane >= off) & (lane < off + group)
-    dma_rd.wait()
-    merged = jnp.where(mask, rolled, outbuf[:])
-    res_big[:, :] = merged
-    dma_out = pltpu.make_async_copy(
-        res_big, out_hbm.at[:, pl.ds(astart, gl)], sem_out
-    )
-    dma_out.start()
-    dma_out.wait()
+        def finish(out):
+            # RMW merge into the aligned window, then write back.
+            padded = jnp.pad(out, ((0, 0), (0, 128)))
+            rolled = pltpu.roll(padded, off, axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (16, gl), 1)
+            mask = (lane >= off) & (lane < off + group)
+            dma_rd.wait()
+            merged = jnp.where(mask, rolled, outbuf[:])
+            res_big[:, :] = merged
+            dma_out = pltpu.make_async_copy(
+                res_big, out_hbm.at[:, pl.ds(astart, gl)], sem_out
+            )
+            dma_out.start()
+            dma_out.wait()
+
+        def plain_out():
+            # [16, G] result: rows 0:3 PIC velocity, 3:12 velocity moment.
+            return jax.lax.dot_general(
+                nfeat, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        if nc > 0:
+            has_b = jbody[j] > 0
+
+            @pl.when(jnp.logical_not(has_b))
+            def _():
+                finish(plain_out())
+
+            @pl.when(has_b)
+            def _():
+                naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)
+                closest = itile_ref[0][:, 1:2]
+                paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
+                compat = _compat(naff, paff)
+                w_c = jnp.where(compat, w, 0.0)
+                w_i = w - w_c
+                out = jax.lax.dot_general(
+                    nfeat, w_c, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                                    # [16, G]
+                # Incompatible cells substitute the ghost velocity
+                # (g2p.wgsl:184-207).
+                has_body = closest >= 0
+                bv = [ftile_ref[0][:, 3 + k : 4 + k] for k in range(3)]
+                ghost_b = _ghost_velocity(pd, bv)
+                vp = [pd[VX][None, :], pd[VY][None, :], pd[VZ][None, :]]
+                ghost = [
+                    jnp.where(has_body, ghost_b[i], vp[i]) for i in range(3)
+                ]
+                add = [
+                    jnp.sum(w_i * ghost[i], axis=0, keepdims=True)
+                    for i in range(3)
+                ]
+                madd = [
+                    jnp.sum(
+                        w_i * ghost[i] * xw[:, k : k + 1],
+                        axis=0, keepdims=True,
+                    )
+                    for i in range(3)
+                    for k in range(3)
+                ]
+                extra = jnp.concatenate(
+                    add + madd + [jnp.zeros((4, group), jnp.float32)], axis=0
+                )                                                    # [16, G]
+                finish(out + extra)
+        else:
+            finish(plain_out())
 
 
 def g2p_rows(pdata, ftiles, itiles, jobs, bcells, cfg: GridConfig,
-             group: int, npad: int, nc: int):
+             group: int, npad: int, nc: int, jbody=None):
     """Per-particle G2P result [16, NPAD + G + 128], channel-major, sorted
     particle order.  Rows 0:3 = PIC velocity, 3:12 = velocity moment
     (sum w v_eff x^T)."""
     maxj = jobs["start"].shape[0]
+    if jbody is None:
+        jbody = jnp.ones((maxj,), jnp.int32)
     kernel = functools.partial(
         _g2p_kernel, group=group, cell_width=cfg.cell_width, nc=nc
     )
     gl = group + 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -515,4 +584,4 @@ def g2p_rows(pdata, ftiles, itiles, jobs, bcells, cfg: GridConfig,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
     )(jobs["start"], jobs["len"], bcells[:, 0], bcells[:, 1],
-      bcells[:, 2], pdata, ftiles, itiles)
+      bcells[:, 2], jbody, pdata, ftiles, itiles)

@@ -77,6 +77,10 @@ class MpmConfig:
     group: int = 256
     job_chunk: int = 32
     max_jobs: int = 0
+    # Block-id band per job_chunk for the banded tile moves (ops/blocked.py
+    # gather/scatter_tiles_banded); chunks exceeding it fall back to the
+    # full one-hot matmul path at runtime.
+    band: int = 2048
     # Rigid-particle mesh colliders (body slots with trimesh/polyline/
     # heightfield shapes; see ops/rigid_cdf.py).
     mesh_cids: Tuple[int, ...] = ()
@@ -329,34 +333,36 @@ def substep_pallas(
     # --- sort phase ---
     block_ids, _ = bk.particle_block_ids(particles.pos, grid)
     n = particles.count
-    # Pack the ENTIRE per-particle state into one [N, PCHAN] row matrix and
-    # sort it with a single row gather (40 per-leaf element gathers dominated
-    # the substep at 1M particles).  The sorted transpose doubles as the
-    # kernels' channel-major pdata.  (A variadic lax.sort over all channels
-    # would avoid the gather entirely but explodes XLA compile time.)
-    packed = ptf.pack_state_cols(particles, models)
-    # Lazy re-sort: particles move << 1 cell/substep, so the block-key order
-    # only breaks every few dozen substeps.  When the keys are still
-    # nondecreasing the current order IS a valid sort — skip the expensive
-    # permutation gather entirely (the reference re-sorts unconditionally
-    # every substep, grid.rs:30-206).
+    # Pack the ENTIRE per-particle state into one [PCHAN, N] channel-major
+    # matrix; on re-sort it moves as ONE banded lane permutation
+    # (ops/permute.py: one-hot MXU matmuls + exception patch — a general XLA
+    # row gather serializes per index and dominated the substep at 1M).
+    # Lazy re-sort: when the block keys are still nondecreasing the current
+    # order IS a valid sort — skip the permutation entirely (the reference
+    # re-sorts unconditionally every substep, grid.rs:30-206).
+    from wgsparkl_tpu.ops.permute import permute_lanes
+
+    npad = -((n + group) // -256) * 256
+    rows_all = jnp.pad(ptf.pack_state_rows(particles, models),
+                       ((0, 0), (0, npad - n)))
     still_sorted = jnp.all(block_ids[1:] >= block_ids[:-1])
 
     def keep(args):
-        pk, bids = args
-        return pk, bids
+        rows, bids = args
+        return rows, bids
 
     def resort(args):
-        pk, bids = args
+        rows, bids = args
         iota = jnp.arange(n, dtype=jnp.int32)
         sids, perm = jax.lax.sort((bids, iota), num_keys=1)
-        return pk[perm], sids
+        perm_p = jnp.concatenate(
+            [perm, jnp.arange(n, npad, dtype=jnp.int32)]
+        )
+        return permute_lanes(rows, perm_p), sids
 
-    packed, sorted_ids = jax.lax.cond(
-        still_sorted, keep, resort, (packed, block_ids)
+    rows_all, sorted_ids = jax.lax.cond(
+        still_sorted, keep, resort, (rows_all, block_ids)
     )
-    npad = -((n + group) // -128) * 128
-    rows_all = jnp.pad(packed.T, ((0, 0), (0, npad - n)))
     particles, models = ptf.unpack_state_rows(
         rows_all[:, :n], particles, models
     )
@@ -385,6 +391,15 @@ def substep_pallas(
     blk_coords = bk.block_coords_of(jobs["block"], nb)
     bcells = blk_coords * bs + jnp.asarray(grid.origin_cell, jnp.int32)
     nbr = jnp.asarray(bk.neighbor_block_table(nb))
+    band_lo, bands_ok = bk.band_info(
+        jobs["block"], nb_total, cfg.band, cfg.job_chunk
+    )
+
+    def gather_tiles(grid_arr):
+        return bk.gather_tiles_auto(
+            grid_arr, jobs["block"], band_lo, bands_ok, nbr, nb, d,
+            cfg.band, cfg.job_chunk,
+        )
 
     # Particle channels = rows 0..NCHAN-1 of the sorted state (prev affinity
     # rides along for the pcdf kernel's temporal sign persistence).
@@ -422,16 +437,21 @@ def substep_pallas(
         chan_grid = _to_blocks(chan, grid, 0.0)
         # Ghost block: closest channel must read as NONE (-1).
         chan_grid = chan_grid.at[-1, ..., 2].set(-1.0)
-        tiles8 = bk.gather_tiles_mm(chan_grid, jobs["block"], nbr, d).reshape(
-            -1, 216, 8
-        )
+        tiles8 = gather_tiles(chan_grid).reshape(-1, 216, 8)
         ntiles = jnp.pad(tiles8, ((0, 0), (0, ptf.WPAD - 216), (0, 0)))
+        # Per-job CPIC gate: any collider-touched node in the job window
+        # (affinity bits or a closest body) — jobs away from all colliders
+        # skip the pairwise CPIC work inside the kernels.
+        jbody = jnp.any(
+            (tiles8[..., 0] + tiles8[..., 1] > 0.0) | (tiles8[..., 2] >= 0.0),
+            axis=1,
+        ).astype(jnp.int32)
 
         # Particle CDF reconstruction (Pallas g2p_cdf kernel).
         from wgsparkl_tpu.ops import pallas_cdf
 
         rows = pallas_cdf.pcdf_rows(
-            pdata, ntiles, jobs, bcells, grid, group, npad, nc
+            pdata, ntiles, jobs, bcells, grid, group, npad, nc, jbody
         )
         new_aff_rows = rows[0:1, :npad]
         new_aff = jnp.where(
@@ -464,18 +484,19 @@ def substep_pallas(
         maxj = cfg.max_jobs
         itiles = jnp.zeros((maxj, ptf.WPAD, 8), jnp.int32)
         bv_tiles = jnp.zeros((maxj, ptf.WPAD, 8), jnp.float32)
+        jbody = None
 
     # --- P2G ---
     comtbl = jnp.zeros((8, 128), jnp.float32)
     comtbl = comtbl.at[0:3, : bodies.count].set(bodies.world_com.T)
     mm_out, imp_out = ptf.p2g_tiles(
-        pdata, itiles, bv_tiles, comtbl, jobs, bcells, grid, group, nc
+        pdata, itiles, bv_tiles, comtbl, jobs, bcells, grid, group, nc, jbody
     )
     mm_tiles = mm_out[:, :216, :4]
     grid_mm = jnp.zeros((nb_total + 1,) + (bs,) * d + (d + 1,), jnp.float32)
-    grid_mm = bk.scatter_tiles_mm(
+    grid_mm = bk.scatter_tiles_auto(
         grid_mm, mm_tiles.reshape((-1,) + (6,) * d + (d + 1,)),
-        jobs["block"], nbr, d,
+        jobs["block"], band_lo, bands_ok, nbr, nb, d, cfg.band, cfg.job_chunk,
     )
 
     # CPIC impulses: per-job, per-collider totals already reduced in-kernel.
@@ -496,16 +517,14 @@ def substep_pallas(
     vel_b = jnp.clip(vel_b, -vel_limit, vel_limit)
 
     # --- G2P ---
-    v_tiles = bk.gather_tiles_mm(vel_b, jobs["block"], nbr, d).reshape(
-        -1, 216, 3
-    )
+    v_tiles = gather_tiles(vel_b).reshape(-1, 216, 3)
     if nc > 0:
         f_tiles = jnp.concatenate([v_tiles, bv_tiles[:, :216, :3]], axis=-1)
         f_tiles = jnp.pad(f_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 2)))
     else:
         f_tiles = jnp.pad(v_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 5)))
     rows = ptf.g2p_rows(
-        pdata, f_tiles, itiles, jobs, bcells, grid, group, npad, nc
+        pdata, f_tiles, itiles, jobs, bcells, grid, group, npad, nc, jbody
     )
 
     # --- fused particle update, channel-major (no [N,3,3] intermediates) ---
