@@ -35,8 +35,9 @@ def main():
     ny = int(round(n_target / (nxz * nxz)))
     base = scenes.sand_box_3d(nxz=nxz, ny=ny, cell_width=1.0, with_paddle=True)
     n = base.num_particles
-    # Flagship config: Pallas MXU transfer path, tuned job table.
-    max_jobs = int((-(-n // group) * 1.5 + 128) // 32 * 32)
+    # Flagship config: Pallas MXU transfer path, tuned job table
+    # (multiple of 128 keeps the banded tile moves statically available).
+    max_jobs = int((-(-n // group) * 1.5 + 256) // 128 * 128)
     data = MpmData(
         base.params, base.state.particles, base.state.models,
         base.bodies_desc, 1.0, grid=base.config.grid,

@@ -162,9 +162,12 @@ def build_jobs(sorted_ids, nb_total: int, group: int, max_jobs: int):
     n = sorted_ids.shape[0]
     # Keys are sorted: per-block ranges come from binary search (log2(N)
     # vectorized rounds) instead of a 1M-element scatter-add.
+    # method='sort' lowers to one vectorized lax.sort of the concatenated
+    # keys+queries; the default 'scan' emits a serial vmapped while loop
+    # (~10 ms at 1M keys x 20k queries on TPU).
     edges = jnp.searchsorted(
         sorted_ids, jnp.arange(nb_total + 1, dtype=sorted_ids.dtype),
-        side="left",
+        side="left", method="sort",
     )
     first = edges[:nb_total]
     counts = edges[1:] - first
@@ -173,7 +176,9 @@ def build_jobs(sorted_ids, nb_total: int, group: int, max_jobs: int):
     total_jobs = cum_jobs[-1] if nb_total > 0 else 0
 
     job_idx = jnp.arange(max_jobs, dtype=jnp.int32)
-    jb = jnp.searchsorted(cum_jobs, job_idx, side="right").astype(jnp.int32)
+    jb = jnp.searchsorted(
+        cum_jobs, job_idx, side="right", method="sort"
+    ).astype(jnp.int32)
     live = job_idx < total_jobs
     jb_safe = jnp.where(live, jb, 0)
     prev_cum = jnp.where(jb_safe > 0, cum_jobs[jnp.maximum(jb_safe - 1, 0)], 0)

@@ -161,7 +161,7 @@ def _pcdf_body(pd, ntile_ref, bcell, length, finish, *,
         & (wid < WVOL)
     ) & (valid_f[None, :] > 0)
 
-    # node channel order: 0 aff_lo, 1 aff_hi, 2 closest, 3 dist, 4-6 bv
+    # node channel order: 0 aff_lo, 1 aff_hi, 2 closest, 3 dist
     aff_lo = ntile_ref[0][:, 0:1]
     aff_hi = ntile_ref[0][:, 1:2]
     ndist = ntile_ref[0][:, 3:4]
@@ -258,7 +258,7 @@ def pcdf_rows(pdata, ntiles, jobs, bcells, cfg: GridConfig, group: int,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, WPAD, 4), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),

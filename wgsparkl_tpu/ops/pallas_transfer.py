@@ -254,9 +254,32 @@ def _load_pdata_db(pdata_ref, pd_big, sem, starts, lens, j, group, maxj):
     return pltpu.roll(buf, gl - off, axis=1)[:, :group]
 
 
+def _node_body_velocity(closest, xw, btable_ref, nc: int):
+    """Per-window-node velocity of the node's closest body, [WPAD, 1] x 3.
+
+    btable rows: 0-2 world COM, 3-5 linvel, 6-8 angvel; lanes = body slot.
+    Computed in-kernel (gated jobs only) instead of carrying three dense
+    [M]-node bv channels through the grid + tile gathers.
+    """
+    bv = [jnp.zeros_like(xw[:, 0:1]) for _ in range(3)]
+    for b in range(nc):
+        mask = closest == b
+        com = [btable_ref[k, b] for k in range(3)]
+        lin = [btable_ref[3 + k, b] for k in range(3)]
+        ang = [btable_ref[6 + k, b] for k in range(3)]
+        r = [xw[:, k : k + 1] - com[k] for k in range(3)]
+        vb = [
+            lin[0] + ang[1] * r[2] - ang[2] * r[1],
+            lin[1] + ang[2] * r[0] - ang[0] * r[2],
+            lin[2] + ang[0] * r[1] - ang[1] * r[0],
+        ]
+        bv = [jnp.where(mask, vb[k], bv[k]) for k in range(3)]
+    return bv
+
+
 def _p2g_kernel(
     starts, lens, bcx, bcy, bcz, jbody,
-    pdata_ref, itile_ref, ftile_ref, comtbl_ref,
+    pdata_ref, itile_ref, btable_ref,
     out_ref, imp_ref,
     pd_big, sem,
     *, group: int, cell_width: float, nc: int,
@@ -341,7 +364,7 @@ def _p2g_kernel(
                 # per-collider totals in-kernel.
                 has_body = closest >= 0
                 w_i = jnp.where(compat | ~has_body, 0.0, w) * mass[None, :]
-                bv = [ftile_ref[0][:, k : k + 1] for k in range(3)]
+                bv = _node_body_velocity(closest, xw, btable_ref, nc)
                 ghost = _ghost_velocity(pd, bv)
                 vp = [pd[VX][None, :], pd[VY][None, :], pd[VZ][None, :]]
                 d = [
@@ -361,7 +384,7 @@ def _p2g_kernel(
                     mask = (closest == b).astype(jnp.float32)       # [WPAD,1]
                     db = [jnp.sum(d[k] * mask) for k in range(3)]
                     cb = [jnp.sum(cr[k] * mask) for k in range(3)]
-                    comb = [comtbl_ref[k, b] for k in range(3)]
+                    comb = [btable_ref[k, b] for k in range(3)]
                     ang = [
                         db[1] * comb[2] - db[2] * comb[1] - cb[0],
                         db[2] * comb[0] - db[0] * comb[2] - cb[1],
@@ -378,14 +401,16 @@ def _p2g_kernel(
             imp_ref[0] = jnp.zeros((8, 128), jnp.float32)
 
 
-def p2g_tiles(pdata, itiles, ftiles, comtbl, jobs, bcells, cfg: GridConfig,
+def p2g_tiles(pdata, itiles, btable, jobs, bcells, cfg: GridConfig,
               group: int, nc: int, jbody=None):
     """Per-job P2G outputs.
 
     Returns (mm [MAXJ, WPAD, 8], imp [MAXJ, 8, 128]):
       mm cols 0-2 node momentum, 3 node mass;
       imp rows 0-2 linear / 3-5 angular impulse, lanes = collider slots.
-    comtbl: [8, 128] f32 with body world COM at [k, b].
+    btable: [16, 128] f32 body table — rows 0-2 world COM, 3-5 linvel,
+    6-8 angvel; lanes = body slots (node body velocities are rebuilt
+    in-kernel from it instead of riding dense grid channels).
     jbody: [MAXJ] int32, nonzero for jobs whose window holds collider nodes
     (gates the per-pair CPIC work; pass None for all-on).
     """
@@ -400,11 +425,9 @@ def p2g_tiles(pdata, itiles, ftiles, comtbl, jobs, bcells, cfg: GridConfig,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, WPAD, 2), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda j, *_: (0, 0),
+            pl.BlockSpec((16, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -427,12 +450,12 @@ def p2g_tiles(pdata, itiles, ftiles, comtbl, jobs, bcells, cfg: GridConfig,
         ),
         interpret=_interpret(),
     )(jobs["start"], jobs["len"], bcells[:, 0], bcells[:, 1],
-      bcells[:, 2], jbody, pdata, itiles, ftiles, comtbl)
+      bcells[:, 2], jbody, pdata, itiles, btable)
 
 
 def _g2p_kernel(
     starts, lens, bcx, bcy, bcz, jbody,
-    pdata_ref, ftile_ref, itile_ref,
+    pdata_ref, ftile_ref, itile_ref, btable_ref,
     out_hbm,
     pd_big, res_big, outbuf, sem, sem_rd, sem_out,
     *, group: int, cell_width: float, nc: int,
@@ -519,7 +542,7 @@ def _g2p_kernel(
                 # Incompatible cells substitute the ghost velocity
                 # (g2p.wgsl:184-207).
                 has_body = closest >= 0
-                bv = [ftile_ref[0][:, 3 + k : 4 + k] for k in range(3)]
+                bv = _node_body_velocity(closest, xw, btable_ref, nc)
                 ghost_b = _ghost_velocity(pd, bv)
                 vp = [pd[VX][None, :], pd[VY][None, :], pd[VZ][None, :]]
                 ghost = [
@@ -545,7 +568,7 @@ def _g2p_kernel(
             finish(plain_out())
 
 
-def g2p_rows(pdata, ftiles, itiles, jobs, bcells, cfg: GridConfig,
+def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
              group: int, npad: int, nc: int, jbody=None):
     """Per-particle G2P result [16, NPAD + G + 128], channel-major, sorted
     particle order.  Rows 0:3 = PIC velocity, 3:12 = velocity moment
@@ -562,9 +585,11 @@ def g2p_rows(pdata, ftiles, itiles, jobs, bcells, cfg: GridConfig,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, WPAD, 4), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, WPAD, 2), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -584,4 +609,4 @@ def g2p_rows(pdata, ftiles, itiles, jobs, bcells, cfg: GridConfig,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
     )(jobs["start"], jobs["len"], bcells[:, 0], bcells[:, 1],
-      bcells[:, 2], jbody, pdata, ftiles, itiles)
+      bcells[:, 2], jbody, pdata, ftiles, itiles, btable)

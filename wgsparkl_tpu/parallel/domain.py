@@ -19,7 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from wgsparkl_tpu.pipeline import MpmConfig, SimState, substep
+from wgsparkl_tpu.pipeline import (
+    MpmConfig,
+    SimState,
+    substep,
+    substep_blocked,
+    substep_pallas,
+)
 
 
 def state_specs(state: SimState, axis: str = "dp") -> SimState:
@@ -51,13 +57,22 @@ def make_sharded_step(
 ):
     """Jitted SPMD step: (state, params) -> state with particles sharded.
 
-    Requires particle count divisible by the mesh axis size (pad the scene
-    with zero-mass particles if needed — `pad_particle_count`).
+    Works on all three transfer paths (dense / blocked / pallas): each chip
+    sorts and transfers its own particle shard into a full local grid and
+    the per-substep psum reduces grid momentum/mass + rigid impulses over
+    ICI.  Requires particle count divisible by the mesh axis size (pad the
+    scene with zero-mass particles if needed — `pad_particle_count`).
     """
+
+    fn = {
+        "dense": substep,
+        "blocked": substep_blocked,
+        "pallas": substep_pallas,
+    }[cfg.transfer]
 
     def local_steps(state, params):
         def body(s, _):
-            return substep(s, params, cfg, axis_name=axis), None
+            return fn(s, params, cfg, axis_name=axis), None
 
         out, _ = jax.lax.scan(body, state, None, length=num_substeps)
         return out

@@ -77,10 +77,11 @@ class MpmConfig:
     group: int = 256
     job_chunk: int = 32
     max_jobs: int = 0
-    # Block-id band per job_chunk for the banded tile moves (ops/blocked.py
-    # gather/scatter_tiles_banded); chunks exceeding it fall back to the
-    # full one-hot matmul path at runtime.
+    # Banded tile moves (ops/blocked.py gather/scatter_tiles_banded):
+    # band = block-id span allowed per band_chunk of consecutive jobs;
+    # exceeding chunks fall back to the full one-hot matmul at runtime.
     band: int = 2048
+    band_chunk: int = 128
     # Rigid-particle mesh colliders (body slots with trimesh/polyline/
     # heightfield shapes; see ops/rigid_cdf.py).
     mesh_cids: Tuple[int, ...] = ()
@@ -392,13 +393,13 @@ def substep_pallas(
     bcells = blk_coords * bs + jnp.asarray(grid.origin_cell, jnp.int32)
     nbr = jnp.asarray(bk.neighbor_block_table(nb))
     band_lo, bands_ok = bk.band_info(
-        jobs["block"], nb_total, cfg.band, cfg.job_chunk
+        jobs["block"], nb_total, cfg.band, cfg.band_chunk
     )
 
     def gather_tiles(grid_arr):
         return bk.gather_tiles_auto(
             grid_arr, jobs["block"], band_lo, bands_ok, nbr, nb, d,
-            cfg.band, cfg.job_chunk,
+            cfg.band, cfg.band_chunk,
         )
 
     # Particle channels = rows 0..NCHAN-1 of the sorted state (prev affinity
@@ -410,40 +411,26 @@ def substep_pallas(
         node_dist, node_aff, node_closest = _node_cdf_full(state, bodies, cfg)
         # Node-side channels for the kernels, gathered per job window with
         # one-hot matmuls.  Integers ride as exact <=16-bit f32 channels:
-        # [aff_lo, aff_hi, closest, dist, bvx, bvy, bvz, pad].
-        npx, npy, npz = grid.node_position_channels()
-        m_nodes = grid.num_nodes
-        bvx = jnp.zeros((m_nodes,), jnp.float32)
-        bvy = jnp.zeros((m_nodes,), jnp.float32)
-        bvz = jnp.zeros((m_nodes,), jnp.float32)
-        for b in range(nc):
-            mask = node_closest == b
-            lin = bodies.linvel[b]
-            ang = bodies.angvel[b]
-            com = bodies.world_com[b]
-            rx, ry, rz = npx - com[0], npy - com[1], npz - com[2]
-            bvx = jnp.where(mask, lin[0] + ang[1] * rz - ang[2] * ry, bvx)
-            bvy = jnp.where(mask, lin[1] + ang[2] * rx - ang[0] * rz, bvy)
-            bvz = jnp.where(mask, lin[2] + ang[0] * ry - ang[1] * rx, bvz)
+        # [aff_lo, aff_hi, closest, dist].  Node body velocities are NOT
+        # carried: the kernels rebuild them from the body table (btable)
+        # per gated job — three dense [M]-node channels and their per-body
+        # select loop would cost more than all gated jobs combined.
         aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
         aff_hi = (node_aff >> 16).astype(jnp.float32)
         chan = jnp.stack(
-            [
-                aff_lo, aff_hi, node_closest.astype(jnp.float32),
-                node_dist, bvx, bvy, bvz, jnp.zeros_like(bvx),
-            ],
+            [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist],
             axis=-1,
         )
         chan_grid = _to_blocks(chan, grid, 0.0)
         # Ghost block: closest channel must read as NONE (-1).
         chan_grid = chan_grid.at[-1, ..., 2].set(-1.0)
-        tiles8 = gather_tiles(chan_grid).reshape(-1, 216, 8)
-        ntiles = jnp.pad(tiles8, ((0, 0), (0, ptf.WPAD - 216), (0, 0)))
+        tiles4 = gather_tiles(chan_grid).reshape(-1, 216, 4)
+        ntiles = jnp.pad(tiles4, ((0, 0), (0, ptf.WPAD - 216), (0, 0)))
         # Per-job CPIC gate: any collider-touched node in the job window
         # (affinity bits or a closest body) — jobs away from all colliders
         # skip the pairwise CPIC work inside the kernels.
         jbody = jnp.any(
-            (tiles8[..., 0] + tiles8[..., 1] > 0.0) | (tiles8[..., 2] >= 0.0),
+            (tiles4[..., 0] + tiles4[..., 1] > 0.0) | (tiles4[..., 2] >= 0.0),
             axis=1,
         ).astype(jnp.int32)
 
@@ -472,31 +459,32 @@ def substep_pallas(
         )
 
         aff_w = (
-            tiles8[..., 1].astype(jnp.int32) << 16
-        ) | tiles8[..., 0].astype(jnp.int32)
-        closest_w = tiles8[..., 2].astype(jnp.int32)
+            tiles4[..., 1].astype(jnp.int32) << 16
+        ) | tiles4[..., 0].astype(jnp.int32)
+        closest_w = tiles4[..., 2].astype(jnp.int32)
         itiles = jnp.stack([aff_w, closest_w], axis=-1)
-        itiles = jnp.pad(itiles, ((0, 0), (0, ptf.WPAD - 216), (0, 6)))
-        bv_tiles = jnp.pad(
-            tiles8[..., 4:7], ((0, 0), (0, ptf.WPAD - 216), (0, 5))
-        )
+        itiles = jnp.pad(itiles, ((0, 0), (0, ptf.WPAD - 216), (0, 0)))
     else:
         maxj = cfg.max_jobs
-        itiles = jnp.zeros((maxj, ptf.WPAD, 8), jnp.int32)
-        bv_tiles = jnp.zeros((maxj, ptf.WPAD, 8), jnp.float32)
+        itiles = jnp.zeros((maxj, ptf.WPAD, 2), jnp.int32)
         jbody = None
 
     # --- P2G ---
-    comtbl = jnp.zeros((8, 128), jnp.float32)
-    comtbl = comtbl.at[0:3, : bodies.count].set(bodies.world_com.T)
+    # Body table for in-kernel node body velocities + impulse lever arms:
+    # rows 0-2 world COM, 3-5 linvel, 6-8 angvel; lanes = body slots.
+    btable = jnp.zeros((16, 128), jnp.float32)
+    btable = btable.at[0:3, : bodies.count].set(bodies.world_com.T)
+    btable = btable.at[3:6, : bodies.count].set(bodies.linvel.T)
+    btable = btable.at[6:9, : bodies.count].set(bodies.angvel.T)
     mm_out, imp_out = ptf.p2g_tiles(
-        pdata, itiles, bv_tiles, comtbl, jobs, bcells, grid, group, nc, jbody
+        pdata, itiles, btable, jobs, bcells, grid, group, nc, jbody
     )
     mm_tiles = mm_out[:, :216, :4]
     grid_mm = jnp.zeros((nb_total + 1,) + (bs,) * d + (d + 1,), jnp.float32)
     grid_mm = bk.scatter_tiles_auto(
         grid_mm, mm_tiles.reshape((-1,) + (6,) * d + (d + 1,)),
-        jobs["block"], band_lo, bands_ok, nbr, nb, d, cfg.band, cfg.job_chunk,
+        jobs["block"], band_lo, bands_ok, nbr, nb, d, cfg.band,
+        cfg.band_chunk,
     )
 
     # CPIC impulses: per-job, per-collider totals already reduced in-kernel.
@@ -518,13 +506,10 @@ def substep_pallas(
 
     # --- G2P ---
     v_tiles = gather_tiles(vel_b).reshape(-1, 216, 3)
-    if nc > 0:
-        f_tiles = jnp.concatenate([v_tiles, bv_tiles[:, :216, :3]], axis=-1)
-        f_tiles = jnp.pad(f_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 2)))
-    else:
-        f_tiles = jnp.pad(v_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 5)))
+    f_tiles = jnp.pad(v_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 1)))
     rows = ptf.g2p_rows(
-        pdata, f_tiles, itiles, jobs, bcells, grid, group, npad, nc, jbody
+        pdata, f_tiles, itiles, btable, jobs, bcells, grid, group, npad, nc,
+        jbody,
     )
 
     # --- fused particle update, channel-major (no [N,3,3] intermediates) ---
@@ -792,13 +777,22 @@ class MpmData:
         self.params = params
         self.bodies_desc = tuple(bodies)
         collider_types = tuple(b.collider.shape_type for b in bodies)
-        if transfer in ("blocked", "pallas") and max_jobs == 0:
+        auto_jobs = max_jobs == 0
+        if transfer in ("blocked", "pallas") and auto_jobs:
             # Headroom: 4x the perfectly-packed job count (blocks at ~1/4
             # of the group size on average still fit).
             n = particles.count
             max_jobs = -(-n // group) * 4 + 64
         if max_jobs % job_chunk:
             max_jobs += job_chunk - max_jobs % job_chunk
+        # Banded tile moves chunk jobs by band_chunk (128); keep
+        # auto-computed max_jobs divisible so the static banded fast path
+        # stays available (explicit odd values fall back to full matmuls).
+        bc = 128
+        if transfer in ("blocked", "pallas") and auto_jobs and max_jobs % bc:
+            max_jobs += bc - max_jobs % bc
+            if max_jobs % job_chunk:
+                max_jobs += job_chunk - max_jobs % job_chunk
 
         # Rigid-particle mesh colliders (p2g_cdf path).
         from wgsparkl_tpu.collision import shapes as shp
