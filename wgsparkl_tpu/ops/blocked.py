@@ -98,6 +98,24 @@ def particle_block_ids(pos, cfg: GridConfig):
     return jnp.where(ok, flat, nb_total), blk
 
 
+def particle_block_ids_ch(pch, cfg: GridConfig):
+    """Channel form of particle_block_ids: pch = [d] position channels [N].
+
+    Out-of-grid lanes get id = NB_total (the overflow bucket)."""
+    d = len(pch)
+    bs = block_size(d)
+    nb = num_blocks(cfg)
+    flat = None
+    ok = None
+    for a in range(d):
+        base = jnp.round(pch[a] / cfg.cell_width).astype(jnp.int32) - 1
+        blk = jnp.floor_divide(base - int(cfg.origin_cell[a]), bs)
+        oka = (blk >= 0) & (blk < nb[a])
+        ok = oka if ok is None else (ok & oka)
+        flat = blk if flat is None else flat * nb[a] + blk
+    return jnp.where(ok, flat, int(np.prod(nb)))
+
+
 def sort_by_block(state_arrays, block_ids):
     """Sort a pytree of [N, ...] arrays by block id.  Returns (sorted tree,
     sorted_ids, perm) — the TPU replacement of the reference's
@@ -442,6 +460,11 @@ def band_info(job_block, nb_total: int, band: int, cj: int):
     Returns (lo [J//cj] int32 chunk band starts over non-ghost blocks,
     bands_ok scalar bool: every chunk's non-ghost block span < band).
     """
+    if job_block.shape[0] % cj:
+        # job table not chunkable: banded path statically unavailable
+        # (the auto dispatchers fall back to the full matmuls).
+        g = -(-job_block.shape[0] // cj)
+        return jnp.zeros((g,), jnp.int32), jnp.asarray(False)
     jb = job_block.reshape(-1, cj)
     nonghost = jb < nb_total
     lo = jnp.min(jnp.where(nonghost, jb, nb_total), axis=1)

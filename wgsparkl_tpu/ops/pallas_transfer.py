@@ -57,6 +57,8 @@ R_DPS0 = 32         # det hardening log_vol_gain (3 rows)
 R_PHASE, R_STRETCH = 35, 36
 R_F0 = 37           # F00..F22 (9 rows)
 R_VOL, R_RAD, R_IDS = 46, 47, 48
+R_SD = 49           # particle CDF signed distance
+R_RV0 = 50          # rigid contact velocity (3 rows)
 PCHAN = 56          # padded to a multiple of 8 sublanes
 DP_KEYS = ("h0", "h1", "h2", "h3", "lam", "mu")
 DPS_KEYS = ("det", "hardening", "log_vol_gain")
@@ -107,7 +109,8 @@ def pack_state_rows(particles, models):
     cols += [a[:, k] for k in range(9)]
     cols += [
         jax.lax.bitcast_convert_type(particles.cdf_affinity, jnp.float32),
-        z, z, z,                      # normals: rebuilt by the pcdf kernel
+        particles.cdf_normal[:, 0], particles.cdf_normal[:, 1],
+        particles.cdf_normal[:, 2],
         z, z, z, z,                   # pad to NCHAN
         models.lam, models.mu,
     ]
@@ -119,9 +122,23 @@ def pack_state_rows(particles, models):
     cols += [
         particles.init_volume, particles.init_radius,
         particles.ids.astype(jnp.float32),
+        particles.cdf_signed_distance,
+        particles.cdf_rigid_vel[:, 0], particles.cdf_rigid_vel[:, 1],
+        particles.cdf_rigid_vel[:, 2],
     ]
     cols += [z] * (PCHAN - len(cols))
     return jnp.stack(cols, axis=0)
+
+
+def pack_rows_padded(particles, models, npad: int):
+    """pack_state_rows lane-padded to npad; pad lanes get F = I so the
+    per-substep constitutive math on them stays finite (they are masked out
+    of every transfer and sort to the tail of the overflow bucket)."""
+    n = particles.count
+    rows = jnp.pad(pack_state_rows(particles, models), ((0, 0), (0, npad - n)))
+    for r in (R_F0, R_F0 + 4, R_F0 + 8):
+        rows = rows.at[r, n:].set(1.0)
+    return rows
 
 
 def unpack_state_rows(rows, particles, models):
@@ -137,6 +154,9 @@ def unpack_state_rows(rows, particles, models):
         def_grad=rows[R_F0 : R_F0 + 9, :].T.reshape(n, 3, 3),
         init_volume=rows[R_VOL], init_radius=rows[R_RAD],
         ids=rows[R_IDS].astype(jnp.int32),
+        cdf_normal=rows[NX : NX + 3, :].T,
+        cdf_signed_distance=rows[R_SD],
+        cdf_rigid_vel=rows[R_RV0 : R_RV0 + 3, :].T,
     )
     new_m = models.replace(
         lam=rows[R_LAM], mu=rows[R_MU],

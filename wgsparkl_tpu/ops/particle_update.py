@@ -102,15 +102,17 @@ def particle_update(particles, models, params, grid_cfg, elastic_model="corotate
 
 
 # ----------------------------------------------------------- channel variant
-def particle_update_channels(ch, models, params, grid_cfg, elastic_model="corotated"):
+def particle_update_channels(ch, params, grid_cfg, elastic_model="corotated"):
     """Channel-major fused particle update (3D, TPU hot path).
 
     ch: dict with channel arrays [N]:
       pos: [3 channels], vel: [3], grad: dict (i,j), F: dict (i,j),
-      sd, normal [3], rigid_vel [3], mass, vol0.
-    Returns dict(pos[3], vel[3], F dict, affine dict) + new models.
+      sd, normal [3], rigid_vel [3], mass, vol0,
+      lam, mu, dp (dict), dps (dict), phase, stretch.
+    Returns dict(pos[3], vel[3], F dict, affine dict, phase, dps dict).
     Physics identical to particle_update; layout avoids all [N,3,3]
-    intermediates (full VPU lane utilization).
+    intermediates (full VPU lane utilization) and carries the model state
+    as channels so the whole step can ride the [PCHAN, N] row matrix.
     """
     from wgsparkl_tpu.math.svd import eig33_sigma_ch
     from wgsparkl_tpu.models.drucker_prager import drucker_prager_project_ch
@@ -172,7 +174,7 @@ def particle_update_channels(ch, models, params, grid_cfg, elastic_model="corota
     # and the reference SVD (math/svd.py).  With max_stretch > 0 this is
     # equivalent to checking the largest sigma, but keep the signed form so
     # the channel and dense paths agree bit-for-bit on inverted elements.
-    check = (models.phase > 0.0) & (models.max_stretch > 0.0)
+    check = (ch["phase"] > 0.0) & (ch["stretch"] > 0.0)
     sig = eig33_sigma_ch(new_f)
     detf = (
         new_f[(0, 0)]
@@ -185,35 +187,32 @@ def particle_update_channels(ch, models, params, grid_cfg, elastic_model="corota
     smin = jnp.minimum(jnp.minimum(sig[0], sig[1]), sig[2])
     sgn = jnp.where(detf < 0.0, -1.0, 1.0)
     over = (
-        (sig[0] * jnp.where(sig[0] == smin, sgn, 1.0) > models.max_stretch)
-        | (sig[1] * jnp.where(sig[1] == smin, sgn, 1.0) > models.max_stretch)
-        | (sig[2] * jnp.where(sig[2] == smin, sgn, 1.0) > models.max_stretch)
+        (sig[0] * jnp.where(sig[0] == smin, sgn, 1.0) > ch["stretch"])
+        | (sig[1] * jnp.where(sig[1] == smin, sgn, 1.0) > ch["stretch"])
+        | (sig[2] * jnp.where(sig[2] == smin, sgn, 1.0) > ch["stretch"])
     )
-    new_phase = jnp.where(check & over, 0.0, models.phase)
+    new_phase = jnp.where(check & over, 0.0, ch["phase"])
 
     # Plasticity.
-    dp_state, f_proj = drucker_prager_project_ch(
-        models.dp, models.dp_state, new_f
-    )
+    dp_state, f_proj = drucker_prager_project_ch(ch["dp"], ch["dps"], new_f)
     granular = new_phase == 0.0
     new_f = {
         k: jnp.where(granular, f_proj[k], new_f[k]) for k in new_f
     }
-    new_dp_state = {
-        k: jnp.where(granular, dp_state[k], models.dp_state[k]) for k in dp_state
+    new_dps = {
+        k: jnp.where(granular, dp_state[k], ch["dps"][k]) for k in dp_state
     }
 
     if elastic_model == "corotated":
-        stress = kirchoff_stress_corotated_ch(models.lam, models.mu, new_f)
+        stress = kirchoff_stress_corotated_ch(ch["lam"], ch["mu"], new_f)
     else:
-        stress = kirchoff_stress_neo_hookean_ch(models.lam, models.mu, new_f)
+        stress = kirchoff_stress_neo_hookean_ch(ch["lam"], ch["mu"], new_f)
 
     scale_a = ch["vol0"] * inv_d(h) * dt
     affine = {
         k: gc[k] * ch["mass"] - stress[k] * scale_a for k in new_f
     }
-    new_models = models.replace(phase=new_phase, dp_state=new_dp_state)
-    return (
-        {"pos": new_pos, "vel": new_vel, "F": new_f, "affine": affine},
-        new_models,
-    )
+    return {
+        "pos": new_pos, "vel": new_vel, "F": new_f, "affine": affine,
+        "phase": new_phase, "dps": new_dps,
+    }

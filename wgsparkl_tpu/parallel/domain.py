@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from wgsparkl_tpu.pipeline import (
     MpmConfig,
     SimState,
+    step_pallas,
     substep,
     substep_blocked,
     substep_pallas,
@@ -71,6 +72,10 @@ def make_sharded_step(
     }[cfg.transfer]
 
     def local_steps(state, params):
+        if cfg.transfer == "pallas":
+            # rows-carry frame loop (one pack/unpack per call).
+            return step_pallas(state, params, cfg, num_substeps, axis)
+
         def body(s, _):
             return fn(s, params, cfg, axis_name=axis), None
 

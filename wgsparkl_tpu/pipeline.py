@@ -303,6 +303,12 @@ def substep_blocked(
     return SimState(particles=particles, models=models, bodies=bodies, meshes=state.meshes)
 
 
+def pallas_npad(n: int, group: int) -> int:
+    """Lane padding for the channel-major pallas state (multiple of 256 for
+    the banded permute; >= group slack for the job-start sentinels)."""
+    return -((n + group) // -256) * 256
+
+
 def substep_pallas(
     state: SimState,
     params: SimulationParams,
@@ -311,68 +317,112 @@ def substep_pallas(
 ) -> SimState:
     """One MPM substep with Pallas transfer kernels (3D only; the hot path).
 
-    Same physics as substep/substep_blocked; the P2G/G2P pair runs as MXU
-    matmul kernels (ops/pallas_transfer.py), all remaining XLA work is
-    elementwise or slab-indexed.
+    Wrapper over the channel-major core `_substep_pallas_rows`: packs the
+    state into one [PCHAN, NPAD] row matrix, steps, unpacks.  Frame loops
+    go through `step` / `step_pallas`, which carry the rows through the
+    whole substep lax.scan and pack/unpack ONCE per frame.
+    """
+    from wgsparkl_tpu.ops import pallas_transfer as ptf
+
+    n = state.particles.count
+    npad = pallas_npad(n, cfg.group)
+    rows = ptf.pack_rows_padded(state.particles, state.models, npad)
+    rows, bodies = _substep_pallas_rows(
+        rows, state.bodies, state.meshes, params, cfg, n, axis_name
+    )
+    particles, models = ptf.unpack_state_rows(
+        rows[:, :n], state.particles, state.models
+    )
+    return SimState(particles=particles, models=models, bodies=bodies,
+                    meshes=state.meshes)
+
+
+def step_pallas(
+    state: SimState,
+    params: SimulationParams,
+    cfg: MpmConfig,
+    num_substeps: int,
+    axis_name: Optional[str] = None,
+) -> SimState:
+    """A frame of pallas substeps with the [PCHAN, NPAD] channel matrix as
+    the scan carry — per-particle state never leaves channel-major layout
+    between substeps (no per-substep pack/unpack/[N,3] transposes)."""
+    from wgsparkl_tpu.ops import pallas_transfer as ptf
+
+    n = state.particles.count
+    npad = pallas_npad(n, cfg.group)
+    rows0 = ptf.pack_rows_padded(state.particles, state.models, npad)
+
+    def body(carry, _):
+        rows, bodies = carry
+        rows, bodies = _substep_pallas_rows(
+            rows, bodies, state.meshes, params, cfg, n, axis_name
+        )
+        return (rows, bodies), None
+
+    (rows, bodies), _ = jax.lax.scan(
+        body, (rows0, state.bodies), None, length=num_substeps
+    )
+    particles, models = ptf.unpack_state_rows(
+        rows[:, :n], state.particles, state.models
+    )
+    return SimState(particles=particles, models=models, bodies=bodies,
+                    meshes=state.meshes)
+
+
+def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
+                         n: int, axis_name: Optional[str] = None):
+    """Channel-major substep core: ([PCHAN, NPAD] rows, bodies) -> same.
+
+    Same physics as substep/substep_blocked; the P2G/G2P/pCDF passes run as
+    MXU matmul kernels (ops/pallas_transfer.py), everything else is
+    elementwise on [NPAD] channels or slab-indexed — no per-element gathers
+    and no [N, 3]/[N, 3, 3] intermediates anywhere.
+
+    Lanes >= n are padding: they carry F = I / mass 0, sort to the very
+    tail (key nb_total + 1, after the real out-of-grid overflow bucket at
+    nb_total), and are masked out of every transfer.
     """
     from wgsparkl_tpu.ops import blocked as bk
     from wgsparkl_tpu.ops import pallas_transfer as ptf
     from wgsparkl_tpu.ops.kernel import inv_d as inv_d_fn
+    from wgsparkl_tpu.ops.permute import permute_lanes
 
-    particles, models, bodies = state.particles, state.models, state.bodies
     nc = cfg.num_colliders
     grid = cfg.grid
-    d = particles.dim
-    assert d == 3, "pallas transfer path is 3D (2D uses transfer='blocked')"
+    d = 3
     nb = bk.num_blocks(grid)
     nb_total = int(np.prod(nb))
     bs = bk.block_size(d)
     group = cfg.group
+    npad = rows_all.shape[1]
 
     bodies = body_mod.update_world_mass_properties(bodies)
 
     # --- sort phase ---
-    block_ids, _ = bk.particle_block_ids(particles.pos, grid)
-    n = particles.count
-    # Pack the ENTIRE per-particle state into one [PCHAN, N] channel-major
-    # matrix; on re-sort it moves as ONE banded lane permutation
-    # (ops/permute.py: one-hot MXU matmuls + exception patch — a general XLA
-    # row gather serializes per index and dominated the substep at 1M).
+    lane = jnp.arange(npad, dtype=jnp.int32)
+    bids = bk.particle_block_ids_ch(
+        [rows_all[0], rows_all[1], rows_all[2]], grid
+    )
+    bids = jnp.where(lane < n, bids, nb_total + 1)
     # Lazy re-sort: when the block keys are still nondecreasing the current
     # order IS a valid sort — skip the permutation entirely (the reference
-    # re-sorts unconditionally every substep, grid.rs:30-206).
-    from wgsparkl_tpu.ops.permute import permute_lanes
-
-    npad = -((n + group) // -256) * 256
-    rows_all = jnp.pad(ptf.pack_state_rows(particles, models),
-                       ((0, 0), (0, npad - n)))
-    still_sorted = jnp.all(block_ids[1:] >= block_ids[:-1])
+    # re-sorts unconditionally every substep, grid.rs:30-206).  Otherwise
+    # the WHOLE state moves as one banded lane permutation (ops/permute.py).
+    still_sorted = jnp.all(bids[1:] >= bids[:-1])
 
     def keep(args):
-        rows, bids = args
-        return rows, bids
+        return args
 
     def resort(args):
-        rows, bids = args
-        iota = jnp.arange(n, dtype=jnp.int32)
-        sids, perm = jax.lax.sort((bids, iota), num_keys=1)
-        perm_p = jnp.concatenate(
-            [perm, jnp.arange(n, npad, dtype=jnp.int32)]
-        )
-        return permute_lanes(rows, perm_p), sids
+        rows, keys = args
+        sids, perm = jax.lax.sort((keys, lane), num_keys=1)
+        return permute_lanes(rows, perm), sids
 
     rows_all, sorted_ids = jax.lax.cond(
-        still_sorted, keep, resort, (rows_all, block_ids)
+        still_sorted, keep, resort, (rows_all, bids)
     )
-    particles, models = ptf.unpack_state_rows(
-        rows_all[:, :n], particles, models
-    )
-    zeros3 = jnp.zeros((n, 3), jnp.float32)
-    particles = particles.replace(
-        cdf_normal=zeros3,
-        cdf_rigid_vel=zeros3,
-        cdf_signed_distance=jnp.zeros((n,), jnp.float32),
-    )
+
     jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
     # Out-of-grid particles land in the overflow bucket and belong to no job;
     # their kernel output rows are never written and must be masked off.
@@ -383,8 +433,7 @@ def substep_pallas(
     covered_end = jnp.max(
         jnp.where(jobs["len"] > 0, jobs["start"] + jobs["len"], 0)
     )
-    rank = jnp.arange(n, dtype=jnp.int32)
-    in_grid = ((sorted_ids < nb_total) & (rank < covered_end))[:, None]
+    ig = (sorted_ids < nb_total) & (lane < covered_end)        # [NPAD] bool
     starts = jnp.where(
         jobs["len"] > 0, jnp.minimum(jobs["start"], npad - group), npad - group
     )
@@ -408,7 +457,11 @@ def substep_pallas(
 
     # --- CDF phase ---
     if nc > 0:
-        node_dist, node_aff, node_closest = _node_cdf_full(state, bodies, cfg)
+        state_view = SimState(particles=None, models=None, bodies=bodies,
+                              meshes=meshes)
+        node_dist, node_aff, node_closest = _node_cdf_full(
+            state_view, bodies, cfg
+        )
         # Node-side channels for the kernels, gathered per job window with
         # one-hot matmuls.  Integers ride as exact <=16-bit f32 channels:
         # [aff_lo, aff_hi, closest, dist].  Node body velocities are NOT
@@ -437,24 +490,21 @@ def substep_pallas(
         # Particle CDF reconstruction (Pallas g2p_cdf kernel).
         from wgsparkl_tpu.ops import pallas_cdf
 
-        rows = pallas_cdf.pcdf_rows(
+        krows = pallas_cdf.pcdf_rows(
             pdata, ntiles, jobs, bcells, grid, group, npad, nc, jbody
         )
-        new_aff_rows = rows[0:1, :npad]
-        new_aff = jnp.where(
-            in_grid[:, 0],
-            jax.lax.bitcast_convert_type(rows[0, :n], jnp.uint32),
+        aff_u = jnp.where(
+            ig, jax.lax.bitcast_convert_type(krows[0, :npad], jnp.uint32),
             jnp.uint32(0),
         )
-        particles = particles.replace(
-            cdf_affinity=new_aff,
-            cdf_signed_distance=jnp.where(in_grid[:, 0], rows[1, :n], 0.0),
-            cdf_normal=jnp.where(in_grid, rows[2:5, :n].T, 0.0),
-        )
+        sd_ch = jnp.where(ig, krows[1, :npad], 0.0)
+        n_ch = [jnp.where(ig, krows[2 + k, :npad], 0.0) for k in range(3)]
         # Patch the affinity + normal channel rows for the transfer kernels.
         pdata = jax.lax.dynamic_update_slice(
             pdata,
-            jnp.concatenate([new_aff_rows, rows[2:5, :npad]], axis=0),
+            jnp.concatenate(
+                [krows[0:1, :npad], krows[2:5, :npad]], axis=0
+            ),
             (ptf.AFF, 0),
         )
 
@@ -468,6 +518,9 @@ def substep_pallas(
         maxj = cfg.max_jobs
         itiles = jnp.zeros((maxj, ptf.WPAD, 2), jnp.int32)
         jbody = None
+        aff_u = jnp.zeros((npad,), jnp.uint32)
+        sd_ch = jnp.zeros((npad,), jnp.float32)
+        n_ch = [jnp.zeros((npad,), jnp.float32) for _ in range(3)]
 
     # --- P2G ---
     # Body table for in-kernel node body velocities + impulse lever arms:
@@ -507,7 +560,7 @@ def substep_pallas(
     # --- G2P ---
     v_tiles = gather_tiles(vel_b).reshape(-1, 216, 3)
     f_tiles = jnp.pad(v_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 1)))
-    rows = ptf.g2p_rows(
+    krows = ptf.g2p_rows(
         pdata, f_tiles, itiles, btable, jobs, bcells, grid, group, npad, nc,
         jbody,
     )
@@ -515,25 +568,28 @@ def substep_pallas(
     # --- fused particle update, channel-major (no [N,3,3] intermediates) ---
     from wgsparkl_tpu.ops.particle_update import particle_update_channels
 
-    ig = in_grid[:, 0]
     inv_d_val = inv_d_fn(grid.cell_width)
-    pos_ch = [particles.pos[:, k] for k in range(3)]
-    v_ch = [jnp.where(ig, rows[k, :n], 0.0) for k in range(3)]
+    pos_ch = [rows_all[k] for k in range(3)]
+    v_ch = [jnp.where(ig, krows[k, :npad], 0.0) for k in range(3)]
     grad_ch = {
         (i, k): jnp.where(
-            ig, inv_d_val * (rows[3 + 3 * i + k, :n] - v_ch[i] * pos_ch[k]), 0.0
+            ig,
+            inv_d_val * (krows[3 + 3 * i + k, :npad] - v_ch[i] * pos_ch[k]),
+            0.0,
         )
         for i in range(3)
         for k in range(3)
     }
     f_ch = {
-        (i, k): particles.def_grad[:, i, k] for i in range(3) for k in range(3)
+        (i, k): rows_all[ptf.R_F0 + 3 * i + k]
+        for i in range(3)
+        for k in range(3)
     }
 
     # Rigid contact velocity, channel form (g2p.wgsl:220-226).
-    rv_ch = [jnp.zeros((n,), jnp.float32) for _ in range(3)]
+    rv_ch = [jnp.zeros((npad,), jnp.float32) for _ in range(3)]
     for b in range(nc):
-        has = ((particles.cdf_affinity >> b) & 1) != 0
+        has = ((aff_u >> b) & 1) != 0
         lin = bodies.linvel[b]
         ang = bodies.angvel[b]
         com = bodies.world_com[b]
@@ -550,31 +606,45 @@ def substep_pallas(
         "vel": v_ch,
         "grad": grad_ch,
         "F": f_ch,
-        "sd": particles.cdf_signed_distance,
-        "normal": [particles.cdf_normal[:, k] for k in range(3)],
+        "sd": sd_ch,
+        "normal": n_ch,
         "rigid_vel": rv_ch,
-        "mass": particles.mass,
-        "vol0": particles.init_volume,
+        "mass": rows_all[ptf.PM],
+        "vol0": rows_all[ptf.R_VOL],
+        "lam": rows_all[ptf.R_LAM],
+        "mu": rows_all[ptf.R_MU],
+        "dp": {
+            k: rows_all[ptf.R_DP0 + i] for i, k in enumerate(ptf.DP_KEYS)
+        },
+        "dps": {
+            k: rows_all[ptf.R_DPS0 + i] for i, k in enumerate(ptf.DPS_KEYS)
+        },
+        "phase": rows_all[ptf.R_PHASE],
+        "stretch": rows_all[ptf.R_STRETCH],
     }
-    out, models = particle_update_channels(
-        ch, models, params, grid, cfg.elastic_model
+    out = particle_update_channels(ch, params, grid, cfg.elastic_model)
+
+    # Rebuild the row matrix in layout order — ONE stacked write.
+    new_rows = (
+        out["pos"] + out["vel"] + [rows_all[ptf.PM]]
+        + [out["affine"][(i, k)] for i in range(3) for k in range(3)]
+        + [jax.lax.bitcast_convert_type(aff_u, jnp.float32)]
+        + n_ch
+        + [rows_all[20], rows_all[21], rows_all[22], rows_all[23]]
+        + [rows_all[ptf.R_LAM], rows_all[ptf.R_MU]]
+        + [rows_all[ptf.R_DP0 + i] for i in range(len(ptf.DP_KEYS))]
+        + [out["dps"][k] for k in ptf.DPS_KEYS]
+        + [out["phase"], rows_all[ptf.R_STRETCH]]
+        + [out["F"][(i, k)] for i in range(3) for k in range(3)]
+        + [rows_all[ptf.R_VOL], rows_all[ptf.R_RAD], rows_all[ptf.R_IDS]]
+        + [sd_ch]
+        + rv_ch
+        + [rows_all[r] for r in range(ptf.R_RV0 + 3, ptf.PCHAN)]
     )
-    particles = particles.replace(
-        pos=jnp.stack(out["pos"], axis=-1),
-        vel=jnp.stack(out["vel"], axis=-1),
-        def_grad=jnp.stack(
-            [jnp.stack([out["F"][(i, k)] for k in range(3)], -1) for i in range(3)],
-            axis=-2,
-        ),
-        affine=jnp.stack(
-            [jnp.stack([out["affine"][(i, k)] for k in range(3)], -1) for i in range(3)],
-            axis=-2,
-        ),
-        cdf_rigid_vel=jnp.stack(rv_ch, axis=-1),
-    )
+    rows_out = jnp.stack(new_rows, axis=0)
+
     bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
-    return SimState(particles=particles, models=models, bodies=bodies,
-                    meshes=state.meshes)
+    return rows_out, bodies
 
 
 def rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg):
@@ -646,11 +716,15 @@ def rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg):
 
 
 def step(state: SimState, params: SimulationParams, cfg: MpmConfig, num_substeps: int):
-    """num_substeps substeps under lax.scan (one device launch per frame)."""
+    """num_substeps substeps under lax.scan (one device launch per frame).
+
+    The pallas path carries the channel-major row matrix through the scan
+    (step_pallas) — pack/unpack happen once per frame, not per substep."""
+    if cfg.transfer == "pallas":
+        return step_pallas(state, params, cfg, num_substeps)
     fn = {
         "dense": substep,
         "blocked": substep_blocked,
-        "pallas": substep_pallas,
     }[cfg.transfer]
 
     def body(s, _):
