@@ -44,3 +44,41 @@ def test_pallas_matches_blocked_3d_coupled():
     np.testing.assert_allclose(
         np.asarray(sb.bodies.pos), np.asarray(sp.bodies.pos), atol=1e-6
     )
+
+
+def test_pallas_matches_blocked_2d_coupled():
+    """2D kernel family (ops/pallas_transfer2d.py) vs the blocked path."""
+    d2 = scenes.sand_column_2d(nx=24, ny=48, cell_width=0.5)
+    mk = lambda tr: MpmData(
+        d2.params, d2.state.particles, d2.state.models, d2.bodies_desc, 0.5,
+        grid=d2.config.grid, transfer=tr, group=128, job_chunk=8,
+    )
+    db, dp = mk("blocked"), mk("pallas")
+    fb = jax.jit(substep_blocked, static_argnums=2)
+    fp = jax.jit(substep_pallas, static_argnums=2)
+    sb, sp = db.state, dp.state
+    for _ in range(20):
+        sb = fb(sb, d2.params, db.config)
+        sp = fp(sp, d2.params, dp.config)
+    ib = np.argsort(np.asarray(sb.particles.ids))
+    ip = np.argsort(np.asarray(sp.particles.ids))
+    np.testing.assert_allclose(
+        np.asarray(sb.particles.pos)[ib], np.asarray(sp.particles.pos)[ip],
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sb.particles.vel)[ib], np.asarray(sp.particles.vel)[ip],
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sb.particles.def_grad)[ib],
+        np.asarray(sp.particles.def_grad)[ip],
+        atol=1e-4,
+    )
+    assert (
+        np.asarray(sb.particles.cdf_affinity)[ib]
+        == np.asarray(sp.particles.cdf_affinity)[ip]
+    ).all()
+    np.testing.assert_allclose(
+        np.asarray(sb.bodies.pos), np.asarray(sp.bodies.pos), atol=1e-6
+    )

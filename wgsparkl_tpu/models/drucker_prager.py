@@ -197,6 +197,70 @@ def drucker_prager_project_ch(params, state, fc):
     return out_state, new_fc
 
 
+def drucker_prager_project_ch2(params, state, fc):
+    """2D channel-level Drucker-Prager projection (trig-free channel SVD2).
+
+    fc: dict (i,j)->[N], i,j in {0,1}.  Returns (new_state dict, new fc).
+    """
+    from wgsparkl_tpu.math.svd import svd2x2_ch
+
+    lam, mu = params["lam"], params["mu"]
+    enabled = lam > 0.0
+    df = 2.0
+
+    uc, sig, vc = svd2x2_ch(fc)
+    alpha = _alpha(
+        params["h0"], params["h1"], params["h2"], params["h3"],
+        state["hardening"],
+    )
+    strain = [
+        jnp.log(jnp.maximum(s, 1e-12)) + state["log_vol_gain"] / df
+        for s in sig
+    ]
+    trace = strain[0] + strain[1]
+    dev = [s - trace / df for s in strain]
+    dev_norm = jnp.sqrt(dev[0] ** 2 + dev[1] ** 2)
+
+    case_a = (trace > 0.0) | (dev_norm == 0.0)
+    hard_a = jnp.sqrt(strain[0] ** 2 + strain[1] ** 2)
+    gamma = dev_norm + (df * lam + 2.0 * mu) / (2.0 * mu) * trace * alpha
+    case_b = (~case_a) & (gamma <= 0.0)
+
+    scale = gamma / jnp.maximum(dev_norm, 1e-20)
+    sig_c = [jnp.exp(s - d * scale) for s, d in zip(strain, dev)]
+    new_sig = [jnp.where(case_a, 1.0, s) for s in sig_c]
+    valid = ~case_b
+    plastic_hardening = jnp.where(case_a, hard_a, gamma)
+
+    prev_det = sig[0] * sig[1]
+    new_det = new_sig[0] * new_sig[1]
+    apply = enabled & valid
+
+    out_state = {
+        "det": jnp.where(
+            apply,
+            state["det"] * prev_det / jnp.where(new_det != 0, new_det, 1.0),
+            state["det"],
+        ),
+        "hardening": jnp.where(
+            apply, state["hardening"] + plastic_hardening, state["hardening"]
+        ),
+        "log_vol_gain": jnp.where(
+            apply,
+            state["log_vol_gain"]
+            + jnp.log(jnp.maximum(prev_det, 1e-20))
+            - jnp.log(jnp.maximum(new_det, 1e-20)),
+            state["log_vol_gain"],
+        ),
+    }
+    new_fc = {}
+    for i in range(2):
+        for j in range(2):
+            proj = sum(uc[m][i] * new_sig[m] * vc[m][j] for m in range(2))
+            new_fc[(i, j)] = jnp.where(apply, proj, fc[(i, j)])
+    return out_state, new_fc
+
+
 def drucker_prager_arrays(plasticities: list[DruckerPrager]):
     """Pack host params into SoA dict of float32 arrays."""
     def col(attr):

@@ -124,6 +124,42 @@ def kirchoff_stress_neo_hookean_ch(lam, mu, fc):
     return out
 
 
+def kirchoff_stress_corotated_ch2(lam, mu, fc):
+    """2D channel-level corotated stress (see kirchoff_stress_corotated_ch);
+    uses the trig-free channel SVD2."""
+    from wgsparkl_tpu.math.svd import svd2x2_ch
+
+    uc, sig, vc = svd2x2_ch(fc)
+    j = sig[0] * sig[1]
+    diag = lam * (j - 1.0) * j
+    two_mu = 2.0 * mu
+    out = {}
+    for i in range(2):
+        for jj in range(2):
+            acc = 0.0
+            for k in range(2):
+                shifted_ik = sum(
+                    uc[m][i] * (sig[m] - 1.0) * vc[m][k] for m in range(2)
+                )
+                acc = acc + shifted_ik * fc[(jj, k)]
+            out[(i, jj)] = two_mu * acc + (diag if i == jj else 0.0)
+    return out
+
+
+def kirchoff_stress_neo_hookean_ch2(lam, mu, fc):
+    import jax.numpy as jnp
+
+    det = fc[(0, 0)] * fc[(1, 1)] - fc[(0, 1)] * fc[(1, 0)]
+    j = jnp.maximum(det, 1e-10)
+    diag = lam * jnp.log(j) - mu
+    out = {}
+    for i in range(2):
+        for jj in range(2):
+            fft = sum(fc[(i, k)] * fc[(jj, k)] for k in range(2))
+            out[(i, jj)] = mu * fft + (diag if i == jj else 0.0)
+    return out
+
+
 def elastic_arrays(models: list[ElasticCoefficients]) -> tuple[np.ndarray, np.ndarray]:
     """Pack a list of per-particle coefficients into SoA arrays."""
     lam = np.asarray([m.lam for m in models], dtype=np.float32)

@@ -178,15 +178,36 @@ def build_jobs(sorted_ids, nb_total: int, group: int, max_jobs: int):
     len 0.
     """
     n = sorted_ids.shape[0]
-    # Keys are sorted: per-block ranges come from binary search (log2(N)
-    # vectorized rounds) instead of a 1M-element scatter-add.
-    # method='sort' lowers to one vectorized lax.sort of the concatenated
-    # keys+queries; the default 'scan' emits a serial vmapped while loop
-    # (~10 ms at 1M keys x 20k queries on TPU).
-    edges = jnp.searchsorted(
-        sorted_ids, jnp.arange(nb_total + 1, dtype=sorted_ids.dtype),
-        side="left", method="sort",
+    # Keys are sorted: per-block ranges come from boundary compaction —
+    # one vectorized sort packs the ~#occupied-blocks boundary (key, rank)
+    # pairs to the front, and a small searchsorted over them resolves all
+    # nb_total+1 queries.  (jnp.searchsorted's 'scan' method emits a serial
+    # vmapped while loop, and its 'sort' method a big scatter — both were
+    # multi-ms at 1M keys on TPU.)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
     )
+    # Boundary (key, rank) pairs packed to the front; non-boundaries -> tail.
+    bkey, brank = jax.lax.sort(
+        (
+            jnp.where(is_first, sorted_ids, nb_total + 1),
+            jnp.where(is_first, lane, n),
+        ),
+        num_keys=1,
+    )
+    kmax = min(nb_total + 2, n)
+    bkey, brank = bkey[:kmax], brank[:kmax]
+    edges = brank[
+        jnp.searchsorted(
+            bkey, jnp.arange(nb_total + 1, dtype=bkey.dtype),
+            side="left", method="sort",
+        ).clip(0, kmax - 1)
+    ]
+    # Queries past every key: all n particles precede them.
+    edges = jnp.where(
+        jnp.arange(nb_total + 1) > sorted_ids[-1], n, edges
+    ).astype(jnp.int32)
     first = edges[:nb_total]
     counts = edges[1:] - first
     jobs_per_block = (counts + (group - 1)) // group

@@ -216,3 +216,91 @@ def particle_update_channels(ch, params, grid_cfg, elastic_model="corotated"):
         "pos": new_pos, "vel": new_vel, "F": new_f, "affine": affine,
         "phase": new_phase, "dps": new_dps,
     }
+
+
+def particle_update_channels_2d(ch, params, grid_cfg, elastic_model="corotated"):
+    """2D channel-major fused particle update (see particle_update_channels).
+
+    Same physics as particle_update with d=2; the signed channel SVD2
+    (math/svd.py) already carries sign(det F) on the smallest singular
+    value, so the fracture check uses it directly.
+    """
+    from wgsparkl_tpu.math.svd import svd2x2_ch
+    from wgsparkl_tpu.models.drucker_prager import drucker_prager_project_ch2
+    from wgsparkl_tpu.models.elasticity import (
+        kirchoff_stress_corotated_ch2,
+        kirchoff_stress_neo_hookean_ch2,
+    )
+    from wgsparkl_tpu.ops.transfer import DEFAULT_FRICTION
+
+    dt = params.dt
+    h = grid_cfg.cell_width
+    vel = ch["vel"]
+    nrm = ch["normal"]
+    rv = ch["rigid_vel"]
+    sd = ch["sd"]
+
+    # Contact projection (particle_update.wgsl:64-66).
+    penetrating = sd < -0.05 * h
+    rel = [vel[i] - rv[i] for i in range(2)]
+    nv = rel[0] * nrm[0] + rel[1] * nrm[1]
+    tang = [rel[i] - nrm[i] * nv for i in range(2)]
+    tl = jnp.sqrt(tang[0] ** 2 + tang[1] ** 2)
+    inv_tl = jnp.where(tl > 1e-8, 1.0 / jnp.maximum(tl, 1e-30), 0.0)
+    scale = jnp.maximum(0.0, tl + DEFAULT_FRICTION * nv) * inv_tl
+    proj = [jnp.where(nv < 0.0, tang[i] * scale, rel[i]) for i in range(2)]
+    new_vel = [
+        jnp.where(penetrating, rv[i] + proj[i], vel[i]) for i in range(2)
+    ]
+
+    # Velocity clamp (particle_update.wgsl:70-72).
+    speed = jnp.sqrt(new_vel[0] ** 2 + new_vel[1] ** 2)
+    limit = h / dt
+    cl = jnp.where(speed > limit, limit / jnp.maximum(speed, 1e-30), 1.0)
+    new_vel = [v * cl for v in new_vel]
+
+    new_pos = [ch["pos"][i] + new_vel[i] * dt for i in range(2)]
+
+    # Penalty impulse (particle_update.wgsl:79-84).
+    corrected = jnp.maximum(sd, -0.3 * h)
+    pen = dt * -corrected * PENALTY_COEFF
+    new_vel = [
+        jnp.where(penetrating, new_vel[i] + pen * nrm[i], new_vel[i])
+        for i in range(2)
+    ]
+
+    # F += dt grad F.
+    fc, gc = ch["F"], ch["grad"]
+    new_f = {
+        (i, j): fc[(i, j)] + dt * sum(gc[(i, k)] * fc[(k, j)] for k in range(2))
+        for i in range(2)
+        for j in range(2)
+    }
+
+    # Fracture check: signed SVD2 sigmas (sig[1] carries sign det F).
+    check = (ch["phase"] > 0.0) & (ch["stretch"] > 0.0)
+    _, sig, _ = svd2x2_ch(new_f)
+    over = (sig[0] > ch["stretch"]) | (sig[1] > ch["stretch"])
+    new_phase = jnp.where(check & over, 0.0, ch["phase"])
+
+    # Plasticity.
+    dp_state, f_proj = drucker_prager_project_ch2(ch["dp"], ch["dps"], new_f)
+    granular = new_phase == 0.0
+    new_f = {k: jnp.where(granular, f_proj[k], new_f[k]) for k in new_f}
+    new_dps = {
+        k: jnp.where(granular, dp_state[k], ch["dps"][k]) for k in dp_state
+    }
+
+    if elastic_model == "corotated":
+        stress = kirchoff_stress_corotated_ch2(ch["lam"], ch["mu"], new_f)
+    else:
+        stress = kirchoff_stress_neo_hookean_ch2(ch["lam"], ch["mu"], new_f)
+
+    scale_a = ch["vol0"] * inv_d(h) * dt
+    affine = {
+        k: gc[k] * ch["mass"] - stress[k] * scale_a for k in new_f
+    }
+    return {
+        "pos": new_pos, "vel": new_vel, "F": new_f, "affine": affine,
+        "phase": new_phase, "dps": new_dps,
+    }

@@ -105,12 +105,18 @@ def _permute_banded(rows, perm_p, npad: int):
     )(perm_p.reshape(1, npad), rows)
 
 
-def permute_lanes(rows, perm, emax: int = 16384):
+EMAX_LEVELS = (2048, 16384, 65536)
+
+
+def permute_lanes(rows, perm, emax: int = 65536):
     """rows[:, perm] for a [C, NPAD] channel matrix, exact for any perm.
 
     rows: [C, NPAD] f32 (NPAD a multiple of 256); perm: [NPAD] int32 with
-    values in [0, NPAD).  Fast banded path + exception patch; full-gather
-    fallback if more than emax entries displace beyond the band.
+    values in [0, NPAD).  Fast banded path + exception patch (the patch
+    capacity is switched at runtime between EMAX_LEVELS so the common case
+    — a few hundred far movers — pays a tiny gather/scatter, while
+    mass-motion phases with tens of thousands still avoid the serialized
+    full gather); full-gather fallback beyond the largest level.
     """
     c0, npad = rows.shape
     assert npad % CHUNK == 0, (npad, CHUNK)
@@ -118,22 +124,32 @@ def permute_lanes(rows, perm, emax: int = 16384):
     disp = jnp.abs(perm - iota)
     flag = disp > CHUNK
     n_exc = jnp.sum(flag.astype(jnp.int32))
+    levels = tuple(e for e in EMAX_LEVELS if e <= emax) or (emax,)
 
     def banded(rows):
         out = _permute_banded(rows, perm, npad)
         # Far movers: compact (sorted) exception positions, lane-gather the
-        # source columns, lane-scatter into place.  All padded to emax.
+        # source columns, lane-scatter into place.
         keys = jnp.where(flag, iota, npad)
-        exc_pos = jax.lax.sort(keys)[:emax]
-        valid = exc_pos < npad
-        src = perm[jnp.where(valid, exc_pos, 0)]
-        exc_cols = jnp.take(rows, src, axis=1)                 # [C, emax]
-        idx = jnp.where(valid, exc_pos, npad)                  # pad -> dropped
-        return out.at[:, idx].set(exc_cols, mode="drop")
+        exc_sorted = jax.lax.sort(keys)
+
+        def patch(cap):
+            def br(out):
+                exc_pos = exc_sorted[:cap]
+                valid = exc_pos < npad
+                src = perm[jnp.where(valid, exc_pos, 0)]
+                exc_cols = jnp.take(rows, src, axis=1)         # [C, cap]
+                idx = jnp.where(valid, exc_pos, npad)          # pad -> drop
+                return out.at[:, idx].set(exc_cols, mode="drop")
+
+            return br
+
+        level = sum((n_exc > e).astype(jnp.int32) for e in levels[:-1])
+        return jax.lax.switch(level, [patch(e) for e in levels], out)
 
     def full(rows):
         # Row-major gather (serialized per index, but each index moves a
         # whole 4*C-byte row) — the minor-axis take form is ~10x slower.
         return jnp.take(rows.T, perm, axis=0).T
 
-    return jax.lax.cond(n_exc <= emax, banded, full, rows)
+    return jax.lax.cond(n_exc <= levels[-1], banded, full, rows)

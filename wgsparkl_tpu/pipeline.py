@@ -315,19 +315,26 @@ def substep_pallas(
     cfg: MpmConfig,
     axis_name: Optional[str] = None,
 ) -> SimState:
-    """One MPM substep with Pallas transfer kernels (3D only; the hot path).
+    """One MPM substep with Pallas transfer kernels (the hot path; 3D and 2D).
 
     Wrapper over the channel-major core `_substep_pallas_rows`: packs the
     state into one [PCHAN, NPAD] row matrix, steps, unpacks.  Frame loops
     go through `step` / `step_pallas`, which carry the rows through the
     whole substep lax.scan and pack/unpack ONCE per frame.
     """
-    from wgsparkl_tpu.ops import pallas_transfer as ptf
+    if state.particles.dim == 2:
+        from wgsparkl_tpu.ops import pallas_transfer2d as ptf
+
+        core = _substep_pallas_rows_2d
+    else:
+        from wgsparkl_tpu.ops import pallas_transfer as ptf
+
+        core = _substep_pallas_rows
 
     n = state.particles.count
     npad = pallas_npad(n, cfg.group)
     rows = ptf.pack_rows_padded(state.particles, state.models, npad)
-    rows, bodies = _substep_pallas_rows(
+    rows, bodies = core(
         rows, state.bodies, state.meshes, params, cfg, n, axis_name
     )
     particles, models = ptf.unpack_state_rows(
@@ -347,7 +354,14 @@ def step_pallas(
     """A frame of pallas substeps with the [PCHAN, NPAD] channel matrix as
     the scan carry — per-particle state never leaves channel-major layout
     between substeps (no per-substep pack/unpack/[N,3] transposes)."""
-    from wgsparkl_tpu.ops import pallas_transfer as ptf
+    if state.particles.dim == 2:
+        from wgsparkl_tpu.ops import pallas_transfer2d as ptf
+
+        core = _substep_pallas_rows_2d
+    else:
+        from wgsparkl_tpu.ops import pallas_transfer as ptf
+
+        core = _substep_pallas_rows
 
     n = state.particles.count
     npad = pallas_npad(n, cfg.group)
@@ -355,7 +369,7 @@ def step_pallas(
 
     def body(carry, _):
         rows, bodies = carry
-        rows, bodies = _substep_pallas_rows(
+        rows, bodies = core(
             rows, bodies, state.meshes, params, cfg, n, axis_name
         )
         return (rows, bodies), None
@@ -640,6 +654,238 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         + [sd_ch]
         + rv_ch
         + [rows_all[r] for r in range(ptf.R_RV0 + 3, ptf.PCHAN)]
+    )
+    rows_out = jnp.stack(new_rows, axis=0)
+
+    bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
+    return rows_out, bodies
+
+
+def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
+                            n: int, axis_name: Optional[str] = None):
+    """2D channel-major substep core (see _substep_pallas_rows; 2D kernel
+    family in ops/pallas_transfer2d.py: 8x8 blocks, 10^2 windows)."""
+    from wgsparkl_tpu.ops import blocked as bk
+    from wgsparkl_tpu.ops import pallas_transfer2d as ptf
+    from wgsparkl_tpu.ops.kernel import inv_d as inv_d_fn
+    from wgsparkl_tpu.ops.permute import permute_lanes
+
+    nc = cfg.num_colliders
+    grid = cfg.grid
+    d = 2
+    nb = bk.num_blocks(grid)
+    nb_total = int(np.prod(nb))
+    bs = bk.block_size(d)
+    group = cfg.group
+    npad = rows_all.shape[1]
+
+    bodies = body_mod.update_world_mass_properties(bodies)
+
+    # --- sort phase ---
+    lane = jnp.arange(npad, dtype=jnp.int32)
+    bids = bk.particle_block_ids_ch([rows_all[0], rows_all[1]], grid)
+    bids = jnp.where(lane < n, bids, nb_total + 1)
+    still_sorted = jnp.all(bids[1:] >= bids[:-1])
+
+    def keep(args):
+        return args
+
+    def resort(args):
+        rows, keys = args
+        sids, perm = jax.lax.sort((keys, lane), num_keys=1)
+        return permute_lanes(rows, perm), sids
+
+    rows_all, sorted_ids = jax.lax.cond(
+        still_sorted, keep, resort, (rows_all, bids)
+    )
+
+    jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
+    covered_end = jnp.max(
+        jnp.where(jobs["len"] > 0, jobs["start"] + jobs["len"], 0)
+    )
+    ig = (sorted_ids < nb_total) & (lane < covered_end)
+    starts = jnp.where(
+        jobs["len"] > 0, jnp.minimum(jobs["start"], npad - group), npad - group
+    )
+    jobs = {"start": starts, "len": jobs["len"], "block": jobs["block"]}
+    blk_coords = bk.block_coords_of(jobs["block"], nb)
+    bcells = blk_coords * bs + jnp.asarray(grid.origin_cell, jnp.int32)
+    nbr = jnp.asarray(bk.neighbor_block_table(nb))
+    band_lo, bands_ok = bk.band_info(
+        jobs["block"], nb_total, cfg.band, cfg.band_chunk
+    )
+
+    def gather_tiles(grid_arr):
+        return bk.gather_tiles_auto(
+            grid_arr, jobs["block"], band_lo, bands_ok, nbr, nb, d,
+            cfg.band, cfg.band_chunk,
+        )
+
+    pdata = rows_all[: ptf.NCHAN]
+    wvol = ptf.WVOL
+
+    # --- CDF phase ---
+    if nc > 0:
+        state_view = SimState(particles=None, models=None, bodies=bodies,
+                              meshes=meshes)
+        node_dist, node_aff, node_closest = _node_cdf_full(
+            state_view, bodies, cfg
+        )
+        aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
+        aff_hi = (node_aff >> 16).astype(jnp.float32)
+        chan = jnp.stack(
+            [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist],
+            axis=-1,
+        )
+        chan_grid = _to_blocks(chan, grid, 0.0)
+        chan_grid = chan_grid.at[-1, ..., 2].set(-1.0)
+        tiles4 = gather_tiles(chan_grid).reshape(-1, wvol, 4)
+        ntiles = jnp.pad(tiles4, ((0, 0), (0, ptf.WPAD - wvol), (0, 0)))
+        jbody = jnp.any(
+            (tiles4[..., 0] + tiles4[..., 1] > 0.0) | (tiles4[..., 2] >= 0.0),
+            axis=1,
+        ).astype(jnp.int32)
+
+        krows = ptf.pcdf_rows(
+            pdata, ntiles, jobs, bcells, grid, group, npad, nc, jbody
+        )
+        aff_u = jnp.where(
+            ig, jax.lax.bitcast_convert_type(krows[0, :npad], jnp.uint32),
+            jnp.uint32(0),
+        )
+        sd_ch = jnp.where(ig, krows[1, :npad], 0.0)
+        n_ch = [jnp.where(ig, krows[2 + k, :npad], 0.0) for k in range(2)]
+        pdata = jax.lax.dynamic_update_slice(
+            pdata,
+            jnp.concatenate([krows[0:1, :npad], krows[2:4, :npad]], axis=0),
+            (ptf.AFF, 0),
+        )
+
+        aff_w = (
+            tiles4[..., 1].astype(jnp.int32) << 16
+        ) | tiles4[..., 0].astype(jnp.int32)
+        closest_w = tiles4[..., 2].astype(jnp.int32)
+        itiles = jnp.stack([aff_w, closest_w], axis=-1)
+        itiles = jnp.pad(itiles, ((0, 0), (0, ptf.WPAD - wvol), (0, 0)))
+    else:
+        maxj = cfg.max_jobs
+        itiles = jnp.zeros((maxj, ptf.WPAD, 2), jnp.int32)
+        jbody = None
+        aff_u = jnp.zeros((npad,), jnp.uint32)
+        sd_ch = jnp.zeros((npad,), jnp.float32)
+        n_ch = [jnp.zeros((npad,), jnp.float32) for _ in range(2)]
+
+    # --- P2G ---
+    # 2D body table: rows 0-1 world COM, 2-3 linvel, 4 angvel (scalar).
+    btable = jnp.zeros((8, 128), jnp.float32)
+    btable = btable.at[0:2, : bodies.count].set(bodies.world_com.T)
+    btable = btable.at[2:4, : bodies.count].set(bodies.linvel.T)
+    btable = btable.at[4:5, : bodies.count].set(bodies.angvel.T)
+    mm_out, imp_out = ptf.p2g_tiles(
+        pdata, itiles, btable, jobs, bcells, grid, group, nc, jbody
+    )
+    mm_tiles = mm_out[:, :wvol, : d + 1]
+    grid_mm = jnp.zeros((nb_total + 1,) + (bs,) * d + (d + 1,), jnp.float32)
+    grid_mm = bk.scatter_tiles_auto(
+        grid_mm, mm_tiles.reshape((-1,) + (10,) * d + (d + 1,)),
+        jobs["block"], band_lo, bands_ok, nbr, nb, d, cfg.band,
+        cfg.band_chunk,
+    )
+
+    imp_sum = jnp.sum(imp_out, axis=0)                          # [8, 128]
+    lin_imp = imp_sum[0:2, : bodies.count].T
+    ang_imp = imp_sum[2:3, : bodies.count].T
+
+    if axis_name is not None:
+        grid_mm = jax.lax.psum(grid_mm, axis_name)
+        lin_imp = jax.lax.psum(lin_imp, axis_name)
+        ang_imp = jax.lax.psum(ang_imp, axis_name)
+
+    # --- grid update ---
+    mass_b = grid_mm[..., d:]
+    inv_mass = jnp.where(mass_b > 0.0, 1.0 / jnp.maximum(mass_b, 1e-30), 0.0)
+    vel_b = (grid_mm[..., :d] + mass_b * params.gravity * params.dt) * inv_mass
+    vel_limit = grid.cell_width / params.dt
+    vel_b = jnp.clip(vel_b, -vel_limit, vel_limit)
+
+    # --- G2P ---
+    v_tiles = gather_tiles(vel_b).reshape(-1, wvol, 2)
+    f_tiles = jnp.pad(v_tiles, ((0, 0), (0, ptf.WPAD - wvol), (0, 2)))
+    krows = ptf.g2p_rows(
+        pdata, f_tiles, itiles, btable, jobs, bcells, grid, group, npad, nc,
+        jbody,
+    )
+
+    # --- fused particle update, channel-major ---
+    from wgsparkl_tpu.ops.particle_update import particle_update_channels_2d
+
+    inv_d_val = inv_d_fn(grid.cell_width)
+    pos_ch = [rows_all[k] for k in range(2)]
+    v_ch = [jnp.where(ig, krows[k, :npad], 0.0) for k in range(2)]
+    grad_ch = {
+        (i, k): jnp.where(
+            ig,
+            inv_d_val * (krows[2 + 2 * i + k, :npad] - v_ch[i] * pos_ch[k]),
+            0.0,
+        )
+        for i in range(2)
+        for k in range(2)
+    }
+    f_ch = {
+        (i, k): rows_all[ptf.R_F0 + 2 * i + k]
+        for i in range(2)
+        for k in range(2)
+    }
+
+    # Rigid contact velocity, channel form (2D: scalar angular velocity).
+    rv_ch = [jnp.zeros((npad,), jnp.float32) for _ in range(2)]
+    for b in range(nc):
+        has = ((aff_u >> b) & 1) != 0
+        lin = bodies.linvel[b]
+        ang = bodies.angvel[b, 0]
+        com = bodies.world_com[b]
+        rel = [pos_ch[k] - com[k] for k in range(2)]
+        bvb = [lin[0] - ang * rel[1], lin[1] + ang * rel[0]]
+        rv_ch = [rv_ch[k] + jnp.where(has, bvb[k], 0.0) for k in range(2)]
+
+    ch = {
+        "pos": pos_ch,
+        "vel": v_ch,
+        "grad": grad_ch,
+        "F": f_ch,
+        "sd": sd_ch,
+        "normal": n_ch,
+        "rigid_vel": rv_ch,
+        "mass": rows_all[ptf.PM],
+        "vol0": rows_all[ptf.R_VOL],
+        "lam": rows_all[ptf.R_LAM],
+        "mu": rows_all[ptf.R_MU],
+        "dp": {
+            k: rows_all[ptf.R_DP0 + i] for i, k in enumerate(ptf.DP_KEYS)
+        },
+        "dps": {
+            k: rows_all[ptf.R_DPS0 + i] for i, k in enumerate(ptf.DPS_KEYS)
+        },
+        "phase": rows_all[ptf.R_PHASE],
+        "stretch": rows_all[ptf.R_STRETCH],
+    }
+    out = particle_update_channels_2d(ch, params, grid, cfg.elastic_model)
+
+    new_rows = (
+        out["pos"] + out["vel"] + [rows_all[ptf.PM]]
+        + [out["affine"][(i, k)] for i in range(2) for k in range(2)]
+        + [jax.lax.bitcast_convert_type(aff_u, jnp.float32)]
+        + n_ch
+        + [rows_all[r] for r in range(12, 16)]
+        + [rows_all[ptf.R_LAM], rows_all[ptf.R_MU]]
+        + [rows_all[ptf.R_DP0 + i] for i in range(len(ptf.DP_KEYS))]
+        + [out["dps"][k] for k in ptf.DPS_KEYS]
+        + [out["phase"], rows_all[ptf.R_STRETCH]]
+        + [out["F"][(i, k)] for i in range(2) for k in range(2)]
+        + [rows_all[ptf.R_VOL], rows_all[ptf.R_RAD], rows_all[ptf.R_IDS]]
+        + [sd_ch]
+        + rv_ch
+        + [rows_all[r] for r in range(ptf.R_RV0 + 2, ptf.PCHAN)]
     )
     rows_out = jnp.stack(new_rows, axis=0)
 
