@@ -74,13 +74,25 @@ def main():
     total_steps = frames * substeps
     steps_per_s = total_steps / elapsed
     pups = steps_per_s * n  # particle-updates per second per chip
+    # Rough useful-FLOP estimate per particle-update (transfer matmuls +
+    # SVD/stress chain, ~30 kFLOP) vs one v5e chip's ~197 bf16 TFLOP/s.
+    mfu = pups * 3.0e4 / 197e12
     print(
         f"{total_steps} substeps in {elapsed:.2f}s -> {steps_per_s:.2f} steps/s, "
-        f"{pups/1e6:.1f}M particle-updates/s",
+        f"{pups/1e6:.1f}M particle-updates/s (~{mfu*100:.2f}% est. MFU)",
         file=sys.stderr,
     )
     pos = np.asarray(state.particles.pos)
     assert np.isfinite(pos).all(), "non-finite positions in bench run"
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_HISTORY.jsonl"),
+                  "a") as f:
+            f.write(json.dumps({
+                "ts": time.time(), "particles": n, "steps_per_s": steps_per_s,
+                "pups_per_s": pups, "compile_s": round(compile_s, 1),
+            }) + "\n")
+    except OSError:
+        pass
 
     print(
         json.dumps(

@@ -116,6 +116,51 @@ def particle_block_ids_ch(pch, cfg: GridConfig):
     return jnp.where(ok, flat, int(np.prod(nb)))
 
 
+def particle_sort_keys_ch(pch, cfg: GridConfig):
+    """Gravity-fastest block SORT KEY (a bijection of the flat block id).
+
+    3D keys enumerate blocks in (x, z, y) order — y (the gravity axis in
+    every scene) fastest — so the dominant vertical motion displaces sorted
+    ranks by ~one block extent instead of a whole z-row (the banded lane
+    permutation in ops/permute.py then captures nearly all movers in-band;
+    with the storage (x, y, z) order, mass settling/falling pushed >5% of
+    particles past any reasonable band every substep).  2D storage order is
+    already gravity-fastest.  Out-of-grid lanes get nb_total, as in
+    particle_block_ids_ch.  Convert job keys back with key_to_block.
+    """
+    d = len(pch)
+    bs = block_size(d)
+    nb = num_blocks(cfg)
+    nb_total = int(np.prod(nb))
+    blks, ok = [], None
+    for a in range(d):
+        base = jnp.round(pch[a] / cfg.cell_width).astype(jnp.int32) - 1
+        blk = jnp.floor_divide(base - int(cfg.origin_cell[a]), bs)
+        oka = (blk >= 0) & (blk < nb[a])
+        ok = oka if ok is None else (ok & oka)
+        blks.append(blk)
+    if d == 3:
+        key = (blks[0] * nb[2] + blks[2]) * nb[1] + blks[1]
+    else:
+        key = blks[0] * nb[1] + blks[1]
+    return jnp.where(ok, key, nb_total)
+
+
+def key_to_block(key, nb: Tuple[int, ...], dim: int):
+    """Sort key (particle_sort_keys_ch order) -> storage flat block id.
+
+    Values >= nb_total (overflow/dead) are fixed points."""
+    nb_total = int(np.prod(nb))
+    if dim != 3:
+        return key
+    y = key % nb[1]
+    xz = key // nb[1]
+    z = xz % nb[2]
+    x = xz // nb[2]
+    flat = (x * nb[1] + y) * nb[2] + z
+    return jnp.where(key < nb_total, flat, key)
+
+
 def sort_by_block(state_arrays, block_ids):
     """Sort a pytree of [N, ...] arrays by block id.  Returns (sorted tree,
     sorted_ids, perm) — the TPU replacement of the reference's

@@ -105,10 +105,10 @@ def _permute_banded(rows, perm_p, npad: int):
     )(perm_p.reshape(1, npad), rows)
 
 
-EMAX_LEVELS = (2048, 16384, 65536)
+EMAX_LEVELS = (2048, 16384, 65536, 262144)
 
 
-def permute_lanes(rows, perm, emax: int = 65536):
+def permute_lanes(rows, perm, emax: int = 262144):
     """rows[:, perm] for a [C, NPAD] channel matrix, exact for any perm.
 
     rows: [C, NPAD] f32 (NPAD a multiple of 256); perm: [NPAD] int32 with

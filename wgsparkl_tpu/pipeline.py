@@ -415,7 +415,9 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
 
     # --- sort phase ---
     lane = jnp.arange(npad, dtype=jnp.int32)
-    bids = bk.particle_block_ids_ch(
+    # Gravity-fastest sort keys (bijection of block ids; see
+    # particle_sort_keys_ch) — job block ids convert back below.
+    bids = bk.particle_sort_keys_ch(
         [rows_all[0], rows_all[1], rows_all[2]], grid
     )
     bids = jnp.where(lane < n, bids, nb_total + 1)
@@ -438,6 +440,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     )
 
     jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
+    jobs["block"] = bk.key_to_block(jobs["block"], nb, d)
     # Out-of-grid particles land in the overflow bucket and belong to no job;
     # their kernel output rows are never written and must be masked off.
     # Likewise, on job-table overflow (jobs_needed > max_jobs) the dropped
@@ -683,7 +686,7 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
 
     # --- sort phase ---
     lane = jnp.arange(npad, dtype=jnp.int32)
-    bids = bk.particle_block_ids_ch([rows_all[0], rows_all[1]], grid)
+    bids = bk.particle_sort_keys_ch([rows_all[0], rows_all[1]], grid)
     bids = jnp.where(lane < n, bids, nb_total + 1)
     still_sorted = jnp.all(bids[1:] >= bids[:-1])
 
@@ -700,6 +703,7 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
     )
 
     jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
+    jobs["block"] = bk.key_to_block(jobs["block"], nb, d)
     covered_end = jnp.max(
         jnp.where(jobs["len"] > 0, jobs["start"] + jobs["len"], 0)
     )
