@@ -15,14 +15,17 @@ memory staging, no atomics.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from wgsparkl_tpu.collision.shapes import project_on_boundary
 from wgsparkl_tpu.ops.kernel import stencil_base_and_weights, stencil_offsets
 
-AFFINITY_MASK = jnp.uint32(0x0000FFFF)
+# numpy scalars, NOT jnp arrays: module-level device constants get hoisted
+# into jitted programs as closed-over inputs with fragile liveness (jax 0.9).
+AFFINITY_MASK = np.uint32(0x0000FFFF)
 SIGN_SHIFT = 16
 MAX_COLLIDERS = 16
-NONE = jnp.int32(-1)
+NONE = np.int32(-1)
 BIG = 1.0e10
 
 

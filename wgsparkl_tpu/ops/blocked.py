@@ -161,6 +161,344 @@ def key_to_block(key, nb: Tuple[int, ...], dim: int):
     return jnp.where(key < nb_total, flat, key)
 
 
+# ------------------------------------------------------------ sparse domain
+#
+# Unbounded-domain analogue of the reference's GPU hashmap grid
+# (grid.wgsl:98-164): blocks live anywhere within +-511 block coordinates
+# (+-4088 cells) of the grid origin; per substep the OCCUPIED block set is
+# recovered from the sorted particle keys by boundary compaction, its
+# {0,1}^d neighborhood union forms the ACTIVE table (sorted packed keys),
+# and grid storage is [amax + 1, bs.., C] SLOTS into that table — memory
+# scales with the active-block capacity, not with any bounding box.
+# Key packing is gravity-fastest (x, z, y), like particle_sort_keys_ch.
+
+SPARSE_HALF = 512            # blocks per side around the origin (per axis)
+SPARSE_DIM = 2 * SPARSE_HALF
+# Python int, NOT a jnp scalar: module-level device arrays get hoisted
+# into jitted programs as closed-over buffer inputs whose liveness jax
+# 0.9 tracks fragilely (nondeterministic 'supplied N buffers but
+# compiled program expected M' dispatch failures once several programs
+# share them).
+SPARSE_SENTINEL = 1 << 30              # out-of-range / overflow key
+
+
+def sparse_octant_deltas(dim: int):
+    """Packed-key delta of each {0,1}^d neighbor (static ints)."""
+    if dim == 3:
+        stride = {0: SPARSE_DIM * SPARSE_DIM, 1: 1, 2: SPARSE_DIM}
+    else:
+        stride = {0: SPARSE_DIM, 1: 1}
+    return tuple(
+        sum(e[a] * stride[a] for a in range(dim))
+        for e, _, _ in _octant_slices(dim)
+    )
+
+
+def particle_sparse_keys_ch(pch, cfg: GridConfig):
+    """Packed unbounded block key per lane ((x, z, y) digit order).
+
+    Blocks outside +-(SPARSE_HALF-1) of the origin get SPARSE_SENTINEL
+    (the overflow bucket; diagnostics should report them)."""
+    d = len(pch)
+    bs = block_size(d)
+    digs, ok = [], None
+    for a in range(d):
+        base = jnp.round(pch[a] / cfg.cell_width).astype(jnp.int32) - 1
+        blk = jnp.floor_divide(base - int(cfg.origin_cell[a]), bs)
+        dig = blk + SPARSE_HALF
+        # top digit value reserved so +1 neighbors never wrap a digit.
+        oka = (dig >= 0) & (dig < SPARSE_DIM - 1)
+        ok = oka if ok is None else (ok & oka)
+        digs.append(dig)
+    if d == 3:
+        key = (digs[0] * SPARSE_DIM + digs[2]) * SPARSE_DIM + digs[1]
+    else:
+        key = digs[0] * SPARSE_DIM + digs[1]
+    return jnp.where(ok, key, SPARSE_SENTINEL)
+
+
+def sparse_key_coords(key, dim: int):
+    """Packed key -> spatial block coords [..., d] (relative to the origin
+    cell, in blocks; garbage for sentinel keys)."""
+    if dim == 3:
+        y = key % SPARSE_DIM
+        xz = key // SPARSE_DIM
+        z = xz % SPARSE_DIM
+        x = xz // SPARSE_DIM
+        coords = jnp.stack([x, y, z], axis=-1)
+    else:
+        y = key % SPARSE_DIM
+        x = key // SPARSE_DIM
+        coords = jnp.stack([x, y], axis=-1)
+    return coords - SPARSE_HALF
+
+
+def build_jobs_sparse(sorted_keys, group: int, max_jobs: int, kmax: int):
+    """Job table + occupied-block table from sorted packed keys.
+
+    Returns (jobs dict {key, start, len}, okeys [kmax] sorted occupied keys
+    padded with sentinel, n_occupied scalar).  Dead jobs get key=sentinel.
+    """
+    n = sorted_keys.shape[0]
+    lane = jnp.arange(n, dtype=jnp.int32)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]]
+    )
+    occ = is_first & (sorted_keys < SPARSE_SENTINEL)
+    bkey, brank = jax.lax.sort(
+        (
+            jnp.where(occ, sorted_keys, SPARSE_SENTINEL),
+            jnp.where(occ, lane, n),
+        ),
+        num_keys=1,
+    )
+    bkey, brank = bkey[:kmax], brank[:kmax]
+    valid_blk = bkey < SPARSE_SENTINEL
+    # TRUE distinct-block count (pre-truncation) so kmax overflow — which
+    # silently mis-assigns the truncated tail — is detectable upstream.
+    n_occ = jnp.sum(occ.astype(jnp.int32))
+    # count of block k = next boundary rank - this rank; the rank AFTER the
+    # last occupied block is the first overflow/pad rank — recover it from
+    # the first non-occupied sorted key position.
+    first_over = jnp.searchsorted(
+        sorted_keys, SPARSE_SENTINEL, side="left", method="sort"
+    ).astype(jnp.int32)
+    nxt = jnp.concatenate([brank[1:], jnp.full((1,), n, jnp.int32)])
+    nxt = jnp.where(nxt < n, nxt, first_over)
+    counts = jnp.where(valid_blk, nxt - brank, 0)
+
+    jobs_per_block = (counts + group - 1) // group
+    cum = jnp.cumsum(jobs_per_block)
+    total_jobs = cum[-1]
+    job_idx = jnp.arange(max_jobs, dtype=jnp.int32)
+    jb = jnp.searchsorted(cum, job_idx, side="right", method="sort").astype(
+        jnp.int32
+    )
+    live = job_idx < total_jobs
+    jb_safe = jnp.where(live, jnp.minimum(jb, kmax - 1), 0)
+    prev = jnp.where(jb_safe > 0, cum[jnp.maximum(jb_safe - 1, 0)], 0)
+    rank = job_idx - prev
+    start = brank[jb_safe] + rank * group
+    length = jnp.clip(counts[jb_safe] - rank * group, 0, group)
+    length = jnp.where(live, length, 0)
+    key = jnp.where(live, bkey[jb_safe], SPARSE_SENTINEL)
+    return (
+        {"key": key, "start": start.astype(jnp.int32), "len": length},
+        bkey,
+        n_occ,
+    )
+
+
+def sparse_active_table(okeys, dim: int, amax: int):
+    """Sorted active-slot table: occupied blocks U their +1 neighbors.
+
+    Returns (act [amax] sorted keys padded with sentinel, n_active,
+    overflowed bool — true when distinct active blocks exceed amax)."""
+    deltas = sparse_octant_deltas(dim)
+    cand = jnp.concatenate([okeys + d for d in deltas])
+    cand = jnp.where(cand < SPARSE_SENTINEL, cand, SPARSE_SENTINEL)
+    cand = jax.lax.sort(cand)
+    isf = jnp.concatenate(
+        [jnp.ones((1,), bool), cand[1:] != cand[:-1]]
+    ) & (cand < SPARSE_SENTINEL)
+    n_active = jnp.sum(isf.astype(jnp.int32))
+    act = jax.lax.sort(jnp.where(isf, cand, SPARSE_SENTINEL))[:amax]
+    return act, n_active, n_active > amax
+
+
+def sparse_slots(act, queries, ghost_slot: int):
+    """Slot of each query key in the active table (ghost_slot when absent
+    or sentinel)."""
+    s = jnp.searchsorted(act, queries, side="left", method="sort").astype(
+        jnp.int32
+    )
+    s = jnp.clip(s, 0, act.shape[0] - 1)
+    found = (act[s] == queries) & (queries < SPARSE_SENTINEL)
+    return jnp.where(found, s, ghost_slot)
+
+
+def band_info_slots(tgts, ghost_slot: int, band: int, cj: int):
+    """band_info over an explicit per-octant slot-target matrix [2^d, J]."""
+    j = tgts.shape[1]
+    if j % cj:
+        g = -(-j // cj)
+        return jnp.zeros((g,), jnp.int32), jnp.asarray(False)
+    t = tgts.reshape(tgts.shape[0], -1, cj)
+    nong = t < ghost_slot
+    lo = jnp.min(jnp.where(nong, t, ghost_slot), axis=(0, 2))
+    hi = jnp.max(jnp.where(nong, t, -1), axis=(0, 2))
+    lo = jnp.where(hi < 0, 0, lo)
+    hi = jnp.maximum(hi, lo)
+    bands_ok = jnp.max(hi - lo) < band
+    return lo.astype(jnp.int32), bands_ok
+
+
+def gather_tiles_slots(grid_blocks, tgts, band_lo, bands_ok, dim: int,
+                       band: int, cj: int):
+    """Tile gather with explicit per-octant slot targets [2^d, J].
+
+    Banded when bands_ok (one grid slab per job chunk), full one-hot
+    matmul otherwise.  Ghost slot = last grid row."""
+    nb1 = grid_blocks.shape[0]
+    c = grid_blocks.shape[-1]
+    bs = block_size(dim)
+    wsz = window_size(dim)
+    j = tgts.shape[1]
+    flat_grid = grid_blocks.reshape(nb1, -1)
+    ghost_row = flat_grid[nb1 - 1]
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (cj, min(band, nb1)), 1)
+
+    def assemble(got_fn):
+        tile = jnp.zeros((j,) + (wsz,) * dim + (c,), jnp.float32)
+        for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
+            got = got_fn(oi).reshape((j,) + (bs,) * dim + (c,))
+            if dim == 2:
+                tile = tile.at[
+                    :, starts[0] : starts[0] + sizes[0],
+                    starts[1] : starts[1] + sizes[1],
+                ].set(got[:, : sizes[0], : sizes[1]])
+            else:
+                tile = tile.at[
+                    :, starts[0] : starts[0] + sizes[0],
+                    starts[1] : starts[1] + sizes[1],
+                    starts[2] : starts[2] + sizes[2],
+                ].set(got[:, : sizes[0], : sizes[1], : sizes[2]])
+        return tile
+
+    def full(grid_flat):
+        blk_ids = jax.lax.broadcasted_iota(jnp.int32, (j, nb1), 1)
+
+        def got(oi):
+            onehot = (tgts[oi][:, None] == blk_ids).astype(jnp.float32)
+            return jax.lax.dot_general(
+                onehot, grid_flat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        return assemble(got)
+
+    if j % cj or band >= nb1:
+        return full(flat_grid)
+
+    w2 = min(band, nb1)
+
+    def banded(grid_flat):
+        tg = tgts.reshape(tgts.shape[0], -1, cj)
+
+        def body(_, args):
+            lo, *tchunk = args
+            s = jnp.clip(lo, 0, nb1 - w2)
+            slab = jax.lax.dynamic_slice(
+                grid_flat, (s, 0), (w2, grid_flat.shape[1])
+            )
+            gots = []
+            for oi in range(tgts.shape[0]):
+                t = tchunk[oi]
+                is_ghost = t >= nb1 - 1
+                onehot = ((t[:, None] - s) == lane_b) & ~is_ghost[:, None]
+                got = jax.lax.dot_general(
+                    onehot.astype(jnp.float32), slab,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                gots.append(
+                    got
+                    + is_ghost[:, None].astype(jnp.float32) * ghost_row[None]
+                )
+            return _, jnp.stack(gots)
+
+        _, per_chunk = jax.lax.scan(
+            body, 0, (band_lo,) + tuple(tg[oi] for oi in range(tg.shape[0]))
+        )
+        # per_chunk: [nchunks, 2^d, cj, cols] -> per-octant [J, cols]
+        per_oct = jnp.moveaxis(per_chunk, 1, 0).reshape(
+            tgts.shape[0], j, -1
+        )
+        return assemble(lambda oi: per_oct[oi])
+
+    return jax.lax.cond(bands_ok, banded, full, flat_grid)
+
+
+def scatter_tiles_slots(grid_blocks, tiles, tgts, band_lo, bands_ok,
+                        dim: int, band: int, cj: int):
+    """Tile scatter-add with explicit per-octant slot targets [2^d, J]."""
+    nb1 = grid_blocks.shape[0]
+    bs = block_size(dim)
+    j = tgts.shape[1]
+    flat_grid = grid_blocks.reshape(nb1, -1)
+    cols = flat_grid.shape[1]
+
+    def chunk_of(oi, tile_sel):
+        _, starts, sizes = _octant_slices(dim)[oi]
+        if dim == 2:
+            ch = tile_sel[:, starts[0] : starts[0] + sizes[0],
+                          starts[1] : starts[1] + sizes[1]]
+            pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]), (0, 0))
+        else:
+            ch = tile_sel[:, starts[0] : starts[0] + sizes[0],
+                          starts[1] : starts[1] + sizes[1],
+                          starts[2] : starts[2] + sizes[2]]
+            pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]),
+                   (0, bs - sizes[2]), (0, 0))
+        return jnp.pad(ch, pad).reshape(tile_sel.shape[0], -1)
+
+    def full(grid_flat):
+        blk_ids = jax.lax.broadcasted_iota(jnp.int32, (j, nb1), 1)
+        for oi in range(tgts.shape[0]):
+            onehot = (
+                (tgts[oi][:, None] == blk_ids) & (tgts[oi] < nb1 - 1)[:, None]
+            ).astype(jnp.float32)
+            grid_flat = grid_flat + jax.lax.dot_general(
+                onehot, chunk_of(oi, tiles), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return grid_flat
+
+    if j % cj or band >= nb1:
+        return full(flat_grid).reshape(grid_blocks.shape)
+
+    w2 = min(band, nb1)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (cj, w2), 1)
+    chunks = [
+        chunk_of(oi, tiles).reshape(-1, cj, cols)
+        for oi in range(tgts.shape[0])
+    ]
+    tg = tgts.reshape(tgts.shape[0], -1, cj)
+
+    def banded(grid_flat):
+        def body(grid_flat, args):
+            lo = args[0]
+            tch = args[1 : 1 + tgts.shape[0]]
+            cch = args[1 + tgts.shape[0] :]
+            s = jnp.clip(lo, 0, nb1 - w2)
+            delta = jnp.zeros((w2, cols), jnp.float32)
+            for oi in range(tgts.shape[0]):
+                t = tch[oi]
+                onehot = (
+                    ((t[:, None] - s) == lane_b) & (t < nb1 - 1)[:, None]
+                ).astype(jnp.float32)
+                delta = delta + jax.lax.dot_general(
+                    onehot, cch[oi], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            slab = jax.lax.dynamic_slice(grid_flat, (s, 0), (w2, cols))
+            return (
+                jax.lax.dynamic_update_slice(grid_flat, slab + delta, (s, 0)),
+                None,
+            )
+
+        grid_flat, _ = jax.lax.scan(
+            body, grid_flat,
+            (band_lo,)
+            + tuple(tg[oi] for oi in range(tg.shape[0]))
+            + tuple(chunks),
+        )
+        return grid_flat
+
+    out = jax.lax.cond(bands_ok, banded, full, flat_grid)
+    return out.reshape(grid_blocks.shape)
+
+
 def sort_by_block(state_arrays, block_ids):
     """Sort a pytree of [N, ...] arrays by block id.  Returns (sorted tree,
     sorted_ids, perm) — the TPU replacement of the reference's

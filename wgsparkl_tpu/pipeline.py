@@ -82,6 +82,13 @@ class MpmConfig:
     # exceeding chunks fall back to the full one-hot matmul at runtime.
     band: int = 2048
     band_chunk: int = 128
+    # Sparse/unbounded domain (pallas 3D): blocks live anywhere within
+    # +-511 blocks (+-4088 cells) of grid.origin_cell; grid storage is a
+    # fixed-capacity active-block table (kmax occupied / amax active slots)
+    # rebuilt per substep — memory scales with capacity, not bounding box.
+    sparse: bool = False
+    kmax: int = 0
+    amax: int = 0
     # Rigid-particle mesh colliders (body slots with trimesh/polyline/
     # heightfield shapes; see ops/rigid_cdf.py).
     mesh_cids: Tuple[int, ...] = ()
@@ -326,10 +333,11 @@ def substep_pallas(
         from wgsparkl_tpu.ops import pallas_transfer2d as ptf
 
         core = _substep_pallas_rows_2d
+        assert not cfg.sparse, "sparse domain is 3D-only for now"
     else:
         from wgsparkl_tpu.ops import pallas_transfer as ptf
 
-        core = _substep_pallas_rows
+        core = _substep_pallas_rows_sparse if cfg.sparse else _substep_pallas_rows
 
     n = state.particles.count
     npad = pallas_npad(n, cfg.group)
@@ -358,10 +366,11 @@ def step_pallas(
         from wgsparkl_tpu.ops import pallas_transfer2d as ptf
 
         core = _substep_pallas_rows_2d
+        assert not cfg.sparse, "sparse domain is 3D-only for now"
     else:
         from wgsparkl_tpu.ops import pallas_transfer as ptf
 
-        core = _substep_pallas_rows
+        core = _substep_pallas_rows_sparse if cfg.sparse else _substep_pallas_rows
 
     n = state.particles.count
     npad = pallas_npad(n, cfg.group)
@@ -642,6 +651,277 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     out = particle_update_channels(ch, params, grid, cfg.elastic_model)
 
     # Rebuild the row matrix in layout order — ONE stacked write.
+    new_rows = (
+        out["pos"] + out["vel"] + [rows_all[ptf.PM]]
+        + [out["affine"][(i, k)] for i in range(3) for k in range(3)]
+        + [jax.lax.bitcast_convert_type(aff_u, jnp.float32)]
+        + n_ch
+        + [rows_all[20], rows_all[21], rows_all[22], rows_all[23]]
+        + [rows_all[ptf.R_LAM], rows_all[ptf.R_MU]]
+        + [rows_all[ptf.R_DP0 + i] for i in range(len(ptf.DP_KEYS))]
+        + [out["dps"][k] for k in ptf.DPS_KEYS]
+        + [out["phase"], rows_all[ptf.R_STRETCH]]
+        + [out["F"][(i, k)] for i in range(3) for k in range(3)]
+        + [rows_all[ptf.R_VOL], rows_all[ptf.R_RAD], rows_all[ptf.R_IDS]]
+        + [sd_ch]
+        + rv_ch
+        + [rows_all[r] for r in range(ptf.R_RV0 + 3, ptf.PCHAN)]
+    )
+    rows_out = jnp.stack(new_rows, axis=0)
+
+    bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
+    return rows_out, bodies
+
+
+def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
+                                cfg: MpmConfig, n: int,
+                                axis_name: Optional[str] = None):
+    """Sparse/unbounded-domain 3D substep core (see _substep_pallas_rows).
+
+    The reference's GPU-hashmap sparse grid (grid.wgsl:98-164) rebuilt the
+    TPU way: no hashmap — the sorted particle keys already ARE the occupied
+    block set, recovered by boundary compaction; the active table (occupied
+    U +1 neighbors, sorted packed keys) replaces block ids with SLOTS, and
+    all tile moves address slots through explicit per-octant target arrays.
+    Grid rows = [amax + 1, 4, 4, 4, C] (ghost = amax); node CDF is computed
+    only on active-block nodes (work scales with occupancy, not volume).
+    Capacity overflow (kmax / amax) degrades like job overflow — masked out
+    of transfers — and is reported by diagnostics, never silent-corrupt.
+    """
+    from wgsparkl_tpu.collision import cdf_channel
+    from wgsparkl_tpu.ops import blocked as bk
+    from wgsparkl_tpu.ops import pallas_transfer as ptf
+    from wgsparkl_tpu.ops.kernel import inv_d as inv_d_fn
+    from wgsparkl_tpu.ops.permute import permute_lanes
+
+    assert not cfg.mesh_cids, "sparse domain supports analytic colliders only"
+    nc = cfg.num_colliders
+    grid = cfg.grid
+    d = 3
+    bs = bk.block_size(d)
+    group = cfg.group
+    npad = rows_all.shape[1]
+    kmax = cfg.kmax
+    amax = cfg.amax
+    sent = bk.SPARSE_SENTINEL
+
+    bodies = body_mod.update_world_mass_properties(bodies)
+
+    # --- sort phase (packed unbounded keys; gravity-fastest digit order) ---
+    lane = jnp.arange(npad, dtype=jnp.int32)
+    bids = bk.particle_sparse_keys_ch(
+        [rows_all[0], rows_all[1], rows_all[2]], grid
+    )
+    bids = jnp.where(lane < n, bids, sent + 1)
+    still_sorted = jnp.all(bids[1:] >= bids[:-1])
+
+    def keep(args):
+        return args
+
+    def resort(args):
+        rows, keys = args
+        sids, perm = jax.lax.sort((keys, lane), num_keys=1)
+        return permute_lanes(rows, perm), sids
+
+    rows_all, sorted_ids = jax.lax.cond(
+        still_sorted, keep, resort, (rows_all, bids)
+    )
+
+    jobs, okeys, n_occ = bk.build_jobs_sparse(
+        sorted_ids, group, cfg.max_jobs, kmax
+    )
+    act, n_active, act_over = bk.sparse_active_table(okeys, d, amax)
+    deltas = bk.sparse_octant_deltas(d)
+    tgts = jnp.stack(
+        [bk.sparse_slots(act, jobs["key"] + dl, amax) for dl in deltas]
+    )                                                           # [8, MAXJ]
+
+    covered_end = jnp.max(
+        jnp.where(jobs["len"] > 0, jobs["start"] + jobs["len"], 0)
+    )
+    ig = (sorted_ids < sent) & (lane < covered_end)
+    starts = jnp.where(
+        jobs["len"] > 0, jnp.minimum(jobs["start"], npad - group), npad - group
+    )
+    jobs = {"start": starts, "len": jobs["len"], "key": jobs["key"]}
+    bcells = (
+        bk.sparse_key_coords(jobs["key"], d) * bs
+        + jnp.asarray(grid.origin_cell, jnp.int32)
+    )
+    band_lo, bands_ok = bk.band_info_slots(
+        tgts, amax, cfg.band, cfg.band_chunk
+    )
+
+    def gather_tiles(grid_arr):
+        return bk.gather_tiles_slots(
+            grid_arr, tgts, band_lo, bands_ok, d, cfg.band, cfg.band_chunk
+        )
+
+    pdata = rows_all[: ptf.NCHAN]
+
+    # --- CDF phase: analytic node CDF on ACTIVE nodes only ---
+    if nc > 0:
+        acoords = bk.sparse_key_coords(act, d)                  # [amax, 3]
+        cell_off = jnp.stack(
+            jnp.meshgrid(*([jnp.arange(bs)] * d), indexing="ij"), -1
+        ).reshape(-1, d)                                        # [64, 3]
+        cells = (
+            acoords[:, None, :] * bs
+            + jnp.asarray(grid.origin_cell, jnp.int32)
+            + cell_off[None, :, :]
+        )                                                        # [amax,64,3]
+        npos = cells.astype(jnp.float32) * grid.cell_width
+        npx = npos[..., 0].reshape(-1)
+        npy = npos[..., 1].reshape(-1)
+        npz = npos[..., 2].reshape(-1)
+        node_dist, node_aff, node_closest = cdf_channel.node_cdf_channels(
+            cfg.collider_types, bodies.shape_params, bodies.rot, bodies.pos,
+            (npx, npy, npz), grid.cell_width,
+        )
+        aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
+        aff_hi = (node_aff >> 16).astype(jnp.float32)
+        chan = jnp.stack(
+            [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist],
+            axis=-1,
+        ).reshape((amax,) + (bs,) * d + (4,))
+        ghost = jnp.zeros((1,) + (bs,) * d + (4,), jnp.float32)
+        ghost = ghost.at[..., 2].set(-1.0)
+        chan_grid = jnp.concatenate([chan, ghost], axis=0)
+        tiles4 = gather_tiles(chan_grid).reshape(-1, 216, 4)
+        ntiles = jnp.pad(tiles4, ((0, 0), (0, ptf.WPAD - 216), (0, 0)))
+        jbody = jnp.any(
+            (tiles4[..., 0] + tiles4[..., 1] > 0.0) | (tiles4[..., 2] >= 0.0),
+            axis=1,
+        ).astype(jnp.int32)
+
+        from wgsparkl_tpu.ops import pallas_cdf
+
+        krows = pallas_cdf.pcdf_rows(
+            pdata, ntiles, jobs, bcells, grid, group, npad, nc, jbody
+        )
+        aff_u = jnp.where(
+            ig, jax.lax.bitcast_convert_type(krows[0, :npad], jnp.uint32),
+            jnp.uint32(0),
+        )
+        sd_ch = jnp.where(ig, krows[1, :npad], 0.0)
+        n_ch = [jnp.where(ig, krows[2 + k, :npad], 0.0) for k in range(3)]
+        pdata = jax.lax.dynamic_update_slice(
+            pdata,
+            jnp.concatenate([krows[0:1, :npad], krows[2:5, :npad]], axis=0),
+            (ptf.AFF, 0),
+        )
+
+        aff_w = (
+            tiles4[..., 1].astype(jnp.int32) << 16
+        ) | tiles4[..., 0].astype(jnp.int32)
+        closest_w = tiles4[..., 2].astype(jnp.int32)
+        itiles = jnp.stack([aff_w, closest_w], axis=-1)
+        itiles = jnp.pad(itiles, ((0, 0), (0, ptf.WPAD - 216), (0, 0)))
+    else:
+        maxj = cfg.max_jobs
+        itiles = jnp.zeros((maxj, ptf.WPAD, 2), jnp.int32)
+        jbody = None
+        aff_u = jnp.zeros((npad,), jnp.uint32)
+        sd_ch = jnp.zeros((npad,), jnp.float32)
+        n_ch = [jnp.zeros((npad,), jnp.float32) for _ in range(3)]
+
+    # --- P2G ---
+    btable = jnp.zeros((16, 128), jnp.float32)
+    btable = btable.at[0:3, : bodies.count].set(bodies.world_com.T)
+    btable = btable.at[3:6, : bodies.count].set(bodies.linvel.T)
+    btable = btable.at[6:9, : bodies.count].set(bodies.angvel.T)
+    mm_out, imp_out = ptf.p2g_tiles(
+        pdata, itiles, btable, jobs, bcells, grid, group, nc, jbody
+    )
+    mm_tiles = mm_out[:, :216, :4]
+    grid_mm = jnp.zeros((amax + 1,) + (bs,) * d + (d + 1,), jnp.float32)
+    grid_mm = bk.scatter_tiles_slots(
+        grid_mm, mm_tiles.reshape((-1,) + (6,) * d + (d + 1,)),
+        tgts, band_lo, bands_ok, d, cfg.band, cfg.band_chunk,
+    )
+
+    imp_sum = jnp.sum(imp_out, axis=0)
+    lin_imp = imp_sum[0:3, : bodies.count].T
+    ang_imp = imp_sum[3:6, : bodies.count].T
+
+    if axis_name is not None:
+        grid_mm = jax.lax.psum(grid_mm, axis_name)
+        lin_imp = jax.lax.psum(lin_imp, axis_name)
+        ang_imp = jax.lax.psum(ang_imp, axis_name)
+
+    # --- grid update ---
+    mass_b = grid_mm[..., d:]
+    inv_mass = jnp.where(mass_b > 0.0, 1.0 / jnp.maximum(mass_b, 1e-30), 0.0)
+    vel_b = (grid_mm[..., :d] + mass_b * params.gravity * params.dt) * inv_mass
+    vel_limit = grid.cell_width / params.dt
+    vel_b = jnp.clip(vel_b, -vel_limit, vel_limit)
+
+    # --- G2P ---
+    v_tiles = gather_tiles(vel_b).reshape(-1, 216, 3)
+    f_tiles = jnp.pad(v_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 1)))
+    krows = ptf.g2p_rows(
+        pdata, f_tiles, itiles, btable, jobs, bcells, grid, group, npad, nc,
+        jbody,
+    )
+
+    # --- fused particle update (identical to the bounded core) ---
+    from wgsparkl_tpu.ops.particle_update import particle_update_channels
+
+    inv_d_val = inv_d_fn(grid.cell_width)
+    pos_ch = [rows_all[k] for k in range(3)]
+    v_ch = [jnp.where(ig, krows[k, :npad], 0.0) for k in range(3)]
+    grad_ch = {
+        (i, k): jnp.where(
+            ig,
+            inv_d_val * (krows[3 + 3 * i + k, :npad] - v_ch[i] * pos_ch[k]),
+            0.0,
+        )
+        for i in range(3)
+        for k in range(3)
+    }
+    f_ch = {
+        (i, k): rows_all[ptf.R_F0 + 3 * i + k]
+        for i in range(3)
+        for k in range(3)
+    }
+
+    rv_ch = [jnp.zeros((npad,), jnp.float32) for _ in range(3)]
+    for b in range(nc):
+        has = ((aff_u >> b) & 1) != 0
+        lin = bodies.linvel[b]
+        ang = bodies.angvel[b]
+        com = bodies.world_com[b]
+        rel = [pos_ch[k] - com[k] for k in range(3)]
+        bvb = [
+            lin[0] + ang[1] * rel[2] - ang[2] * rel[1],
+            lin[1] + ang[2] * rel[0] - ang[0] * rel[2],
+            lin[2] + ang[0] * rel[1] - ang[1] * rel[0],
+        ]
+        rv_ch = [rv_ch[k] + jnp.where(has, bvb[k], 0.0) for k in range(3)]
+
+    ch = {
+        "pos": pos_ch,
+        "vel": v_ch,
+        "grad": grad_ch,
+        "F": f_ch,
+        "sd": sd_ch,
+        "normal": n_ch,
+        "rigid_vel": rv_ch,
+        "mass": rows_all[ptf.PM],
+        "vol0": rows_all[ptf.R_VOL],
+        "lam": rows_all[ptf.R_LAM],
+        "mu": rows_all[ptf.R_MU],
+        "dp": {
+            k: rows_all[ptf.R_DP0 + i] for i, k in enumerate(ptf.DP_KEYS)
+        },
+        "dps": {
+            k: rows_all[ptf.R_DPS0 + i] for i, k in enumerate(ptf.DPS_KEYS)
+        },
+        "phase": rows_all[ptf.R_PHASE],
+        "stretch": rows_all[ptf.R_STRETCH],
+    }
+    out = particle_update_channels(ch, params, grid, cfg.elastic_model)
+
     new_rows = (
         out["pos"] + out["vel"] + [rows_all[ptf.PM]]
         + [out["affine"][(i, k)] for i in range(3) for k in range(3)]
@@ -1085,6 +1365,9 @@ class MpmData:
         max_jobs: int = 0,
         coupling: Optional[Sequence[int]] = None,
         body_contacts: bool = True,
+        sparse: bool = False,
+        kmax: int = 0,
+        amax: int = 0,
     ):
         """coupling: per-body COUPLING_ONE_WAY / COUPLING_TWO_WAY list
         (with_select_coupling parity, pipeline.rs:130-168); default = all
@@ -1161,6 +1444,13 @@ class MpmData:
             if sample_max_jobs % sample_chunk:
                 sample_max_jobs += sample_chunk - sample_max_jobs % sample_chunk
 
+        if sparse:
+            assert transfer == "pallas", "sparse domain needs transfer='pallas'"
+            if kmax == 0:
+                kmax = max_jobs
+            if amax == 0:
+                amax = 4 * kmax
+            amax = -(-amax // 8) * 8
         dynamic_slots = tuple(
             i for i, b in enumerate(bodies) if b.body_type == "dynamic"
         )
@@ -1184,6 +1474,9 @@ class MpmData:
             sample_group=sample_group,
             sample_chunk=sample_chunk,
             sample_max_jobs=sample_max_jobs,
+            sparse=sparse,
+            kmax=kmax,
+            amax=amax,
         )
         self.state = SimState(
             particles=particles,
