@@ -113,3 +113,86 @@ def test_health_diagnostics():
     rep2 = diagnostics.check(data2)
     assert rep2.job_overflow and not rep2.ok
     assert "OVERFLOW" in rep2.summary()
+
+
+def test_spatial_sharding_matches_single_device():
+    """Spatial x-slab decomposition: halo-plane grid exchange + particle
+    migration under shard_map vs the same scene on one device.  The scene
+    gives particles lateral velocity so slab crossings (migration) happen.
+    """
+    import numpy as np
+
+    from wgsparkl_tpu.grid import GridConfig
+    from wgsparkl_tpu.models.drucker_prager import (
+        DruckerPrager,
+        drucker_prager_arrays,
+    )
+    from wgsparkl_tpu.models.elasticity import ElasticCoefficients
+    from wgsparkl_tpu.params import SimulationParams
+    from wgsparkl_tpu.parallel import shard_state_spatial, spatial_config
+    from wgsparkl_tpu.pipeline import MpmData, RigidBodyDesc, step_pallas
+    from wgsparkl_tpu.collision.shapes import Collider
+    from wgsparkl_tpu.solver import Models, Particles
+
+    rng = np.random.default_rng(7)
+    n_dev = 2
+    # from_bounds pads to 10 x-blocks -> 5 per device on 2 devices.
+    grid = GridConfig.from_bounds(
+        np.array([0.0, 0.0, 0.0]), np.array([32.0, 16.0, 8.0]), 1.0
+    )
+    xs = np.arange(24) * 0.5 + 10.0
+    ys = np.arange(8) * 0.5 + 2.0
+    zs = np.arange(8) * 0.5 + 2.0
+    pos = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), -1).reshape(-1, 3)
+    n = len(pos)
+    vel = np.zeros((n, 3), np.float32)
+    vel[:, 0] = rng.uniform(-12.0, 12.0, n)   # lateral slab-crossing motion
+    particles = Particles.from_arrays(
+        pos.astype(np.float32), vel, density=1000.0, radius=0.25
+    )
+    # Pure elastic (no Drucker-Prager): the plastic return map's discrete
+    # case switches amplify the 1-ulp halo-reassociation roundoff into
+    # visible divergence; elastic dynamics keep it at roundoff level.
+    elast = ElasticCoefficients.from_young_modulus(1.0e6, 0.2)
+    dpm = drucker_prager_arrays([DruckerPrager.disabled()])
+    dp = {k: np.full(n, v[0]) for k, v in dpm.items()}
+    models = Models.from_arrays(
+        n, elast.lam, elast.mu, dp=dp, phase=np.ones(n, np.float32)
+    )
+    bodies = [RigidBodyDesc(Collider.cuboid(40.0, 1.0, 40.0), (16.0, -0.9, 4.0))]
+    params = SimulationParams.new(
+        dt=2e-3, gravity=np.array([0.0, -9.81, 0.0])
+    )
+    data = MpmData(params, particles, models, bodies, 1.0, grid=grid,
+                   transfer="pallas", group=64, job_chunk=8)
+
+    # single-device reference
+    ref = jax.jit(
+        lambda s, p: step_pallas(s, p, data.config, 12)
+    )(data.state, data.params)
+
+    cfg_sp = spatial_config(data.config, n_dev, migration_cap=512)
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("dp",))
+    sharded = shard_state_spatial(data.state, mesh, cfg_sp)
+    from wgsparkl_tpu.parallel import make_sharded_step
+
+    stepper = make_sharded_step(cfg_sp, mesh, num_substeps=12)
+    out = stepper(sharded, data.params)
+
+    # compare by particle identity; dead padding (id -1 / mass 0) excluded.
+    oid = np.asarray(out.particles.ids)
+    om = np.asarray(out.particles.mass)
+    live = (oid >= 0) & (om > 0)
+    assert live.sum() == n, (int(live.sum()), n)  # nobody lost to overflow
+    op = np.asarray(out.particles.pos)[live]
+    ov = np.asarray(out.particles.vel)[live]
+    osort = np.argsort(oid[live])
+    rsort = np.argsort(np.asarray(ref.particles.ids))
+    # different job partitions -> different f32 summation orders; allow
+    # roundoff-level divergence amplified over 12 plastic substeps.
+    np.testing.assert_allclose(
+        op[osort], np.asarray(ref.particles.pos)[rsort], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        ov[osort], np.asarray(ref.particles.vel)[rsort], atol=1e-3
+    )

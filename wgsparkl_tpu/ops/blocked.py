@@ -572,14 +572,20 @@ def build_jobs(sorted_ids, nb_total: int, group: int, max_jobs: int):
         [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
     )
     # Boundary (key, rank) pairs packed to the front; non-boundaries -> tail.
+    # The pad sentinel must sort strictly AFTER every data key — data may
+    # legitimately contain nb_total (overflow bucket) and nb_total + 1
+    # (dead-lane key); colliding with them interleaves pads among real
+    # boundaries and explodes the last occupied block's count over the
+    # dead region (ghost jobs).
+    pad_key = nb_total + 2
     bkey, brank = jax.lax.sort(
         (
-            jnp.where(is_first, sorted_ids, nb_total + 1),
+            jnp.where(is_first, jnp.minimum(sorted_ids, pad_key - 1), pad_key),
             jnp.where(is_first, lane, n),
         ),
         num_keys=1,
     )
-    kmax = min(nb_total + 2, n)
+    kmax = min(nb_total + 3, n)
     bkey, brank = bkey[:kmax], brank[:kmax]
     edges = brank[
         jnp.searchsorted(

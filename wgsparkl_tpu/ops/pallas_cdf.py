@@ -263,10 +263,10 @@ def pcdf_rows(pdata, ntiles, jobs, bcells, cfg: GridConfig, group: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, NCHAN, gl), jnp.float32),
+            pltpu.VMEM((3, NCHAN, gl), jnp.float32),
             pltpu.VMEM((8, gl), jnp.float32),
             pltpu.VMEM((8, gl), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

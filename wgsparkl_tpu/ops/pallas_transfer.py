@@ -246,6 +246,7 @@ def _load_pdata_db(pdata_ref, pd_big, sem, starts, lens, j, group, maxj):
     Returns the realigned [NCHAN, G] view for program j.
     """
     gl = group + 128
+    nbuf = pd_big.shape[0]
 
     def dma_for(jj, slot):
         s = starts[jnp.minimum(jj, maxj - 1)]
@@ -254,18 +255,28 @@ def _load_pdata_db(pdata_ref, pd_big, sem, starts, lens, j, group, maxj):
             pdata_ref.at[:, pl.ds(a, gl)], pd_big.at[slot], sem.at[slot]
         )
 
-    slot = jax.lax.rem(j, 2)
-    nslot = jax.lax.rem(j + 1, 2)
+    slot = jax.lax.rem(j, nbuf)
 
+    # nbuf-deep pipelining: program j starts the DMA for j + nbuf - 1 so
+    # nbuf - 1 program-times of latency are covered; program 0 warms up the
+    # first nbuf - 1 windows (each guarded by liveness — live jobs are a
+    # contiguous prefix, so no DMA ever dangles unwaited).
     @pl.when(j == 0)
     def _():
-        dma_for(j, slot).start()
+        dma_for(0, 0).start()
+        for k in range(1, nbuf - 1):
+            kk = jnp.minimum(k, maxj - 1)
 
-    nxt = jnp.minimum(j + 1, maxj - 1)
+            @pl.when((k < maxj) & (lens[kk] > 0))
+            def _():
+                dma_for(k, k % nbuf).start()
 
-    @pl.when((j + 1 < maxj) & (lens[nxt] > 0))
+    ahead = j + nbuf - 1
+    nxt = jnp.minimum(ahead, maxj - 1)
+
+    @pl.when((ahead < maxj) & (lens[nxt] > 0))
     def _():
-        dma_for(j + 1, nslot).start()
+        dma_for(ahead, jax.lax.rem(ahead, nbuf)).start()
 
     dma_for(j, slot).wait()
     start = starts[j]
@@ -457,8 +468,8 @@ def p2g_tiles(pdata, itiles, btable, jobs, bcells, cfg: GridConfig,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NCHAN, group + 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, NCHAN, group + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
@@ -614,10 +625,10 @@ def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, NCHAN, gl), jnp.float32),
+            pltpu.VMEM((3, NCHAN, gl), jnp.float32),
             pltpu.VMEM((16, gl), jnp.float32),
             pltpu.VMEM((16, gl), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

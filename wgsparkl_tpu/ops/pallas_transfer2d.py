@@ -310,8 +310,8 @@ def p2g_tiles(pdata, itiles, btable, jobs, bcells, cfg: GridConfig,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NCHAN, group + 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, NCHAN, group + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
@@ -457,10 +457,10 @@ def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, NCHAN, gl), jnp.float32),
+            pltpu.VMEM((3, NCHAN, gl), jnp.float32),
             pltpu.VMEM((8, gl), jnp.float32),
             pltpu.VMEM((8, gl), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -670,10 +670,10 @@ def pcdf_rows(pdata, ntiles, jobs, bcells, cfg: GridConfig, group: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, NCHAN, gl), jnp.float32),
+            pltpu.VMEM((3, NCHAN, gl), jnp.float32),
             pltpu.VMEM((8, gl), jnp.float32),
             pltpu.VMEM((8, gl), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

@@ -98,3 +98,78 @@ def make_sharded_step(
 
 def pad_particle_count(n: int, n_devices: int) -> int:
     return ((n + n_devices - 1) // n_devices) * n_devices
+
+
+def spatial_config(cfg: MpmConfig, n_devices: int,
+                   migration_cap: int = 2048) -> MpmConfig:
+    """Config for the spatially-decomposed pallas path: x-block slabs per
+    device, halo-plane grid exchange, fixed-capacity particle migration."""
+    import dataclasses
+
+    from wgsparkl_tpu.ops import blocked as bk
+
+    nb = bk.num_blocks(cfg.grid)
+    assert cfg.transfer == "pallas" and not cfg.sparse
+    assert nb[0] % n_devices == 0, (
+        f"x block count {nb[0]} must divide over {n_devices} devices"
+    )
+    return dataclasses.replace(
+        cfg, spatial_devices=n_devices, migration_cap=migration_cap
+    )
+
+
+def shard_state_spatial(state: SimState, mesh: Mesh, cfg: MpmConfig,
+                        axis: str = "dp", slack: float = 0.5):
+    """Reorder + pad particles into per-device x-slab chunks.
+
+    Each device's chunk holds its slab's particles plus dead padding
+    (mass 0, F = I, id -1) up to a common capacity with `slack` headroom
+    for migration imbalance.  Returns the sharded SimState (particle count
+    = n_devices * capacity).
+    """
+    import numpy as np
+
+    from wgsparkl_tpu.ops import blocked as bk
+
+    d_dev = cfg.spatial_devices
+    nb = bk.num_blocks(cfg.grid)
+    wx = nb[0] // d_dev
+    bs = bk.block_size(state.particles.dim)
+    h = cfg.grid.cell_width
+
+    pos = np.asarray(state.particles.pos)
+    bx = (np.round(pos[:, 0] / h).astype(np.int64) - 1
+          - int(cfg.grid.origin_cell[0])) // bs
+    slab = np.clip(bx // wx, 0, d_dev - 1)
+    order = np.argsort(slab, kind="stable")
+    counts = np.bincount(slab, minlength=d_dev)
+    cap = int(np.ceil(counts.max() * (1.0 + slack)))
+    cap = -(-cap // 8) * 8
+
+    def rearrange(x, fill=0.0):
+        x = np.asarray(x)
+        out = np.full((d_dev * cap,) + x.shape[1:], fill, x.dtype)
+        start = 0
+        for k in range(d_dev):
+            sel = order[start : start + counts[k]]
+            out[k * cap : k * cap + counts[k]] = x[sel]
+            start += counts[k]
+        return out
+
+    particles = jax.tree.map(rearrange, state.particles)
+    # dead-lane fixups: identity F (log-safe), id -1.
+    dg = np.asarray(particles.def_grad)
+    mass = np.asarray(particles.mass)
+    dead = mass == 0.0
+    dg[dead] = np.eye(state.particles.dim, dtype=dg.dtype)
+    ids = np.asarray(particles.ids)
+    ids[dead] = -1
+    particles = particles.replace(
+        def_grad=jnp.asarray(dg), ids=jnp.asarray(ids)
+    )
+    models = jax.tree.map(rearrange, state.models)
+    new_state = SimState(
+        particles=particles, models=models, bodies=state.bodies,
+        meshes=state.meshes,
+    )
+    return shard_state(new_state, mesh, axis)

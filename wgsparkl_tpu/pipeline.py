@@ -89,6 +89,13 @@ class MpmConfig:
     sparse: bool = False
     kmax: int = 0
     amax: int = 0
+    # Spatial multi-chip decomposition (pallas 3D bounded grid): the x-block
+    # axis is split into spatial_devices slabs; each chip owns its slab's
+    # grid rows, exchanges ONE boundary block-plane per substep (ppermute,
+    # collective volume ~ halo not volume) and migrates slab-crossing
+    # particles through fixed-capacity buffers (migration_cap per side).
+    spatial_devices: int = 0
+    migration_cap: int = 2048
     # Rigid-particle mesh colliders (body slots with trimesh/polyline/
     # heightfield shapes; see ops/rigid_cdf.py).
     mesh_cids: Tuple[int, ...] = ()
@@ -340,7 +347,8 @@ def substep_pallas(
         core = _substep_pallas_rows_sparse if cfg.sparse else _substep_pallas_rows
 
     n = state.particles.count
-    npad = pallas_npad(n, cfg.group)
+    slack = 2 * cfg.migration_cap if cfg.spatial_devices else 0
+    npad = pallas_npad(n + slack, cfg.group)
     rows = ptf.pack_rows_padded(state.particles, state.models, npad)
     rows, bodies = core(
         rows, state.bodies, state.meshes, params, cfg, n, axis_name
@@ -373,7 +381,8 @@ def step_pallas(
         core = _substep_pallas_rows_sparse if cfg.sparse else _substep_pallas_rows
 
     n = state.particles.count
-    npad = pallas_npad(n, cfg.group)
+    slack = 2 * cfg.migration_cap if cfg.spatial_devices else 0
+    npad = pallas_npad(n + slack, cfg.group)
     rows0 = ptf.pack_rows_padded(state.particles, state.models, npad)
 
     def body(carry, _):
@@ -421,32 +430,95 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     npad = rows_all.shape[1]
 
     bodies = body_mod.update_world_mass_properties(bodies)
+    spatial = cfg.spatial_devices if axis_name is not None else 0
 
     # --- sort phase ---
     lane = jnp.arange(npad, dtype=jnp.int32)
-    # Gravity-fastest sort keys (bijection of block ids; see
-    # particle_sort_keys_ch) — job block ids convert back below.
-    bids = bk.particle_sort_keys_ch(
-        [rows_all[0], rows_all[1], rows_all[2]], grid
-    )
-    bids = jnp.where(lane < n, bids, nb_total + 1)
-    # Lazy re-sort: when the block keys are still nondecreasing the current
-    # order IS a valid sort — skip the permutation entirely (the reference
-    # re-sorts unconditionally every substep, grid.rs:30-206).  Otherwise
-    # the WHOLE state moves as one banded lane permutation (ops/permute.py).
-    still_sorted = jnp.all(bids[1:] >= bids[:-1])
 
-    def keep(args):
-        return args
+    def keys_of(rows):
+        # Gravity-fastest sort keys (bijection of block ids; see
+        # particle_sort_keys_ch) — job block ids convert back below.
+        k = bk.particle_sort_keys_ch([rows[0], rows[1], rows[2]], grid)
+        if spatial:
+            # migrated-out / padding lanes carry mass 0 -> sort-to-tail key.
+            return jnp.where(rows[ptf.PM] > 0.0, k, nb_total + 1)
+        return jnp.where(lane < n, k, nb_total + 1)
 
-    def resort(args):
-        rows, keys = args
-        sids, perm = jax.lax.sort((keys, lane), num_keys=1)
-        return permute_lanes(rows, perm), sids
+    def sort_rows(rows):
+        # Lazy re-sort: when the block keys are still nondecreasing the
+        # current order IS a valid sort — skip the permutation entirely
+        # (the reference re-sorts unconditionally every substep,
+        # grid.rs:30-206).  Otherwise the WHOLE state moves as one banded
+        # lane permutation (ops/permute.py).
+        keys = keys_of(rows)
+        still = jnp.all(keys[1:] >= keys[:-1])
 
-    rows_all, sorted_ids = jax.lax.cond(
-        still_sorted, keep, resort, (rows_all, bids)
-    )
+        def keep(args):
+            return args
+
+        def resort(args):
+            rows, kk = args
+            sids, perm = jax.lax.sort((kk, lane), num_keys=1)
+            return permute_lanes(rows, perm), sids
+
+        return jax.lax.cond(still, keep, resort, (rows, keys))
+
+    rows_all, sorted_ids = sort_rows(rows_all)
+
+    if spatial:
+        # --- particle migration (x-slab decomposition) ---
+        # Keys are x-slowest, so after the sort the left-bound movers are a
+        # contiguous PREFIX and the right-bound movers end exactly at the
+        # overflow boundary.  Edge devices have no movers by construction
+        # (their slab touches the grid edge).
+        d_dev = spatial
+        capx = cfg.migration_cap
+        kdev = jax.lax.axis_index(axis_name)
+        wx = nb[0] // d_dev
+        xstride = nb[1] * nb[2]
+        lo_key = kdev * wx * xstride
+        hi_key = (kdev + 1) * wx * xstride
+        nl = jnp.searchsorted(sorted_ids, lo_key)
+        nr0 = jnp.searchsorted(sorted_ids, hi_key)
+        nov = jnp.searchsorted(sorted_ids, nb_total)
+        li = jnp.arange(capx, dtype=jnp.int32)
+
+        def win(start, count):
+            st = jnp.clip(start, 0, npad - capx)
+            buf = jax.lax.dynamic_slice(
+                rows_all, (0, st), (ptf.PCHAN, capx)
+            )
+            # Zero EVERY channel past the mover count, not just mass: the
+            # non-mover lanes are copies of live particles on the sender,
+            # and any stray job ever covering them must see all-zero rows.
+            return buf * (li < count)[None, :].astype(jnp.float32)
+
+        cl = jnp.minimum(nl, capx)
+        cr = jnp.minimum(nov - nr0, capx)
+        left_buf = win(jnp.int32(0), cl)
+        right_buf = win(nr0, cr)
+        recv_from_right = jax.lax.ppermute(
+            left_buf, axis_name, [(i, i - 1) for i in range(1, d_dev)]
+        )
+        recv_from_left = jax.lax.ppermute(
+            right_buf, axis_name, [(i, i + 1) for i in range(d_dev - 1)]
+        )
+        # retire the outgoing lanes locally (movers beyond capx stay and
+        # degrade like job overflow — mass parked outside the owned slab).
+        out_mask = (lane < cl) | ((lane >= nr0) & (lane < nr0 + cr))
+        rows_all = rows_all.at[ptf.PM].set(
+            jnp.where(out_mask, 0.0, rows_all[ptf.PM])
+        )
+        # land the arrivals on the (dead) tail pads, then fold them in with
+        # a second sort — its permutation is near-identity + tail inserts,
+        # exactly what the banded permute is cheap at.
+        rows_all = jax.lax.dynamic_update_slice(
+            rows_all, recv_from_left, (0, npad - 2 * capx)
+        )
+        rows_all = jax.lax.dynamic_update_slice(
+            rows_all, recv_from_right, (0, npad - capx)
+        )
+        rows_all, sorted_ids = sort_rows(rows_all)
 
     jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
     jobs["block"] = bk.key_to_block(jobs["block"], nb, d)
@@ -572,7 +644,36 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     ang_imp = imp_sum[3:6, : bodies.count].T
 
     if axis_name is not None:
-        grid_mm = jax.lax.psum(grid_mm, axis_name)
+        if spatial:
+            # Halo exchange instead of a whole-grid psum: stencil windows
+            # only reach +1 block in x, so each chip's contributions land in
+            # its own slab plus ONE overhang x-plane.  (1) send the overhang
+            # plane right and add it into the owner's first plane; (2) fetch
+            # the right neighbor's reduced first plane back into the local
+            # overhang for G2P reads.  Collective volume = one block-plane.
+            flatg = grid_mm.reshape(nb_total + 1, -1)
+            cols = flatg.shape[1]
+            p2 = nb[1] * nb[2]
+            ov_start = jnp.minimum((kdev + 1) * wx * p2, nb_total + 1 - p2)
+            ov = jax.lax.dynamic_slice(flatg, (ov_start, 0), (p2, cols))
+            recv = jax.lax.ppermute(
+                ov, axis_name, [(i, i + 1) for i in range(d_dev - 1)]
+            )
+            first_start = kdev * wx * p2
+            first = (
+                jax.lax.dynamic_slice(flatg, (first_start, 0), (p2, cols))
+                + recv
+            )
+            flatg = jax.lax.dynamic_update_slice(flatg, first, (first_start, 0))
+            nf = jax.lax.ppermute(
+                first, axis_name, [(i, i - 1) for i in range(1, d_dev)]
+            )
+            cur = jax.lax.dynamic_slice(flatg, (ov_start, 0), (p2, cols))
+            upd = jnp.where(kdev < d_dev - 1, nf, cur)
+            flatg = jax.lax.dynamic_update_slice(flatg, upd, (ov_start, 0))
+            grid_mm = flatg.reshape(grid_mm.shape)
+        else:
+            grid_mm = jax.lax.psum(grid_mm, axis_name)
         lin_imp = jax.lax.psum(lin_imp, axis_name)
         ang_imp = jax.lax.psum(ang_imp, axis_name)
 
@@ -845,6 +946,8 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
     ang_imp = imp_sum[3:6, : bodies.count].T
 
     if axis_name is not None:
+        # (spatial decomposition is bounded-grid only for now; the
+        # sparse path reduces the active-slot grid with a psum.)
         grid_mm = jax.lax.psum(grid_mm, axis_name)
         lin_imp = jax.lax.psum(lin_imp, axis_name)
         ang_imp = jax.lax.psum(ang_imp, axis_name)
