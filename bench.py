@@ -24,7 +24,9 @@ def main():
 
     n_target = int(os.environ.get("BENCH_PARTICLES", 1_000_000))
     substeps = int(os.environ.get("BENCH_SUBSTEPS", 20))
-    frames = int(os.environ.get("BENCH_FRAMES", 5))
+    # 12 frames (~240 substeps) measures sustained throughput past the
+    # initial mass-settling transient (which is re-sort heavy).
+    frames = int(os.environ.get("BENCH_FRAMES", 12))
     group = int(os.environ.get("BENCH_GROUP", 512))
 
     from wgsparkl_tpu import scenes
