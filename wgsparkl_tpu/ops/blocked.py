@@ -510,49 +510,6 @@ def sort_by_block(state_arrays, block_ids):
     return sorted_tree, sorted_ids, perm
 
 
-def sort_by_block_channels(state_arrays, block_ids):
-    """Variadic-sort variant of sort_by_block: the payload rides THROUGH
-    the sorting network as [N] channel operands instead of being permuted
-    with post-sort gathers (XLA TPU gathers serialize per element; the sort
-    network is fully vectorized).
-
-    Multi-dim leaves are split into [N] channels and restacked.
-    """
-    leaves, treedef = jax.tree_util.tree_flatten(state_arrays)
-    channels, meta = [], []
-    for leaf in leaves:
-        if leaf.ndim == 1:
-            channels.append(leaf)
-            meta.append(None)
-        else:
-            tail = leaf.shape[1:]
-            flat = leaf.reshape(leaf.shape[0], -1)
-            cols = [flat[:, k] for k in range(flat.shape[1])]
-            channels.extend(cols)
-            meta.append((len(cols), tail))
-    out = jax.lax.sort((block_ids, *channels), num_keys=1)
-    sorted_ids = out[0]
-    rest = list(out[1:])
-    new_leaves = []
-    i = 0
-    for leaf, m in zip(leaves, meta):
-        if m is None:
-            new_leaves.append(rest[i])
-            i += 1
-        else:
-            ncols, tail = m
-            stacked = jnp.stack(rest[i : i + ncols], axis=-1).reshape(
-                leaf.shape[0], *tail
-            )
-            new_leaves.append(stacked)
-            i += ncols
-    return (
-        jax.tree_util.tree_unflatten(treedef, new_leaves),
-        sorted_ids,
-        None,
-    )
-
-
 def build_jobs(sorted_ids, nb_total: int, group: int, max_jobs: int):
     """Job table from sorted block ids.
 

@@ -71,26 +71,6 @@ def _interpret() -> bool:
     """Run kernels in interpreter mode off-TPU (CPU tests / virtual meshes)."""
     return jax.default_backend() != "tpu"
 
-# node-tile f32 channels (G2P input / P2G aux input)
-NT_F32 = 8   # [vx vy vz | bvx bvy bvz | comx.. packed below]
-
-
-def pack_channels(pos, vel, mass, affine, aff, normal, npad: int):
-    """SoA state -> [24, NPAD] channel-major f32."""
-    n = pos.shape[0]
-    a = affine.reshape(n, 9)
-    rows = [pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2],
-            mass]
-    rows += [a[:, k] for k in range(9)]
-    rows += [
-        jax.lax.bitcast_convert_type(aff, jnp.float32),
-        normal[:, 0], normal[:, 1], normal[:, 2],
-    ]
-    rows += [jnp.zeros_like(mass)] * (NCHAN - len(rows))
-    pd = jnp.stack(rows, axis=0)
-    return jnp.pad(pd, ((0, 0), (0, npad - n)))
-
-
 def pack_state_rows(particles, models):
     """Full per-particle state -> [PCHAN, N] channel-major row matrix.
 
