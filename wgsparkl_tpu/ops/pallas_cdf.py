@@ -241,6 +241,7 @@ def _pcdf_body(pd, ntile_ref, bcell, length, finish, *,
         axis=0,
     )                                                         # [8, G]
     finish(res)
+    return aff_out, sd, normal
 
 
 def pcdf_rows(pdata, ntiles, jobs, bcells, cfg: GridConfig, group: int,
@@ -279,3 +280,217 @@ def pcdf_rows(pdata, ntiles, jobs, bcells, cfg: GridConfig, group: int,
         interpret=_interpret(),
     )(jobs["start"], jobs["len"], bcells[:, 0], bcells[:, 1],
       bcells[:, 2], jbody, pdata, ntiles)
+
+
+# ------------------------------------------------- merged pCDF + P2G kernel
+#
+# The particle-CDF reconstruction and P2G share the same particle windows
+# and job machinery; merging them drops a whole kernel launch + its
+# particle-channel DMA stream, and P2G consumes the FRESH affinity/normals
+# directly instead of a patched pdata round trip.  (G2P still needs the
+# patched pdata, which the pipeline keeps building from this kernel's
+# row output.)
+
+from wgsparkl_tpu.ops.pallas_transfer import (  # noqa: E402
+    A0,
+    PM,
+    PX,
+    PY,
+    PZ,
+    VX,
+    VY,
+    VZ,
+    _compat,
+    _ghost_velocity,
+    _node_body_velocity,
+)
+
+
+def _p2g_cdf_kernel(
+    starts, lens, bcx, bcy, bcz, jbody,
+    pdata_ref, ntile_ref, btable_ref,
+    out_mm, out_imp, out_hbm,
+    pd_big, res_big, outbuf, sem, sem_rd, sem_out,
+    *, group: int, cell_width: float, nc: int,
+):
+    j = pl.program_id(0)
+    start = starts[j]
+    length = lens[j]
+    live = length > 0
+    gl = group + 128
+    maxj = pl.num_programs(0)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_mm[0] = jnp.zeros((WPAD, 8), jnp.float32)
+        out_imp[0] = jnp.zeros((8, 128), jnp.float32)
+
+    @pl.when(live)
+    def _():
+        bcell = jnp.stack([bcx[j], bcy[j], bcz[j]])
+        astart = (start // 128) * 128
+        off = start - astart
+        dma_rd = pltpu.make_async_copy(
+            out_hbm.at[:, pl.ds(astart, gl)], outbuf, sem_rd
+        )
+        dma_rd.start()
+        pd = _load_pdata_db(pdata_ref, pd_big, sem, starts, lens, j, group, maxj)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
+        valid = (lanes < length).astype(jnp.float32)
+        w = _window_w(pd, bcell, cell_width, valid)
+        xw = _window_positions(bcell, cell_width)               # [WPAD, 3]
+
+        mass = pd[PM] * valid
+        ap0 = pd[A0 + 0] * pd[PX] + pd[A0 + 1] * pd[PY] + pd[A0 + 2] * pd[PZ]
+        ap1 = pd[A0 + 3] * pd[PX] + pd[A0 + 4] * pd[PY] + pd[A0 + 5] * pd[PZ]
+        ap2 = pd[A0 + 6] * pd[PX] + pd[A0 + 7] * pd[PY] + pd[A0 + 8] * pd[PZ]
+        rows = [
+            mass * pd[VX] - ap0 * valid,
+            mass * pd[VY] - ap1 * valid,
+            mass * pd[VZ] - ap2 * valid,
+            mass,
+        ] + [pd[A0 + k] * valid for k in range(9)] + [jnp.zeros_like(mass)] * 3
+        feats = jnp.stack(rows, axis=0)                         # [16, G]
+
+        def finish(res):
+            padded = jnp.pad(res, ((0, 0), (0, 128)))
+            rolled = pltpu.roll(padded, off, axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (8, gl), 1)
+            mask = (lane >= off) & (lane < off + group)
+            dma_rd.wait()
+            merged = jnp.where(mask, rolled, outbuf[:])
+            res_big[:, :] = merged
+            dma_out = pltpu.make_async_copy(
+                res_big, out_hbm.at[:, pl.ds(astart, gl)], sem_out
+            )
+            dma_out.start()
+            dma_out.wait()
+
+        def write_mm(w_c):
+            tile = jax.lax.dot_general(
+                w_c, feats, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            mm_cols = []
+            for i in range(3):
+                mom = tile[:, i : i + 1]
+                for k in range(3):
+                    mom = mom + (
+                        tile[:, 4 + 3 * i + k : 5 + 3 * i + k]
+                        * xw[:, k : k + 1]
+                    )
+                mm_cols.append(mom)
+            mm_cols.append(tile[:, 3:4])
+            out_mm[0] = jnp.concatenate(
+                mm_cols + [jnp.zeros((WPAD, 4), jnp.float32)], axis=1
+            )
+
+        has_b = jbody[j] > 0
+
+        @pl.when(jnp.logical_not(has_b))
+        def _():
+            finish(jnp.zeros((8, group), jnp.float32))
+            write_mm(w)
+            out_imp[0] = jnp.zeros((8, 128), jnp.float32)
+
+        @pl.when(has_b)
+        def _():
+            aff_out, sd, normal = _pcdf_body(
+                pd, ntile_ref, bcell, length, finish,
+                group=group, cell_width=cell_width, nc=nc,
+            )
+            naff = (
+                ntile_ref[0][:, 1:2].astype(jnp.int32) << 16
+            ) | ntile_ref[0][:, 0:1].astype(jnp.int32)
+            naff_u = pltpu.bitcast(naff, jnp.uint32)            # [WPAD, 1]
+            closest = ntile_ref[0][:, 2:3]                      # [WPAD, 1]
+            paff = aff_out[None, :]                             # [1, G] uint32
+            compat = _compat(naff_u, paff)
+            write_mm(jnp.where(compat, w, 0.0))
+
+            has_body = closest >= 0
+            w_i = jnp.where(compat | ~has_body, 0.0, w) * mass[None, :]
+            bv = _node_body_velocity(closest, xw, btable_ref, nc)
+            nrm = [normal[k][None, :] for k in range(3)]
+            ghost = _ghost_velocity(pd, bv, nrm=nrm)
+            vp = [pd[VX][None, :], pd[VY][None, :], pd[VZ][None, :]]
+            dsum = [
+                jnp.sum(w_i * (vp[k] - ghost[k]), axis=1, keepdims=True)
+                for k in range(3)
+            ]
+            cr = [
+                dsum[1] * xw[:, 2:3] - dsum[2] * xw[:, 1:2],
+                dsum[2] * xw[:, 0:1] - dsum[0] * xw[:, 2:3],
+                dsum[0] * xw[:, 1:2] - dsum[1] * xw[:, 0:1],
+            ]
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            cols_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            imp_out = jnp.zeros((8, 128), jnp.float32)
+            for b in range(nc):
+                bmask = (closest == b).astype(jnp.float32)
+                db = [jnp.sum(dsum[k] * bmask) for k in range(3)]
+                cb = [jnp.sum(cr[k] * bmask) for k in range(3)]
+                comb = [btable_ref[k, b] for k in range(3)]
+                ang = [
+                    db[1] * comb[2] - db[2] * comb[1] - cb[0],
+                    db[2] * comb[0] - db[0] * comb[2] - cb[1],
+                    db[0] * comb[1] - db[1] * comb[0] - cb[2],
+                ]
+                vals = db + ang
+                for r in range(6):
+                    imp_out = jnp.where(
+                        (rows_i == r) & (cols_i == b), vals[r], imp_out
+                    )
+            out_imp[0] = imp_out
+
+
+def p2g_cdf_tiles(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
+                  group: int, npad: int, nc: int, jbody):
+    """Fused particle-CDF + P2G (nc > 0 only).
+
+    Returns (mm [MAXJ, WPAD, 8], imp [MAXJ, 8, 128],
+    pcdf rows [8, NPAD + G + 128]: aff (bitcast), sd, normal xyz)."""
+    maxj = jobs["start"].shape[0]
+    kernel = functools.partial(
+        _p2g_cdf_kernel, group=group, cell_width=cfg.cell_width, nc=nc
+    )
+    gl = group + 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(maxj,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, WPAD, 4), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 128), lambda j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, NCHAN, gl), jnp.float32),
+            pltpu.VMEM((8, gl), jnp.float32),
+            pltpu.VMEM((8, gl), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((maxj, WPAD, 8), jnp.float32),
+            jax.ShapeDtypeStruct((maxj, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, npad + group + 128), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
+    )(jobs["start"], jobs["len"], bcells[:, 0], bcells[:, 1],
+      bcells[:, 2], jbody, pdata, ntiles, btable)

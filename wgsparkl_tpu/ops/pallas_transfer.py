@@ -192,14 +192,16 @@ def _compat(naff_col, paff_row):
     return s1 == s2
 
 
-def _ghost_velocity(pd, bv, friction=DEFAULT_FRICTION):
+def _ghost_velocity(pd, bv, friction=DEFAULT_FRICTION, nrm=None):
     """CPIC ghost velocity per (window node, particle) pair.
 
-    pd: [24, G] particle channels; bv: tuple of [WPAD, 1] body velocities.
+    pd: [24, G] particle channels; bv: tuple of [WPAD, 1] body velocities;
+    nrm: optional [1, G] normal channels (default: pdata normal rows).
     Returns 3 arrays [WPAD, G].
     """
     u = [pd[VX][None, :] - bv[0], pd[VY][None, :] - bv[1], pd[VZ][None, :] - bv[2]]
-    nrm = [pd[NX][None, :], pd[NY][None, :], pd[NZ][None, :]]
+    if nrm is None:
+        nrm = [pd[NX][None, :], pd[NY][None, :], pd[NZ][None, :]]
     nv = u[0] * nrm[0] + u[1] * nrm[1] + u[2] * nrm[2]
     tang = [u[i] - nrm[i] * nv for i in range(3)]
     tl2 = tang[0] ** 2 + tang[1] ** 2 + tang[2] ** 2
@@ -364,8 +366,11 @@ def _p2g_kernel(
 
             @pl.when(has_b)
             def _():
-                naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)
-                closest = itile_ref[0][:, 1:2]                      # [WPAD,1]
+                naff_i = (
+                    itile_ref[0][:, 1:2].astype(jnp.int32) << 16
+                ) | itile_ref[0][:, 0:1].astype(jnp.int32)
+                naff = pltpu.bitcast(naff_i, jnp.uint32)
+                closest = itile_ref[0][:, 2:3]                      # [WPAD,1]
                 paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
                 compat = _compat(naff, paff)                        # [WPAD,G]
                 write_mm(jnp.where(compat, w, 0.0))
@@ -436,7 +441,7 @@ def p2g_tiles(pdata, itiles, btable, jobs, bcells, cfg: GridConfig,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, WPAD, 2), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, WPAD, 4), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -540,8 +545,11 @@ def _g2p_kernel(
 
             @pl.when(has_b)
             def _():
-                naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)
-                closest = itile_ref[0][:, 1:2]
+                naff_i = (
+                    itile_ref[0][:, 1:2].astype(jnp.int32) << 16
+                ) | itile_ref[0][:, 0:1].astype(jnp.int32)
+                naff = pltpu.bitcast(naff_i, jnp.uint32)
+                closest = itile_ref[0][:, 2:3]
                 paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
                 compat = _compat(naff, paff)
                 w_c = jnp.where(compat, w, 0.0)
@@ -598,7 +606,7 @@ def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, WPAD, 4), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WPAD, 2), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, WPAD, 4), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),

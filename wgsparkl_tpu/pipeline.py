@@ -402,6 +402,17 @@ def step_pallas(
                     meshes=state.meshes)
 
 
+
+def _body_table(bodies):
+    """[16, 128] body table for in-kernel node body velocities + impulse
+    lever arms: rows 0-2 world COM, 3-5 linvel, 6-8 angvel; lanes = slots."""
+    btable = jnp.zeros((16, 128), jnp.float32)
+    btable = btable.at[0:3, : bodies.count].set(bodies.world_com.T)
+    btable = btable.at[3:6, : bodies.count].set(bodies.linvel.T)
+    btable = btable.at[6:9, : bodies.count].set(bodies.angvel.T)
+    return btable
+
+
 def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
                          n: int, axis_name: Optional[str] = None):
     """Channel-major substep core: ([PCHAN, NPAD] rows, bodies) -> same.
@@ -585,11 +596,13 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
             axis=1,
         ).astype(jnp.int32)
 
-        # Particle CDF reconstruction (Pallas g2p_cdf kernel).
+        # Fused particle-CDF + P2G kernel (shares the particle DMA and
+        # consumes the fresh affinity/normals in-kernel).
         from wgsparkl_tpu.ops import pallas_cdf
 
-        krows = pallas_cdf.pcdf_rows(
-            pdata, ntiles, jobs, bcells, grid, group, npad, nc, jbody
+        btable = _body_table(bodies)
+        mm_out, imp_out, krows = pallas_cdf.p2g_cdf_tiles(
+            pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc, jbody
         )
         aff_u = jnp.where(
             ig, jax.lax.bitcast_convert_type(krows[0, :npad], jnp.uint32),
@@ -597,7 +610,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         )
         sd_ch = jnp.where(ig, krows[1, :npad], 0.0)
         n_ch = [jnp.where(ig, krows[2 + k, :npad], 0.0) for k in range(3)]
-        # Patch the affinity + normal channel rows for the transfer kernels.
+        # Patch the affinity + normal channel rows for G2P.
         pdata = jax.lax.dynamic_update_slice(
             pdata,
             jnp.concatenate(
@@ -605,31 +618,17 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
             ),
             (ptf.AFF, 0),
         )
-
-        aff_w = (
-            tiles4[..., 1].astype(jnp.int32) << 16
-        ) | tiles4[..., 0].astype(jnp.int32)
-        closest_w = tiles4[..., 2].astype(jnp.int32)
-        itiles = jnp.stack([aff_w, closest_w], axis=-1)
-        itiles = jnp.pad(itiles, ((0, 0), (0, ptf.WPAD - 216), (0, 0)))
     else:
         maxj = cfg.max_jobs
-        itiles = jnp.zeros((maxj, ptf.WPAD, 2), jnp.int32)
+        ntiles = jnp.zeros((maxj, ptf.WPAD, 4), jnp.float32)
         jbody = None
         aff_u = jnp.zeros((npad,), jnp.uint32)
         sd_ch = jnp.zeros((npad,), jnp.float32)
         n_ch = [jnp.zeros((npad,), jnp.float32) for _ in range(3)]
-
-    # --- P2G ---
-    # Body table for in-kernel node body velocities + impulse lever arms:
-    # rows 0-2 world COM, 3-5 linvel, 6-8 angvel; lanes = body slots.
-    btable = jnp.zeros((16, 128), jnp.float32)
-    btable = btable.at[0:3, : bodies.count].set(bodies.world_com.T)
-    btable = btable.at[3:6, : bodies.count].set(bodies.linvel.T)
-    btable = btable.at[6:9, : bodies.count].set(bodies.angvel.T)
-    mm_out, imp_out = ptf.p2g_tiles(
-        pdata, itiles, btable, jobs, bcells, grid, group, nc, jbody
-    )
+        btable = _body_table(bodies)
+        mm_out, imp_out = ptf.p2g_tiles(
+            pdata, ntiles, btable, jobs, bcells, grid, group, nc, jbody
+        )
     mm_tiles = mm_out[:, :216, :4]
     grid_mm = jnp.zeros((nb_total + 1,) + (bs,) * d + (d + 1,), jnp.float32)
     grid_mm = bk.scatter_tiles_auto(
@@ -688,7 +687,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     v_tiles = gather_tiles(vel_b).reshape(-1, 216, 3)
     f_tiles = jnp.pad(v_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 1)))
     krows = ptf.g2p_rows(
-        pdata, f_tiles, itiles, btable, jobs, bcells, grid, group, npad, nc,
+        pdata, f_tiles, ntiles, btable, jobs, bcells, grid, group, npad, nc,
         jbody,
     )
 
@@ -897,8 +896,9 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
 
         from wgsparkl_tpu.ops import pallas_cdf
 
-        krows = pallas_cdf.pcdf_rows(
-            pdata, ntiles, jobs, bcells, grid, group, npad, nc, jbody
+        btable = _body_table(bodies)
+        mm_out, imp_out, krows = pallas_cdf.p2g_cdf_tiles(
+            pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc, jbody
         )
         aff_u = jnp.where(
             ig, jax.lax.bitcast_convert_type(krows[0, :npad], jnp.uint32),
@@ -911,29 +911,17 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
             jnp.concatenate([krows[0:1, :npad], krows[2:5, :npad]], axis=0),
             (ptf.AFF, 0),
         )
-
-        aff_w = (
-            tiles4[..., 1].astype(jnp.int32) << 16
-        ) | tiles4[..., 0].astype(jnp.int32)
-        closest_w = tiles4[..., 2].astype(jnp.int32)
-        itiles = jnp.stack([aff_w, closest_w], axis=-1)
-        itiles = jnp.pad(itiles, ((0, 0), (0, ptf.WPAD - 216), (0, 0)))
     else:
         maxj = cfg.max_jobs
-        itiles = jnp.zeros((maxj, ptf.WPAD, 2), jnp.int32)
+        ntiles = jnp.zeros((maxj, ptf.WPAD, 4), jnp.float32)
         jbody = None
         aff_u = jnp.zeros((npad,), jnp.uint32)
         sd_ch = jnp.zeros((npad,), jnp.float32)
         n_ch = [jnp.zeros((npad,), jnp.float32) for _ in range(3)]
-
-    # --- P2G ---
-    btable = jnp.zeros((16, 128), jnp.float32)
-    btable = btable.at[0:3, : bodies.count].set(bodies.world_com.T)
-    btable = btable.at[3:6, : bodies.count].set(bodies.linvel.T)
-    btable = btable.at[6:9, : bodies.count].set(bodies.angvel.T)
-    mm_out, imp_out = ptf.p2g_tiles(
-        pdata, itiles, btable, jobs, bcells, grid, group, nc, jbody
-    )
+        btable = _body_table(bodies)
+        mm_out, imp_out = ptf.p2g_tiles(
+            pdata, ntiles, btable, jobs, bcells, grid, group, nc, jbody
+        )
     mm_tiles = mm_out[:, :216, :4]
     grid_mm = jnp.zeros((amax + 1,) + (bs,) * d + (d + 1,), jnp.float32)
     grid_mm = bk.scatter_tiles_slots(
@@ -963,7 +951,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
     v_tiles = gather_tiles(vel_b).reshape(-1, 216, 3)
     f_tiles = jnp.pad(v_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 1)))
     krows = ptf.g2p_rows(
-        pdata, f_tiles, itiles, btable, jobs, bcells, grid, group, npad, nc,
+        pdata, f_tiles, ntiles, btable, jobs, bcells, grid, group, npad, nc,
         jbody,
     )
 
