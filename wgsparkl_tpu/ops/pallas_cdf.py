@@ -1,8 +1,9 @@
-"""Pallas kernel for particle CDF reconstruction (g2p_cdf, 3D).
+"""Particle CDF reconstruction (g2p_cdf, 3D), fused with P2G.
 
 Same job machinery as ops/pallas_transfer.py.  Per job of G sorted particles:
-window node CDF channels [WPAD, 8] (aff_lo, aff_hi, dist) come pre-gathered
-(one-hot matmul); the kernel reproduces collision/cdf.py:particle_cdf_update:
+window node CDF channels [WPAD, 4] (aff_lo, aff_hi, closest, dist) come
+pre-gathered (banded one-hot matmul); the CDF body reproduces
+collision/cdf.py:particle_cdf_update:
 
   * affinity-bit union over the particle's exact 3^3 stencil support
   * per-collider sign votes (Eq. 21, g2p_cdf.wgsl:157-188) with temporal
@@ -81,61 +82,6 @@ def _inv4_solve_ch(a, b):
         for r in range(4)
     ]
     return x, det
-
-
-def _pcdf_kernel(
-    starts, lens, bcx, bcy, bcz, jbody,
-    pdata_ref, ntile_ref,
-    out_hbm,
-    pd_big, res_big, outbuf, sem, sem_rd, sem_out,
-    *, group: int, cell_width: float, nc: int,
-):
-    j = pl.program_id(0)
-    start = starts[j]
-    length = lens[j]
-    live = length > 0
-    gl = group + 128
-    maxj = pl.num_programs(0)
-
-    # Dead jobs skip everything (output rows never read).  Live jobs whose
-    # window holds no collider node write zeros — bit-exact with the full
-    # path, whose MLS system is then all-zero (det <= 1e-8 -> zero outputs).
-    @pl.when(live)
-    def _():
-        astart = (start // 128) * 128
-        off = start - astart
-        dma_rd = pltpu.make_async_copy(
-            out_hbm.at[:, pl.ds(astart, gl)], outbuf, sem_rd
-        )
-        dma_rd.start()
-        pd = _load_pdata_db(pdata_ref, pd_big, sem, starts, lens, j, group, maxj)
-
-        def finish(res):
-            padded = jnp.pad(res, ((0, 0), (0, 128)))
-            rolled = pltpu.roll(padded, off, axis=1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (8, gl), 1)
-            mask = (lane >= off) & (lane < off + group)
-            dma_rd.wait()
-            merged = jnp.where(mask, rolled, outbuf[:])
-            res_big[:, :] = merged
-            dma_out = pltpu.make_async_copy(
-                res_big, out_hbm.at[:, pl.ds(astart, gl)], sem_out
-            )
-            dma_out.start()
-            dma_out.wait()
-
-        has_b = jbody[j] > 0
-
-        @pl.when(jnp.logical_not(has_b))
-        def _():
-            finish(jnp.zeros((8, group), jnp.float32))
-
-        @pl.when(has_b)
-        def _():
-            _pcdf_body(
-                pd, ntile_ref, jnp.stack([bcx[j], bcy[j], bcz[j]]), length,
-                finish, group=group, cell_width=cell_width, nc=nc,
-            )
 
 
 def _pcdf_body(pd, ntile_ref, bcell, length, finish, *,
@@ -244,44 +190,6 @@ def _pcdf_body(pd, ntile_ref, bcell, length, finish, *,
     return aff_out, sd, normal
 
 
-def pcdf_rows(pdata, ntiles, jobs, bcells, cfg: GridConfig, group: int,
-              npad: int, nc: int, jbody=None):
-    """[8, NPAD + G + 128] channel rows: aff (bitcast), sd, normal xyz."""
-    maxj = jobs["start"].shape[0]
-    if jbody is None:
-        jbody = jnp.ones((maxj,), jnp.int32)
-    kernel = functools.partial(
-        _pcdf_kernel, group=group, cell_width=cfg.cell_width, nc=nc
-    )
-    gl = group + 128
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(maxj,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, WPAD, 4), lambda j, *_: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((3, NCHAN, gl), jnp.float32),
-            pltpu.VMEM((8, gl), jnp.float32),
-            pltpu.VMEM((8, gl), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, npad + group + 128), jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=_interpret(),
-    )(jobs["start"], jobs["len"], bcells[:, 0], bcells[:, 1],
-      bcells[:, 2], jbody, pdata, ntiles)
-
-
 # ------------------------------------------------- merged pCDF + P2G kernel
 #
 # The particle-CDF reconstruction and P2G share the same particle windows
@@ -330,6 +238,16 @@ def _p2g_cdf_kernel(
         bcell = jnp.stack([bcx[j], bcy[j], bcz[j]])
         astart = (start // 128) * 128
         off = start - astart
+        wslot = jax.lax.rem(j, 2)
+
+        @pl.when(j > 0)
+        def _():
+            # drain program j-1's (overlapping-window) output write.
+            pltpu.make_async_copy(
+                res_big.at[1 - wslot], out_hbm.at[:, pl.ds(0, gl)],
+                sem_out.at[1 - wslot],
+            ).wait()
+
         dma_rd = pltpu.make_async_copy(
             out_hbm.at[:, pl.ds(astart, gl)], outbuf, sem_rd
         )
@@ -360,12 +278,20 @@ def _p2g_cdf_kernel(
             mask = (lane >= off) & (lane < off + group)
             dma_rd.wait()
             merged = jnp.where(mask, rolled, outbuf[:])
-            res_big[:, :] = merged
-            dma_out = pltpu.make_async_copy(
-                res_big, out_hbm.at[:, pl.ds(astart, gl)], sem_out
-            )
-            dma_out.start()
-            dma_out.wait()
+            res_big[wslot] = merged
+            pltpu.make_async_copy(
+                res_big.at[wslot], out_hbm.at[:, pl.ds(astart, gl)],
+                sem_out.at[wslot],
+            ).start()
+            nxt = jnp.minimum(j + 1, maxj - 1)
+            last_live = (j + 1 >= maxj) | (lens[nxt] == 0)
+
+            @pl.when(last_live)
+            def _():
+                pltpu.make_async_copy(
+                    res_big.at[wslot], out_hbm.at[:, pl.ds(astart, gl)],
+                    sem_out.at[wslot],
+                ).wait()
 
         def write_mm(w_c):
             tile = jax.lax.dot_general(
@@ -475,11 +401,11 @@ def p2g_cdf_tiles(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
         ),
         scratch_shapes=[
             pltpu.VMEM((3, NCHAN, gl), jnp.float32),
-            pltpu.VMEM((8, gl), jnp.float32),
+            pltpu.VMEM((2, 8, gl), jnp.float32),
             pltpu.VMEM((8, gl), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

@@ -490,6 +490,18 @@ def _g2p_kernel(
         bcell = jnp.stack([bcx[j], bcy[j], bcz[j]])
         astart = (start // 128) * 128
         off = start - astart
+        wslot = jax.lax.rem(j, 2)
+
+        # Deferred-write pipelining: program j-1's output DMA is still in
+        # flight; wait for it BEFORE reading the (overlapping) aligned
+        # window, instead of serializing at the end of each program.
+        @pl.when(j > 0)
+        def _():
+            pltpu.make_async_copy(
+                res_big.at[1 - wslot], out_hbm.at[:, pl.ds(0, gl)],
+                sem_out.at[1 - wslot],
+            ).wait()
+
         # Overlap: read the aligned output window for the RMW merge while
         # the particle DMA is in flight.
         dma_rd = pltpu.make_async_copy(
@@ -515,19 +527,30 @@ def _g2p_kernel(
         )                                                            # [WPAD,16]
 
         def finish(out):
-            # RMW merge into the aligned window, then write back.
+            # RMW merge into the aligned window, then write back.  The
+            # write is NOT awaited here: the next program waits it before
+            # its own (overlapping) window read; the last live program
+            # drains it below.
             padded = jnp.pad(out, ((0, 0), (0, 128)))
             rolled = pltpu.roll(padded, off, axis=1)
             lane = jax.lax.broadcasted_iota(jnp.int32, (16, gl), 1)
             mask = (lane >= off) & (lane < off + group)
             dma_rd.wait()
             merged = jnp.where(mask, rolled, outbuf[:])
-            res_big[:, :] = merged
-            dma_out = pltpu.make_async_copy(
-                res_big, out_hbm.at[:, pl.ds(astart, gl)], sem_out
-            )
-            dma_out.start()
-            dma_out.wait()
+            res_big[wslot] = merged
+            pltpu.make_async_copy(
+                res_big.at[wslot], out_hbm.at[:, pl.ds(astart, gl)],
+                sem_out.at[wslot],
+            ).start()
+            nxt = jnp.minimum(j + 1, maxj - 1)
+            last_live = (j + 1 >= maxj) | (lens[nxt] == 0)
+
+            @pl.when(last_live)
+            def _():
+                pltpu.make_async_copy(
+                    res_big.at[wslot], out_hbm.at[:, pl.ds(astart, gl)],
+                    sem_out.at[wslot],
+                ).wait()
 
         def plain_out():
             # [16, G] result: rows 0:3 PIC velocity, 3:12 velocity moment.
@@ -614,11 +637,11 @@ def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((3, NCHAN, gl), jnp.float32),
-            pltpu.VMEM((16, gl), jnp.float32),
+            pltpu.VMEM((2, 16, gl), jnp.float32),
             pltpu.VMEM((16, gl), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
