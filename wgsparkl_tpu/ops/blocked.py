@@ -994,6 +994,35 @@ def scatter_tiles_auto(grid_blocks, tiles, job_block, band_lo, bands_ok,
     )
 
 
+def block_major_node_positions_ch(cfg: GridConfig):
+    """Node world-position channels enumerated in BLOCK-MAJOR order.
+
+    Feeding these to the node-CDF keeps its outputs in the grid's storage
+    layout — the row-major variant needs a [*shape, C] -> block-major
+    transpose with a 1-lane minor dim afterwards (~2 ms per channel per
+    substep at 1M).  Pure iota arithmetic; fuses into the CDF math.
+    """
+    d = cfg.dim
+    bs = block_size(d)
+    nb = num_blocks(cfg)
+    bsd = bs**d
+    m = int(np.prod(nb)) * bsd
+    i = jnp.arange(m, dtype=jnp.int32)
+    inner = i % bsd
+    b = i // bsd
+    out = []
+    for a in range(d):
+        inner_stride = bs ** (d - 1 - a)
+        blk_stride = int(np.prod(nb[a + 1 :]))
+        cell = (
+            (b // blk_stride) % nb[a] * bs
+            + (inner // inner_stride) % bs
+            + int(cfg.origin_cell[a])
+        )
+        out.append(cell.astype(jnp.float32) * cfg.cell_width)
+    return tuple(out)
+
+
 def window_node_positions(blk_coords, cfg: GridConfig):
     """[..., WSZ^d, d] world positions of a job's window nodes."""
     d = cfg.dim

@@ -175,25 +175,40 @@ def substep(
     return SimState(particles=particles, models=models, bodies=bodies, meshes=state.meshes)
 
 
-def _node_cdf_full(state: SimState, bodies, cfg: MpmConfig):
+def _node_cdf_full(state: SimState, bodies, cfg: MpmConfig,
+                   block_major: bool = False):
     """Node CDF: analytic shapes (grid_update_cdf/collide.wgsl) merged with
-    the rigid-particle mesh pass (p2g_cdf.wgsl; ops/rigid_cdf.py)."""
+    the rigid-particle mesh pass (p2g_cdf.wgsl; ops/rigid_cdf.py).
+
+    With block_major=True the channels come back in the grid's block-major
+    storage order (no ghost block): the CDF math runs directly on
+    block-major node positions and the mesh pass — already block-major —
+    just drops its ghost slot.  This avoids a [M, C] layout transpose with
+    a 1-lane minor dim (~2 ms per channel per substep at 1M particles).
+    """
+    from wgsparkl_tpu.ops import blocked as bk
     from wgsparkl_tpu.ops import rigid_cdf
 
     from wgsparkl_tpu.collision import cdf_channel
 
     grid = cfg.grid
+    pos_ch = (bk.block_major_node_positions_ch(grid) if block_major
+              else grid.node_position_channels())
     node_dist, node_aff, node_closest = cdf_channel.node_cdf_channels(
         cfg.collider_types, bodies.shape_params, bodies.rot, bodies.pos,
-        grid.node_position_channels(), grid.cell_width,
+        pos_ch, grid.cell_width,
     )
     if cfg.mesh_cids:
         key_b, asg_b = rigid_cdf.mesh_node_cdf(
             state.meshes, bodies, grid, cfg.mesh_cids,
             cfg.sample_group, cfg.sample_max_jobs, cfg.sample_chunk,
         )
-        key_f = rigid_cdf.blocks_to_flat(key_b, grid)[:, 0]
-        asg_f = rigid_cdf.blocks_to_flat(asg_b, grid)
+        if block_major:
+            key_f = key_b[:-1].reshape(-1)
+            asg_f = asg_b[:-1].reshape(-1, asg_b.shape[-1])
+        else:
+            key_f = rigid_cdf.blocks_to_flat(key_b, grid)[:, 0]
+            asg_f = rigid_cdf.blocks_to_flat(asg_b, grid)
         node_dist, node_aff, node_closest = rigid_cdf.merge_mesh_into_node_cdf(
             node_dist, node_aff, node_closest, key_f, asg_f, cfg.mesh_cids
         )
@@ -569,7 +584,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         state_view = SimState(particles=None, models=None, bodies=bodies,
                               meshes=meshes)
         node_dist, node_aff, node_closest = _node_cdf_full(
-            state_view, bodies, cfg
+            state_view, bodies, cfg, block_major=True
         )
         # Node-side channels for the kernels, gathered per job window with
         # one-hot matmuls.  Integers ride as exact <=16-bit f32 channels:
@@ -579,13 +594,15 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         # select loop would cost more than all gated jobs combined.
         aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
         aff_hi = (node_aff >> 16).astype(jnp.float32)
+        # Channels are already block-major (see _node_cdf_full's position
+        # feed) — the reshape is free; append the ghost block.
         chan = jnp.stack(
             [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist],
             axis=-1,
-        )
-        chan_grid = _to_blocks(chan, grid, 0.0)
-        # Ghost block: closest channel must read as NONE (-1).
-        chan_grid = chan_grid.at[-1, ..., 2].set(-1.0)
+        ).reshape((nb_total,) + (bs,) * d + (4,))
+        ghost = jnp.zeros((1,) + (bs,) * d + (4,), jnp.float32)
+        ghost = ghost.at[..., 2].set(-1.0)   # closest must read NONE (-1)
+        chan_grid = jnp.concatenate([chan, ghost], axis=0)
         tiles4 = gather_tiles(chan_grid).reshape(-1, 216, 4)
         ntiles = jnp.pad(tiles4, ((0, 0), (0, ptf.WPAD - 216), (0, 0)))
         # Per-job CPIC gate: any collider-touched node in the job window
@@ -1104,16 +1121,17 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         state_view = SimState(particles=None, models=None, bodies=bodies,
                               meshes=meshes)
         node_dist, node_aff, node_closest = _node_cdf_full(
-            state_view, bodies, cfg
+            state_view, bodies, cfg, block_major=True
         )
         aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
         aff_hi = (node_aff >> 16).astype(jnp.float32)
         chan = jnp.stack(
             [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist],
             axis=-1,
-        )
-        chan_grid = _to_blocks(chan, grid, 0.0)
-        chan_grid = chan_grid.at[-1, ..., 2].set(-1.0)
+        ).reshape((nb_total,) + (bs,) * d + (4,))
+        ghost = jnp.zeros((1,) + (bs,) * d + (4,), jnp.float32)
+        ghost = ghost.at[..., 2].set(-1.0)
+        chan_grid = jnp.concatenate([chan, ghost], axis=0)
         tiles4 = gather_tiles(chan_grid).reshape(-1, wvol, 4)
         ntiles = jnp.pad(tiles4, ((0, 0), (0, ptf.WPAD - wvol), (0, 0)))
         jbody = jnp.any(
