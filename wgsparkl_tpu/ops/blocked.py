@@ -334,11 +334,13 @@ def band_info_slots(tgts, ghost_slot: int, band: int, cj: int):
 
 
 def gather_tiles_slots(grid_blocks, tgts, band_lo, bands_ok, dim: int,
-                       band: int, cj: int):
+                       band: int, cj: int, out=None):
     """Tile gather with explicit per-octant slot targets [2^d, J].
 
     Banded when bands_ok (one grid slab per job chunk), full one-hot
-    matmul otherwise.  Ghost slot = last grid row."""
+    matmul otherwise.  Ghost slot = last grid row.  out=(wpad, cpad):
+    zero-padded window tiles via the static permutation matmul
+    (see _window_perm_np)."""
     nb1 = grid_blocks.shape[0]
     c = grid_blocks.shape[-1]
     bs = block_size(dim)
@@ -348,7 +350,19 @@ def gather_tiles_slots(grid_blocks, tgts, band_lo, bands_ok, dim: int,
     ghost_row = flat_grid[nb1 - 1]
     lane_b = jax.lax.broadcasted_iota(jnp.int32, (cj, min(band, nb1)), 1)
 
+    pm = (None if out is None
+          else jnp.asarray(_window_perm_np(dim, c, out[0], out[1])))
+
     def assemble(got_fn):
+        if out is not None:
+            cat = jnp.concatenate(
+                [got_fn(oi) for oi in range(2**dim)], axis=1
+            )
+            win = jax.lax.dot_general(
+                cat, pm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return win.reshape(j, out[0], out[1])
         tile = jnp.zeros((j,) + (wsz,) * dim + (c,), jnp.float32)
         for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
             got = got_fn(oi).reshape((j,) + (bs,) * dim + (c,))
@@ -420,27 +434,44 @@ def gather_tiles_slots(grid_blocks, tgts, band_lo, bands_ok, dim: int,
 
 
 def scatter_tiles_slots(grid_blocks, tiles, tgts, band_lo, bands_ok,
-                        dim: int, band: int, cj: int):
-    """Tile scatter-add with explicit per-octant slot targets [2^d, J]."""
+                        dim: int, band: int, cj: int, win: bool = False):
+    """Tile scatter-add with explicit per-octant slot targets [2^d, J].
+
+    win=True: tiles is the raw padded kernel output [J, wpad, cpad]
+    (see scatter_tiles_mm)."""
     nb1 = grid_blocks.shape[0]
     bs = block_size(dim)
     j = tgts.shape[1]
     flat_grid = grid_blocks.reshape(nb1, -1)
     cols = flat_grid.shape[1]
+    if win:
+        c = grid_blocks.shape[-1]
+        pm = jnp.asarray(
+            _window_perm_np(dim, c, tiles.shape[1], tiles.shape[2])
+        )
+        oct_all = jax.lax.dot_general(
+            tiles.reshape(j, -1), pm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cw = bs**dim * c
 
-    def chunk_of(oi, tile_sel):
-        _, starts, sizes = _octant_slices(dim)[oi]
-        if dim == 2:
-            ch = tile_sel[:, starts[0] : starts[0] + sizes[0],
-                          starts[1] : starts[1] + sizes[1]]
-            pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]), (0, 0))
-        else:
-            ch = tile_sel[:, starts[0] : starts[0] + sizes[0],
-                          starts[1] : starts[1] + sizes[1],
-                          starts[2] : starts[2] + sizes[2]]
-            pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]),
-                   (0, bs - sizes[2]), (0, 0))
-        return jnp.pad(ch, pad).reshape(tile_sel.shape[0], -1)
+        def chunk_of(oi, tile_sel):
+            return oct_all[:, oi * cw : (oi + 1) * cw]
+    else:
+        def chunk_of(oi, tile_sel):
+            _, starts, sizes = _octant_slices(dim)[oi]
+            if dim == 2:
+                ch = tile_sel[:, starts[0] : starts[0] + sizes[0],
+                              starts[1] : starts[1] + sizes[1]]
+                pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]),
+                       (0, 0))
+            else:
+                ch = tile_sel[:, starts[0] : starts[0] + sizes[0],
+                              starts[1] : starts[1] + sizes[1],
+                              starts[2] : starts[2] + sizes[2]]
+                pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]),
+                       (0, bs - sizes[2]), (0, 0))
+            return jnp.pad(ch, pad).reshape(tile_sel.shape[0], -1)
 
     def full(grid_flat):
         blk_ids = jax.lax.broadcasted_iota(jnp.int32, (j, nb1), 1)
@@ -720,13 +751,18 @@ def gather_tiles(grid_blocks, job_block, nbr_table, dim: int):
     return tile
 
 
-def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int):
+def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int,
+                     win: bool = False):
     """Scatter-add via one-hot matmuls (MXU) instead of serial XLA scatter.
 
     XLA lowers indexed scatter to a serial while loop (one tiny DMA per
     index); on TPU it is *much* faster to burn MACs: per octant,
     out[b, :] += sum_j onehot[j, b] * chunk[j, :] is a single
     [NB+1, J] x [J, chunk] matmul.  Float32 exact (one-hot entries are 0/1).
+
+    win=True: tiles is the raw padded kernel output [J, wpad, cpad]; the
+    window->octant split (and the drop of pad rows / channels >= grid c)
+    rides the transposed static permutation matmul.
     """
     nb1 = grid_blocks.shape[0]
     c = grid_blocks.shape[-1]
@@ -734,6 +770,22 @@ def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int):
     j = tiles.shape[0]
     blk_ids = jax.lax.broadcasted_iota(jnp.int32, (j, nb1), 1)
     flat_grid = grid_blocks.reshape(nb1, -1)
+    if win:
+        pm = jnp.asarray(_window_perm_np(dim, c, tiles.shape[1], tiles.shape[2]))
+        oct_all = jax.lax.dot_general(
+            tiles.reshape(j, -1), pm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                       # [J, 2^d*bs^d*c]
+        cw = bs**dim * c
+        for oi in range(2**dim):
+            tgt = nbr_table[job_block, oi]
+            onehot = (tgt[:, None] == blk_ids).astype(jnp.float32)
+            flat_grid = flat_grid + jax.lax.dot_general(
+                onehot, oct_all[:, oi * cw : (oi + 1) * cw],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return flat_grid.reshape(grid_blocks.shape)
     for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
         tgt = nbr_table[job_block, oi]
         onehot = (tgt[:, None] == blk_ids).astype(jnp.float32)      # [J, NB+1]
@@ -755,7 +807,36 @@ def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int):
     return flat_grid.reshape(grid_blocks.shape)
 
 
-def gather_tiles_mm(grid_blocks, job_block, nbr_table, dim: int):
+@functools.lru_cache(maxsize=None)
+def _window_perm_np(dim: int, c: int, wpad: int, cpad: int):
+    """Static 0/1 matrix [2^d*bs^d*c, wpad*cpad]: per-octant gathered block
+    cells (cell-major, channel-minor) -> flattened padded window tiles.
+
+    Folding the octant->window assembly plus the WPAD/channel zero-padding
+    into one MXU matmul keeps the [J, wsz^d, c] tile tensors (minor dim
+    c -> c/128 usable lanes) out of the XLA graph entirely; its transpose
+    is the scatter-side window->octant split.  Channels >= c of the padded
+    output stay zero."""
+    bs = block_size(dim)
+    wsz = window_size(dim)
+    src_w = (2**dim) * bs**dim * c
+    pm = np.zeros((src_w, wpad * cpad), np.float32)
+    for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
+        for cell in np.ndindex(*((bs,) * dim)):
+            if any(cell[a] >= sizes[a] for a in range(dim)):
+                continue
+            wflat = 0
+            cflat = 0
+            for a in range(dim):
+                wflat = wflat * wsz + starts[a] + cell[a]
+                cflat = cflat * bs + cell[a]
+            for ch in range(c):
+                pm[(oi * bs**dim + cflat) * c + ch, wflat * cpad + ch] = 1.0
+    return pm
+
+
+def gather_tiles_mm(grid_blocks, job_block, nbr_table, dim: int,
+                    out=None):
     """Window-tile gather via one-hot matmuls (see scatter_tiles_mm).
 
     grid_blocks must be f32 with values exactly representable in f32
@@ -768,6 +849,21 @@ def gather_tiles_mm(grid_blocks, job_block, nbr_table, dim: int):
     j = job_block.shape[0]
     blk_ids = jax.lax.broadcasted_iota(jnp.int32, (j, nb1), 1)
     flat_grid = grid_blocks.reshape(nb1, -1)
+    if out is not None:
+        pm = jnp.asarray(_window_perm_np(dim, c, out[0], out[1]))
+        gots = []
+        for oi in range(2**dim):
+            src = nbr_table[job_block, oi]
+            onehot = (src[:, None] == blk_ids).astype(jnp.float32)
+            gots.append(jax.lax.dot_general(
+                onehot, flat_grid, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        win = jax.lax.dot_general(
+            jnp.concatenate(gots, axis=1), pm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return win.reshape(j, out[0], out[1])
     tile = jnp.zeros((j,) + (wsz,) * dim + (c,), jnp.float32)
     for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
         src = nbr_table[job_block, oi]
@@ -869,9 +965,11 @@ def _band_geometry(nb: Tuple[int, ...], band: int):
 
 
 def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
-                        dim: int, band: int, cj: int):
+                        dim: int, band: int, cj: int, out=None):
     """Banded gather_tiles_mm (see module notes above); bit-exact when
-    band_info(...)[1] holds."""
+    band_info(...)[1] holds.  With out=(wpad, cpad) the octant->window
+    assembly rides a static permutation matmul and the result is the
+    zero-padded [J, wpad, cpad] kernel-input tile directly."""
     nb_total, offs, w2 = _band_geometry(nb, band)
     nb1 = grid_blocks.shape[0]
     c = grid_blocks.shape[-1]
@@ -882,11 +980,31 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
     ghost_row = flat_grid[nb_total]                               # [bs^d * c]
     jb_chunks = job_block.reshape(-1, cj)
     lane = jax.lax.broadcasted_iota(jnp.int32, (cj, w2), 1)
+    pm = (None if out is None
+          else jnp.asarray(_window_perm_np(dim, c, out[0], out[1])))
 
     def body(_, args):
         jb, lo = args
         s = jnp.clip(lo, 0, nb1 - w2)
         slab = jax.lax.dynamic_slice(flat_grid, (s, 0), (w2, flat_grid.shape[1]))
+        if out is not None:
+            gots = []
+            for oi in range(2**dim):
+                src = _octant_targets(jb, nb, nb_total, oi, offs)
+                is_ghost = src >= nb_total
+                onehot = ((src[:, None] - s) == lane) & ~is_ghost[:, None]
+                g = jax.lax.dot_general(
+                    onehot.astype(jnp.float32), slab, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                gots.append(
+                    g + is_ghost[:, None].astype(jnp.float32) * ghost_row[None]
+                )
+            win = jax.lax.dot_general(
+                jnp.concatenate(gots, axis=1), pm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return _, win
         tile = jnp.zeros((cj,) + (wsz,) * dim + (c,), jnp.float32)
         for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
             src = _octant_targets(jb, nb, nb_total, oi, offs)
@@ -914,15 +1032,21 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
         return _, tile
 
     _, tiles = jax.lax.scan(body, 0, (jb_chunks, band_lo))
+    if out is not None:
+        return tiles.reshape(j, out[0], out[1])
     return tiles.reshape((j,) + (wsz,) * dim + (c,))
 
 
 def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
-                         nb, dim: int, band: int, cj: int):
+                         nb, dim: int, band: int, cj: int,
+                         win: bool = False):
     """Banded scatter_tiles_mm; bit-exact on non-ghost rows when
     band_info(...)[1] holds.  Ghost-target contributions (out-of-range
     neighbors, dead jobs) are dropped instead of accumulated in the ghost
-    row — the ghost row is discarded/zero-weight downstream."""
+    row — the ghost row is discarded/zero-weight downstream.
+
+    win=True: tiles is the raw padded kernel output [J, wpad, cpad]
+    (see scatter_tiles_mm)."""
     nb_total, offs, w2 = _band_geometry(nb, band)
     nb1 = grid_blocks.shape[0]
     c = grid_blocks.shape[-1]
@@ -932,11 +1056,33 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
     jb_chunks = job_block.reshape(-1, cj)
     tile_chunks = tiles.reshape((-1, cj) + tiles.shape[1:])
     lane = jax.lax.broadcasted_iota(jnp.int32, (cj, w2), 1)
+    pm = (jnp.asarray(_window_perm_np(dim, c, tiles.shape[1], tiles.shape[2]))
+          if win else None)
 
     def body(flat_grid, args):
         jb, lo, tchunk = args
         s = jnp.clip(lo, 0, nb1 - w2)
         delta = jnp.zeros((w2, cols), jnp.float32)
+        if win:
+            oct_all = jax.lax.dot_general(
+                tchunk.reshape(cj, -1), pm, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            cw = bs**dim * c
+            for oi in range(2**dim):
+                tgt = _octant_targets(jb, nb, nb_total, oi, offs)
+                onehot = ((tgt[:, None] - s) == lane) & (tgt < nb_total)[:, None]
+                delta = delta + jax.lax.dot_general(
+                    onehot.astype(jnp.float32),
+                    oct_all[:, oi * cw : (oi + 1) * cw],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            slab = jax.lax.dynamic_slice(flat_grid, (s, 0), (w2, cols))
+            return (
+                jax.lax.dynamic_update_slice(flat_grid, slab + delta, (s, 0)),
+                None,
+            )
         for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
             tgt = _octant_targets(jb, nb, nb_total, oi, offs)
             onehot = ((tgt[:, None] - s) == lane) & (tgt < nb_total)[:, None]
@@ -966,30 +1112,35 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
 
 
 def gather_tiles_auto(grid_blocks, job_block, band_lo, bands_ok, nbr_table,
-                      nb, dim: int, band: int, cj: int):
+                      nb, dim: int, band: int, cj: int, out=None):
     """Banded gather when every job chunk's block span fits the static band
     (the common case — jobs are block-sorted), full one-hot matmul otherwise."""
     if job_block.shape[0] % cj or band >= int(np.prod(nb)):
-        return gather_tiles_mm(grid_blocks, job_block, nbr_table, dim)
+        return gather_tiles_mm(grid_blocks, job_block, nbr_table, dim, out=out)
     return jax.lax.cond(
         bands_ok,
-        lambda g: gather_tiles_banded(g, job_block, band_lo, nb, dim, band, cj),
-        lambda g: gather_tiles_mm(g, job_block, nbr_table, dim),
+        lambda g: gather_tiles_banded(
+            g, job_block, band_lo, nb, dim, band, cj, out=out
+        ),
+        lambda g: gather_tiles_mm(g, job_block, nbr_table, dim, out=out),
         grid_blocks,
     )
 
 
 def scatter_tiles_auto(grid_blocks, tiles, job_block, band_lo, bands_ok,
-                       nbr_table, nb, dim: int, band: int, cj: int):
+                       nbr_table, nb, dim: int, band: int, cj: int,
+                       win: bool = False):
     """Banded scatter-add with full one-hot matmul fallback (see gather)."""
     if job_block.shape[0] % cj or band >= int(np.prod(nb)):
-        return scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim)
+        return scatter_tiles_mm(
+            grid_blocks, tiles, job_block, nbr_table, dim, win=win
+        )
     return jax.lax.cond(
         bands_ok,
         lambda g, t: scatter_tiles_banded(
-            g, t, job_block, band_lo, nb, dim, band, cj
+            g, t, job_block, band_lo, nb, dim, band, cj, win=win
         ),
-        lambda g, t: scatter_tiles_mm(g, t, job_block, nbr_table, dim),
+        lambda g, t: scatter_tiles_mm(g, t, job_block, nbr_table, dim, win=win),
         grid_blocks, tiles,
     )
 

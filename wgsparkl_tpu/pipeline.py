@@ -569,10 +569,10 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         jobs["block"], nb_total, cfg.band, cfg.band_chunk
     )
 
-    def gather_tiles(grid_arr):
+    def gather_tiles(grid_arr, out=None):
         return bk.gather_tiles_auto(
             grid_arr, jobs["block"], band_lo, bands_ok, nbr, nb, d,
-            cfg.band, cfg.band_chunk,
+            cfg.band, cfg.band_chunk, out=out,
         )
 
     # Particle channels = rows 0..NCHAN-1 of the sorted state (prev affinity
@@ -603,13 +603,15 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         ghost = jnp.zeros((1,) + (bs,) * d + (4,), jnp.float32)
         ghost = ghost.at[..., 2].set(-1.0)   # closest must read NONE (-1)
         chan_grid = jnp.concatenate([chan, ghost], axis=0)
-        tiles4 = gather_tiles(chan_grid).reshape(-1, 216, 4)
-        ntiles = jnp.pad(tiles4, ((0, 0), (0, ptf.WPAD - 216), (0, 0)))
+        ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4))
         # Per-job CPIC gate: any collider-touched node in the job window
         # (affinity bits or a closest body) — jobs away from all colliders
-        # skip the pairwise CPIC work inside the kernels.
+        # skip the pairwise CPIC work inside the kernels.  Pad rows carry
+        # closest == 0, so mask the reduction to the real window.
+        wmask = (jnp.arange(ptf.WPAD) < 216)[None, :]
         jbody = jnp.any(
-            (tiles4[..., 0] + tiles4[..., 1] > 0.0) | (tiles4[..., 2] >= 0.0),
+            ((ntiles[..., 0] + ntiles[..., 1] > 0.0)
+             | (ntiles[..., 2] >= 0.0)) & wmask,
             axis=1,
         ).astype(jnp.int32)
 
@@ -646,12 +648,10 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         mm_out, imp_out = ptf.p2g_tiles(
             pdata, ntiles, btable, jobs, bcells, grid, group, nc, jbody
         )
-    mm_tiles = mm_out[:, :216, :4]
     grid_mm = jnp.zeros((nb_total + 1,) + (bs,) * d + (d + 1,), jnp.float32)
     grid_mm = bk.scatter_tiles_auto(
-        grid_mm, mm_tiles.reshape((-1,) + (6,) * d + (d + 1,)),
-        jobs["block"], band_lo, bands_ok, nbr, nb, d, cfg.band,
-        cfg.band_chunk,
+        grid_mm, mm_out, jobs["block"], band_lo, bands_ok, nbr, nb, d,
+        cfg.band, cfg.band_chunk, win=True,
     )
 
     # CPIC impulses: per-job, per-collider totals already reduced in-kernel.
@@ -701,8 +701,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     vel_b = jnp.clip(vel_b, -vel_limit, vel_limit)
 
     # --- G2P ---
-    v_tiles = gather_tiles(vel_b).reshape(-1, 216, 3)
-    f_tiles = jnp.pad(v_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 1)))
+    f_tiles = gather_tiles(vel_b, out=(ptf.WPAD, 4))
     krows = ptf.g2p_rows(
         pdata, f_tiles, ntiles, btable, jobs, bcells, grid, group, npad, nc,
         jbody,
@@ -869,9 +868,10 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         tgts, amax, cfg.band, cfg.band_chunk
     )
 
-    def gather_tiles(grid_arr):
+    def gather_tiles(grid_arr, out=None):
         return bk.gather_tiles_slots(
-            grid_arr, tgts, band_lo, bands_ok, d, cfg.band, cfg.band_chunk
+            grid_arr, tgts, band_lo, bands_ok, d, cfg.band, cfg.band_chunk,
+            out=out,
         )
 
     pdata = rows_all[: ptf.NCHAN]
@@ -904,10 +904,12 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         ghost = jnp.zeros((1,) + (bs,) * d + (4,), jnp.float32)
         ghost = ghost.at[..., 2].set(-1.0)
         chan_grid = jnp.concatenate([chan, ghost], axis=0)
-        tiles4 = gather_tiles(chan_grid).reshape(-1, 216, 4)
-        ntiles = jnp.pad(tiles4, ((0, 0), (0, ptf.WPAD - 216), (0, 0)))
+        ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4))
+        # Pad rows carry closest == 0 — mask the gate to the real window.
+        wmask = (jnp.arange(ptf.WPAD) < 216)[None, :]
         jbody = jnp.any(
-            (tiles4[..., 0] + tiles4[..., 1] > 0.0) | (tiles4[..., 2] >= 0.0),
+            ((ntiles[..., 0] + ntiles[..., 1] > 0.0)
+             | (ntiles[..., 2] >= 0.0)) & wmask,
             axis=1,
         ).astype(jnp.int32)
 
@@ -939,11 +941,10 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         mm_out, imp_out = ptf.p2g_tiles(
             pdata, ntiles, btable, jobs, bcells, grid, group, nc, jbody
         )
-    mm_tiles = mm_out[:, :216, :4]
     grid_mm = jnp.zeros((amax + 1,) + (bs,) * d + (d + 1,), jnp.float32)
     grid_mm = bk.scatter_tiles_slots(
-        grid_mm, mm_tiles.reshape((-1,) + (6,) * d + (d + 1,)),
-        tgts, band_lo, bands_ok, d, cfg.band, cfg.band_chunk,
+        grid_mm, mm_out, tgts, band_lo, bands_ok, d, cfg.band,
+        cfg.band_chunk, win=True,
     )
 
     imp_sum = jnp.sum(imp_out, axis=0)
@@ -965,8 +966,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
     vel_b = jnp.clip(vel_b, -vel_limit, vel_limit)
 
     # --- G2P ---
-    v_tiles = gather_tiles(vel_b).reshape(-1, 216, 3)
-    f_tiles = jnp.pad(v_tiles, ((0, 0), (0, ptf.WPAD - 216), (0, 1)))
+    f_tiles = gather_tiles(vel_b, out=(ptf.WPAD, 4))
     krows = ptf.g2p_rows(
         pdata, f_tiles, ntiles, btable, jobs, bcells, grid, group, npad, nc,
         jbody,
@@ -1107,10 +1107,10 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         jobs["block"], nb_total, cfg.band, cfg.band_chunk
     )
 
-    def gather_tiles(grid_arr):
+    def gather_tiles(grid_arr, out=None):
         return bk.gather_tiles_auto(
             grid_arr, jobs["block"], band_lo, bands_ok, nbr, nb, d,
-            cfg.band, cfg.band_chunk,
+            cfg.band, cfg.band_chunk, out=out,
         )
 
     pdata = rows_all[: ptf.NCHAN]
@@ -1132,10 +1132,12 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         ghost = jnp.zeros((1,) + (bs,) * d + (4,), jnp.float32)
         ghost = ghost.at[..., 2].set(-1.0)
         chan_grid = jnp.concatenate([chan, ghost], axis=0)
-        tiles4 = gather_tiles(chan_grid).reshape(-1, wvol, 4)
-        ntiles = jnp.pad(tiles4, ((0, 0), (0, ptf.WPAD - wvol), (0, 0)))
+        ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4))
+        # Pad rows carry closest == 0 — mask the gate to the real window.
+        wmask = (jnp.arange(ptf.WPAD) < wvol)[None, :]
         jbody = jnp.any(
-            (tiles4[..., 0] + tiles4[..., 1] > 0.0) | (tiles4[..., 2] >= 0.0),
+            ((ntiles[..., 0] + ntiles[..., 1] > 0.0)
+             | (ntiles[..., 2] >= 0.0)) & wmask,
             axis=1,
         ).astype(jnp.int32)
 
@@ -1155,11 +1157,10 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         )
 
         aff_w = (
-            tiles4[..., 1].astype(jnp.int32) << 16
-        ) | tiles4[..., 0].astype(jnp.int32)
-        closest_w = tiles4[..., 2].astype(jnp.int32)
+            ntiles[..., 1].astype(jnp.int32) << 16
+        ) | ntiles[..., 0].astype(jnp.int32)
+        closest_w = ntiles[..., 2].astype(jnp.int32)
         itiles = jnp.stack([aff_w, closest_w], axis=-1)
-        itiles = jnp.pad(itiles, ((0, 0), (0, ptf.WPAD - wvol), (0, 0)))
     else:
         maxj = cfg.max_jobs
         itiles = jnp.zeros((maxj, ptf.WPAD, 2), jnp.int32)
@@ -1177,12 +1178,10 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
     mm_out, imp_out = ptf.p2g_tiles(
         pdata, itiles, btable, jobs, bcells, grid, group, nc, jbody
     )
-    mm_tiles = mm_out[:, :wvol, : d + 1]
     grid_mm = jnp.zeros((nb_total + 1,) + (bs,) * d + (d + 1,), jnp.float32)
     grid_mm = bk.scatter_tiles_auto(
-        grid_mm, mm_tiles.reshape((-1,) + (10,) * d + (d + 1,)),
-        jobs["block"], band_lo, bands_ok, nbr, nb, d, cfg.band,
-        cfg.band_chunk,
+        grid_mm, mm_out, jobs["block"], band_lo, bands_ok, nbr, nb, d,
+        cfg.band, cfg.band_chunk, win=True,
     )
 
     imp_sum = jnp.sum(imp_out, axis=0)                          # [8, 128]
@@ -1202,8 +1201,7 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
     vel_b = jnp.clip(vel_b, -vel_limit, vel_limit)
 
     # --- G2P ---
-    v_tiles = gather_tiles(vel_b).reshape(-1, wvol, 2)
-    f_tiles = jnp.pad(v_tiles, ((0, 0), (0, ptf.WPAD - wvol), (0, 2)))
+    f_tiles = gather_tiles(vel_b, out=(ptf.WPAD, 4))
     krows = ptf.g2p_rows(
         pdata, f_tiles, itiles, btable, jobs, bcells, grid, group, npad, nc,
         jbody,
