@@ -48,3 +48,29 @@ def test_block_sort_like():
     keys = keys + movers * rng.integers(-2, 3, size=n)
     perm = np.argsort(keys, kind="stable").astype(np.int32)
     _check(perm, emax=n // 2)
+
+
+def test_mass_far_movers_dense_chunks():
+    """Block-crosser pattern: whole runs jump ~n/2 ranks (like particles
+    crossing a slow sort-axis face).  Exercises the in-kernel exception
+    slabs at near-full per-chunk occupancy and 128-misaligned segment
+    starts."""
+    n = 8 * CHUNK
+    perm = np.arange(n, dtype=np.int32)
+    # move a 300-lane run from the far end into lanes 100..400 (spans
+    # chunk boundaries; per-chunk exception counts up to 256)
+    moved = np.arange(n - 300, n, dtype=np.int32)
+    rest = np.setdiff1d(perm, moved, assume_unique=True)
+    perm = np.concatenate([rest[:100], moved, rest[100:]]).astype(np.int32)
+    _check(perm, emax=2048)
+
+
+def test_exception_level_boundaries():
+    n = 16 * CHUNK
+    rng = np.random.default_rng(7)
+    perm = np.arange(n, dtype=np.int32)
+    # ~600 scattered far swaps -> crosses the smallest patch level
+    for _ in range(600):
+        a, b = rng.integers(0, n, size=2)
+        perm[[a, b]] = perm[[b, a]]
+    _check(perm, emax=4096)

@@ -2,20 +2,30 @@
 
 The re-sort permutation at the heart of the sort phase (grid.rs:30-206 role)
 is NEARLY BANDED: particles drift << 1 block/substep, so when the block-key
-order breaks, 99.8%+ of rows land within a few hundred ranks of where they
-already are (measured p99 disp ~200 at 1M particles; only block changers
-crossing a slow flat-order axis jump far).  A general XLA row/lane gather
-serializes per index (~54 ns/row -> ~54 ms at 1M x 56 channels); this module
-instead:
+order breaks, 99%+ of rows land within a few hundred ranks of where they
+already are.  The far movers that remain are block-crossers on a slow
+sort-key axis: measured at 1M particles they jump ~1e5 ranks (a whole
+y-column of blocks), so no practical band can cover them.  A general XLA
+row/lane gather serializes per index (~54 ns/row -> ~54 ms at 1M x 56
+channels), and an XLA lane scatter patching the far movers costs ~150 ns
+per (channel, lane) 4-byte write; this module instead does everything with
+one Pallas kernel pass:
 
-  * applies the in-band part of the permutation with one Pallas kernel:
-    per 256-lane output chunk, a [3*256, 256] one-hot built in VMEM from the
-    permutation (never materialized to HBM) contracts against a DMA'd
-    [C, 3*256] source slab on the MXU — out[:, i] = rows[:, perm[i]];
-  * patches the few far movers (|perm[i] - i| > band) with a small XLA
-    lane scatter from a compacted exception list;
-  * falls back to the full XLA gather under lax.cond when the exception
-    list overflows (arbitrary permutations stay exact).
+  * in-band part: per 256-lane output chunk, a [3*256, 256] one-hot built
+    in VMEM from the permutation (never materialized to HBM) contracts
+    against a DMA'd [C, 3*256] source slab on the MXU —
+    out[:, i] = rows[:, perm[i]];
+  * far movers (perm outside the chunk's slab): their lanes are ranked in
+    output order, so the exceptions landing in chunk g form one contiguous
+    segment of that ranking of length <= 256 (a chunk only has 256 lanes).
+    XLA pre-gathers the exception source columns once ([C, cap] take) and
+    hands the kernel each lane's exception rank (einv, -1 for in-band
+    lanes); the kernel DMAs the chunk's 512-wide column slab and applies
+    it with a second one-hot matmul.  No XLA scatter, no serialized
+    writes;
+  * the static exception capacity is switched at runtime between
+    EMAX_LEVELS so the common case pays a small XLA take; a full-gather
+    fallback keeps arbitrary permutations exact beyond the largest level.
 
 State rides CHANNEL-MAJOR [C, N] throughout — the same layout the transfer
 kernels consume — so the permutation is a lane move with f32-exact one-hot
@@ -37,12 +47,21 @@ def _interpret() -> bool:
 
 
 CHUNK = 256  # output lanes per program (also the displacement band)
+EXCW = 512   # exception slab width (>= 128-align slack + 256 max/chunk)
 
 
-def _permute_kernel(perm_ref, rows_hbm, out_ref, slab_db, sem,
-                    *, npad: int, c0: int):
-    """Program g writes out[:, g*C:(g+1)*C] = rows[:, perm[g*C:(g+1)*C]]
-    for in-band perm entries (others produce zero columns)."""
+def _permute_kernel(lo_ref, perm_ref, einv_ref, rows_hbm, exccols_hbm,
+                    out_ref, slab_db, sem, ecol_buf, esem,
+                    *, npad: int, c0: int, cap: int):
+    """Program g writes out[:, g*C:(g+1)*C] = rows[:, perm[g*C:(g+1)*C]].
+
+    In-band entries ride the slab matmul; far movers ride the exception
+    slab matmul: einv_ref[0, i] is lane i's rank in the (output-ordered)
+    exception list, -1 when the lane is in-band, and exccols_hbm[:, e] is
+    the pre-gathered source column of exception e.  lo_ref[g] = first
+    exception rank at or past lane g*CHUNK, so this chunk's ranks live in
+    [lo, lo + 256) — always inside the 128-aligned EXCW-wide slab.
+    """
     g = pl.program_id(0)
     ng = pl.num_programs(0)
     c = CHUNK
@@ -62,9 +81,27 @@ def _permute_kernel(perm_ref, rows_hbm, out_ref, slab_db, sem,
     slot = jax.lax.rem(g, 2)
     nslot = jax.lax.rem(g + 1, 2)
 
+    lo = lo_ref[g]
+    has_exc = lo_ref[g + 1] > lo
+    base = pl.multiple_of(jnp.clip((lo // 128) * 128, 0, cap - EXCW), 128)
+    ecopy = pltpu.make_async_copy(
+        exccols_hbm.at[:, pl.ds(base, EXCW)], ecol_buf, esem
+    )
+
+    @pl.when(has_exc)
+    def _():
+        ecopy.start()
+
     @pl.when(g == 0)
     def _():
         dma_for(g, slot).start()
+
+    @pl.when((g == 0) & jnp.logical_not(has_exc))
+    def _():
+        # Uninitialized column VMEM could hold NaN payloads and NaN * 0
+        # poisons the additive one-hot matmul (later chunks reuse stale —
+        # finite — contents, which the one-hot zeroes out).
+        ecol_buf[...] = jnp.zeros(ecol_buf.shape, jnp.float32)
 
     @pl.when(g + 1 < ng)
     def _():
@@ -76,76 +113,116 @@ def _permute_kernel(perm_ref, rows_hbm, out_ref, slab_db, sem,
     rel = perm_ref[0][None, :] - s                                # [1, C]
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (w, c), 0)
     onehot = (rel == k_iota).astype(jnp.float32)                  # [W, C]
-    out_ref[:, :] = jax.lax.dot_general(
+    acc = jax.lax.dot_general(
         slab_db[slot], onehot, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
+    @pl.when(has_exc)
+    def _():
+        ecopy.wait()
 
-def _permute_banded(rows, perm_p, npad: int):
+    # onehot2[e, i] = (lane i's exception rank == base + e); in-band lanes
+    # carry rank -1 and never match.
+    rel2 = einv_ref[0][None, :] - base                            # [1, C]
+    k2 = jax.lax.broadcasted_iota(jnp.int32, (EXCW, c), 0)
+    onehot2 = (rel2 == k2).astype(jnp.float32)                    # [EXCW, C]
+    out_ref[:, :] = acc + jax.lax.dot_general(
+        ecol_buf[...], onehot2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _permute_banded(rows, perm_p, exc_lo, einv, exc_cols, npad: int):
     c0 = rows.shape[0]
+    cap = exc_cols.shape[1]
+    if cap < EXCW:   # the kernel DMAs fixed EXCW-wide exception slabs
+        exc_cols = jnp.pad(exc_cols, ((0, 0), (0, EXCW - cap)))
+        cap = EXCW
     ng = npad // CHUNK
-    kernel = functools.partial(_permute_kernel, npad=npad, c0=c0)
+    kernel = functools.partial(_permute_kernel, npad=npad, c0=c0, cap=cap)
     return pl.pallas_call(
         kernel,
-        grid=(ng,),
-        in_specs=[
-            pl.BlockSpec((1, CHUNK), lambda g: (0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=pl.BlockSpec((c0, CHUNK), lambda g: (0, g),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ng,),
+            in_specs=[
+                pl.BlockSpec((1, CHUNK), lambda g, lo: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, CHUNK), lambda g, lo: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec((c0, CHUNK), lambda g, lo: (0, g),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, c0, min(3 * CHUNK, npad)), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((c0, EXCW), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((c0, npad), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, c0, min(3 * CHUNK, npad)), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         interpret=_interpret(),
-    )(perm_p.reshape(1, npad), rows)
+    )(exc_lo, perm_p.reshape(1, npad), einv.reshape(1, npad), rows, exc_cols)
 
 
-EMAX_LEVELS = (2048, 16384, 65536, 262144)
+EMAX_LEVELS = (2048, 8192, 16384, 65536, 262144)
 
 
 def permute_lanes(rows, perm, emax: int = 262144):
     """rows[:, perm] for a [C, NPAD] channel matrix, exact for any perm.
 
     rows: [C, NPAD] f32 (NPAD a multiple of 256); perm: [NPAD] int32 with
-    values in [0, NPAD).  Fast banded path + exception patch (the patch
-    capacity is switched at runtime between EMAX_LEVELS so the common case
-    — a few hundred far movers — pays a tiny gather/scatter, while
-    mass-motion phases with tens of thousands still avoid the serialized
-    full gather); full-gather fallback beyond the largest level.
+    values in [0, NPAD).  One Pallas pass applies both the banded part and
+    the compacted far-mover exceptions (see module docstring); the static
+    exception capacity is switched at runtime between EMAX_LEVELS so the
+    XLA-side column pre-gather stays sized to the actual exception count.
+    Full-gather fallback beyond the largest level keeps any permutation
+    exact.
     """
     c0, npad = rows.shape
     assert npad % CHUNK == 0, (npad, CHUNK)
+    ng = npad // CHUNK
+    w = min(3 * CHUNK, npad)
     iota = jnp.arange(npad, dtype=jnp.int32)
-    disp = jnp.abs(perm - iota)
-    flag = disp > CHUNK
+    # EXACT out-of-slab test (the kernel slab for chunk g covers source
+    # ranks [clip((g-1)C), clip+3C)): a conservative |disp| test would
+    # patch lanes the slab matmul already handles — and the patch is
+    # additive, so it must fire exactly once per lane.
+    sstart = jnp.clip((iota // CHUNK - 1) * CHUNK, 0, npad - w)
+    flag = (perm < sstart) | (perm >= sstart + w)
     n_exc = jnp.sum(flag.astype(jnp.int32))
     levels = tuple(e for e in EMAX_LEVELS if e <= emax) or (emax,)
 
     def banded(rows):
-        out = _permute_banded(rows, perm, npad)
-        # Far movers: compact (sorted) exception positions, lane-gather the
-        # source columns, lane-scatter into place.
-        keys = jnp.where(flag, iota, npad)
-        exc_sorted = jax.lax.sort(keys)
+        # Exception ranks in output-lane order; per-chunk segment starts
+        # from the per-chunk counts (exceptions of chunk g occupy ranks
+        # [exc_lo[g], exc_lo[g+1])).
+        ranks = jnp.cumsum(flag.astype(jnp.int32)) - 1
+        einv = jnp.where(flag, ranks, -1)
+        counts = jnp.sum(flag.reshape(ng, CHUNK).astype(jnp.int32), axis=1)
+        exc_lo = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)]
+        ).astype(jnp.int32)
 
-        def patch(cap):
-            def br(out):
-                exc_pos = exc_sorted[:cap]
-                valid = exc_pos < npad
-                src = perm[jnp.where(valid, exc_pos, 0)]
-                exc_cols = jnp.take(rows, src, axis=1)         # [C, cap]
-                idx = jnp.where(valid, exc_pos, npad)          # pad -> drop
-                return out.at[:, idx].set(exc_cols, mode="drop")
+        def level_fn(cap):
+            def br(rows):
+                # Source column of each exception rank, compacted: the
+                # positions sorted ascending are exactly the flagged lanes
+                # in rank order.
+                exc_pos = jax.lax.sort(jnp.where(flag, iota, npad))[:cap]
+                src = perm[jnp.where(exc_pos < npad, exc_pos, 0)]
+                exc_cols = jnp.take(rows, src, axis=1)          # [C, cap]
+                return _permute_banded(
+                    rows, perm, exc_lo, einv, exc_cols, npad
+                )
 
             return br
 
         level = sum((n_exc > e).astype(jnp.int32) for e in levels[:-1])
-        return jax.lax.switch(level, [patch(e) for e in levels], out)
+        return jax.lax.switch(level, [level_fn(e) for e in levels], rows)
 
     def full(rows):
         # Row-major gather (serialized per index, but each index moves a
