@@ -334,7 +334,7 @@ def band_info_slots(tgts, ghost_slot: int, band: int, cj: int):
 
 
 def gather_tiles_slots(grid_blocks, tgts, band_lo, bands_ok, dim: int,
-                       band: int, cj: int, out=None):
+                       band: int, cj: int, out=None, c=None):
     """Tile gather with explicit per-octant slot targets [2^d, J].
 
     Banded when bands_ok (one grid slab per job chunk), full one-hot
@@ -342,7 +342,8 @@ def gather_tiles_slots(grid_blocks, tgts, band_lo, bands_ok, dim: int,
     zero-padded window tiles via the static permutation matmul
     (see _window_perm_np)."""
     nb1 = grid_blocks.shape[0]
-    c = grid_blocks.shape[-1]
+    if c is None:
+        c = grid_blocks.shape[-1]
     bs = block_size(dim)
     wsz = window_size(dim)
     j = tgts.shape[1]
@@ -808,6 +809,26 @@ def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _cell_channel_mats_np(dim: int, c: int):
+    """Exact 0/1 matrices [c, bs^d, bs^d*c] converting channel-major
+    per-block cell arrays [NB, bs^d] into the cell-major/channel-minor
+    flat grid rows [NB, bs^d*c] the tile matmuls consume:
+
+        flat = sum_ch  X_ch @ mats[ch]
+
+    Merging channels this way (instead of jnp.stack) avoids materializing
+    a [NB, bs.., c] tensor whose (bs, c) minor dims tile onto (8, 128) at
+    16/1024 lane occupancy — each strided channel write costs ~0.7 ms per
+    substep at 1M particles."""
+    bsd = block_size(dim) ** dim
+    mats = np.zeros((c, bsd, bsd * c), np.float32)
+    for ch in range(c):
+        for cell in range(bsd):
+            mats[ch, cell, cell * c + ch] = 1.0
+    return mats
+
+
+@functools.lru_cache(maxsize=None)
 def _window_perm_np(dim: int, c: int, wpad: int, cpad: int):
     """Static 0/1 matrix [2^d*bs^d*c, wpad*cpad]: per-octant gathered block
     cells (cell-major, channel-minor) -> flattened padded window tiles.
@@ -836,14 +857,15 @@ def _window_perm_np(dim: int, c: int, wpad: int, cpad: int):
 
 
 def gather_tiles_mm(grid_blocks, job_block, nbr_table, dim: int,
-                    out=None):
+                    out=None, c=None):
     """Window-tile gather via one-hot matmuls (see scatter_tiles_mm).
 
     grid_blocks must be f32 with values exactly representable in f32
     (ints must be pre-split into <=16-bit channels).
     """
     nb1 = grid_blocks.shape[0]
-    c = grid_blocks.shape[-1]
+    if c is None:
+        c = grid_blocks.shape[-1]
     bs = block_size(dim)
     wsz = window_size(dim)
     j = job_block.shape[0]
@@ -965,14 +987,15 @@ def _band_geometry(nb: Tuple[int, ...], band: int):
 
 
 def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
-                        dim: int, band: int, cj: int, out=None):
+                        dim: int, band: int, cj: int, out=None, c=None):
     """Banded gather_tiles_mm (see module notes above); bit-exact when
     band_info(...)[1] holds.  With out=(wpad, cpad) the octant->window
     assembly rides a static permutation matmul and the result is the
     zero-padded [J, wpad, cpad] kernel-input tile directly."""
     nb_total, offs, w2 = _band_geometry(nb, band)
     nb1 = grid_blocks.shape[0]
-    c = grid_blocks.shape[-1]
+    if c is None:
+        c = grid_blocks.shape[-1]
     bs = block_size(dim)
     wsz = window_size(dim)
     j = job_block.shape[0]
@@ -1112,17 +1135,19 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
 
 
 def gather_tiles_auto(grid_blocks, job_block, band_lo, bands_ok, nbr_table,
-                      nb, dim: int, band: int, cj: int, out=None):
+                      nb, dim: int, band: int, cj: int, out=None, c=None):
     """Banded gather when every job chunk's block span fits the static band
     (the common case — jobs are block-sorted), full one-hot matmul otherwise."""
     if job_block.shape[0] % cj or band >= int(np.prod(nb)):
-        return gather_tiles_mm(grid_blocks, job_block, nbr_table, dim, out=out)
+        return gather_tiles_mm(
+            grid_blocks, job_block, nbr_table, dim, out=out, c=c
+        )
     return jax.lax.cond(
         bands_ok,
         lambda g: gather_tiles_banded(
-            g, job_block, band_lo, nb, dim, band, cj, out=out
+            g, job_block, band_lo, nb, dim, band, cj, out=out, c=c
         ),
-        lambda g: gather_tiles_mm(g, job_block, nbr_table, dim, out=out),
+        lambda g: gather_tiles_mm(g, job_block, nbr_table, dim, out=out, c=c),
         grid_blocks,
     )
 

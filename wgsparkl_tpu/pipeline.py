@@ -569,10 +569,10 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         jobs["block"], nb_total, cfg.band, cfg.band_chunk
     )
 
-    def gather_tiles(grid_arr, out=None):
+    def gather_tiles(grid_arr, out=None, c=None):
         return bk.gather_tiles_auto(
             grid_arr, jobs["block"], band_lo, bands_ok, nbr, nb, d,
-            cfg.band, cfg.band_chunk, out=out,
+            cfg.band, cfg.band_chunk, out=out, c=c,
         )
 
     # Particle channels = rows 0..NCHAN-1 of the sorted state (prev affinity
@@ -594,16 +594,25 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         # select loop would cost more than all gated jobs combined.
         aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
         aff_hi = (node_aff >> 16).astype(jnp.float32)
-        # Channels are already block-major (see _node_cdf_full's position
-        # feed) — the reshape is free; append the ghost block.
-        chan = jnp.stack(
-            [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist],
-            axis=-1,
-        ).reshape((nb_total,) + (bs,) * d + (4,))
-        ghost = jnp.zeros((1,) + (bs,) * d + (4,), jnp.float32)
-        ghost = ghost.at[..., 2].set(-1.0)   # closest must read NONE (-1)
-        chan_grid = jnp.concatenate([chan, ghost], axis=0)
-        ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4))
+        # Channels are block-major (see _node_cdf_full's position feed);
+        # merge them into flat 2D grid rows with exact 0/1 matmuls (see
+        # _cell_channel_mats_np) and append the flat ghost row.
+        cm4 = jnp.asarray(bk._cell_channel_mats_np(d, 4))
+        bsd = bs**d
+        chs = [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist]
+        chan_flat = sum(
+            jax.lax.dot_general(
+                x.reshape(nb_total, bsd), cm4[ch], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for ch, x in enumerate(chs)
+        )
+        ghost_np = np.zeros((1, bsd * 4), np.float32)
+        ghost_np[0, 2::4] = -1.0             # closest must read NONE (-1)
+        chan_grid = jnp.concatenate(
+            [chan_flat, jnp.asarray(ghost_np)], axis=0
+        )
+        ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4), c=4)
         # Per-job CPIC gate: any collider-touched node in the job window
         # (affinity bits or a closest body) — jobs away from all colliders
         # skip the pairwise CPIC work inside the kernels.  Pad rows carry
@@ -1107,10 +1116,10 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         jobs["block"], nb_total, cfg.band, cfg.band_chunk
     )
 
-    def gather_tiles(grid_arr, out=None):
+    def gather_tiles(grid_arr, out=None, c=None):
         return bk.gather_tiles_auto(
             grid_arr, jobs["block"], band_lo, bands_ok, nbr, nb, d,
-            cfg.band, cfg.band_chunk, out=out,
+            cfg.band, cfg.band_chunk, out=out, c=c,
         )
 
     pdata = rows_all[: ptf.NCHAN]
