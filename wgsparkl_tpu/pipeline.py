@@ -877,10 +877,10 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         tgts, amax, cfg.band, cfg.band_chunk
     )
 
-    def gather_tiles(grid_arr, out=None):
+    def gather_tiles(grid_arr, out=None, c=None):
         return bk.gather_tiles_slots(
             grid_arr, tgts, band_lo, bands_ok, d, cfg.band, cfg.band_chunk,
-            out=out,
+            out=out, c=c,
         )
 
     pdata = rows_all[: ptf.NCHAN]
@@ -906,14 +906,23 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         )
         aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
         aff_hi = (node_aff >> 16).astype(jnp.float32)
-        chan = jnp.stack(
-            [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist],
-            axis=-1,
-        ).reshape((amax,) + (bs,) * d + (4,))
-        ghost = jnp.zeros((1,) + (bs,) * d + (4,), jnp.float32)
-        ghost = ghost.at[..., 2].set(-1.0)
-        chan_grid = jnp.concatenate([chan, ghost], axis=0)
-        ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4))
+        # Flat-row channel merge via 0/1 matmuls (see _cell_channel_mats_np).
+        cm4 = jnp.asarray(bk._cell_channel_mats_np(d, 4))
+        bsd = bs**d
+        chs = [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist]
+        chan_flat = sum(
+            jax.lax.dot_general(
+                x.reshape(amax, bsd), cm4[ch], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for ch, x in enumerate(chs)
+        )
+        ghost_np = np.zeros((1, bsd * 4), np.float32)
+        ghost_np[0, 2::4] = -1.0
+        chan_grid = jnp.concatenate(
+            [chan_flat, jnp.asarray(ghost_np)], axis=0
+        )
+        ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4), c=4)
         # Pad rows carry closest == 0 — mask the gate to the real window.
         wmask = (jnp.arange(ptf.WPAD) < 216)[None, :]
         jbody = jnp.any(
@@ -1134,14 +1143,23 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         )
         aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
         aff_hi = (node_aff >> 16).astype(jnp.float32)
-        chan = jnp.stack(
-            [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist],
-            axis=-1,
-        ).reshape((nb_total,) + (bs,) * d + (4,))
-        ghost = jnp.zeros((1,) + (bs,) * d + (4,), jnp.float32)
-        ghost = ghost.at[..., 2].set(-1.0)
-        chan_grid = jnp.concatenate([chan, ghost], axis=0)
-        ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4))
+        # Flat-row channel merge via 0/1 matmuls (see _cell_channel_mats_np).
+        cm4 = jnp.asarray(bk._cell_channel_mats_np(d, 4))
+        bsd = bs**d
+        chs = [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist]
+        chan_flat = sum(
+            jax.lax.dot_general(
+                x.reshape(nb_total, bsd), cm4[ch], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for ch, x in enumerate(chs)
+        )
+        ghost_np = np.zeros((1, bsd * 4), np.float32)
+        ghost_np[0, 2::4] = -1.0
+        chan_grid = jnp.concatenate(
+            [chan_flat, jnp.asarray(ghost_np)], axis=0
+        )
+        ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4), c=4)
         # Pad rows carry closest == 0 — mask the gate to the real window.
         wmask = (jnp.arange(ptf.WPAD) < wvol)[None, :]
         jbody = jnp.any(
