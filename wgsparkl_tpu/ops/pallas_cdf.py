@@ -218,7 +218,7 @@ def _p2g_cdf_kernel(
     starts, lens, bcx, bcy, bcz, jbody,
     pdata_ref, ntile_ref, btable_ref,
     out_mm, out_imp, out_hbm,
-    pd_big, res_big, outbuf, sem, sem_rd, sem_out,
+    pd_big, res_big, sem, sem_out,
     *, group: int, cell_width: float, nc: int,
 ):
     j = pl.program_id(0)
@@ -228,10 +228,15 @@ def _p2g_cdf_kernel(
     gl = group + 128
     maxj = pl.num_programs(0)
 
+    # imp is a persistent VMEM accumulator (constant-index output block):
+    # one flush at the end of the grid instead of a 4 KB DMA per job.
+    @pl.when(j == 0)
+    def _():
+        out_imp[0] = jnp.zeros((8, 128), jnp.float32)
+
     @pl.when(jnp.logical_not(live))
     def _():
         out_mm[0] = jnp.zeros((WPAD, 8), jnp.float32)
-        out_imp[0] = jnp.zeros((8, 128), jnp.float32)
 
     @pl.when(live)
     def _():
@@ -240,18 +245,6 @@ def _p2g_cdf_kernel(
         off = start - astart
         wslot = jax.lax.rem(j, 2)
 
-        @pl.when(j > 0)
-        def _():
-            # drain program j-1's (overlapping-window) output write.
-            pltpu.make_async_copy(
-                res_big.at[1 - wslot], out_hbm.at[:, pl.ds(0, gl)],
-                sem_out.at[1 - wslot],
-            ).wait()
-
-        dma_rd = pltpu.make_async_copy(
-            out_hbm.at[:, pl.ds(astart, gl)], outbuf, sem_rd
-        )
-        dma_rd.start()
         pd = _load_pdata_db(pdata_ref, pd_big, sem, starts, lens, j, group, maxj)
 
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
@@ -272,13 +265,24 @@ def _p2g_cdf_kernel(
         feats = jnp.stack(rows, axis=0)                         # [16, G]
 
         def finish(res):
+            # VMEM handoff instead of an HBM read-modify-write — see
+            # _g2p_kernel.finish for the invariants.
             padded = jnp.pad(res, ((0, 0), (0, 128)))
             rolled = pltpu.roll(padded, off, axis=1)
             lane = jax.lax.broadcasted_iota(jnp.int32, (8, gl), 1)
-            mask = (lane >= off) & (lane < off + group)
-            dma_rd.wait()
-            merged = jnp.where(mask, rolled, outbuf[:])
+            pj = jnp.maximum(j - 1, 0)
+            shift = astart - (starts[pj] // 128) * 128
+            prev = pltpu.roll(res_big[1 - wslot], gl - shift, axis=1)
+            merged = jnp.where(lane < off, prev, rolled)
             res_big[wslot] = merged
+
+            @pl.when(j > 0)
+            def _():
+                pltpu.make_async_copy(
+                    res_big.at[1 - wslot], out_hbm.at[:, pl.ds(0, gl)],
+                    sem_out.at[1 - wslot],
+                ).wait()
+
             pltpu.make_async_copy(
                 res_big.at[wslot], out_hbm.at[:, pl.ds(astart, gl)],
                 sem_out.at[wslot],
@@ -318,7 +322,6 @@ def _p2g_cdf_kernel(
         def _():
             finish(jnp.zeros((8, group), jnp.float32))
             write_mm(w)
-            out_imp[0] = jnp.zeros((8, 128), jnp.float32)
 
         @pl.when(has_b)
         def _():
@@ -368,7 +371,7 @@ def _p2g_cdf_kernel(
                     imp_out = jnp.where(
                         (rows_i == r) & (cols_i == b), vals[r], imp_out
                     )
-            out_imp[0] = imp_out
+            out_imp[0] = out_imp[0] + imp_out
 
 
 def p2g_cdf_tiles(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
@@ -395,16 +398,14 @@ def p2g_cdf_tiles(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
         out_specs=(
             pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, 8, 128), lambda j, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ),
         scratch_shapes=[
             pltpu.VMEM((3, NCHAN, gl), jnp.float32),
             pltpu.VMEM((2, 8, gl), jnp.float32),
-            pltpu.VMEM((8, gl), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -413,7 +414,7 @@ def p2g_cdf_tiles(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((maxj, WPAD, 8), jnp.float32),
-            jax.ShapeDtypeStruct((maxj, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((8, npad + group + 128), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

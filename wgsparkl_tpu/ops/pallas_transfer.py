@@ -304,10 +304,14 @@ def _p2g_kernel(
 
     # Dead jobs (the tail of the job table) write zero tiles and skip all
     # DMA/compute: their tiles scatter into the discarded ghost block.
+    # imp accumulates in a constant-index VMEM block (one end-of-grid flush).
+    @pl.when(j == 0)
+    def _():
+        imp_ref[0] = jnp.zeros((8, 128), jnp.float32)
+
     @pl.when(jnp.logical_not(live))
     def _():
         out_ref[0] = jnp.zeros((WPAD, 8), jnp.float32)
-        imp_ref[0] = jnp.zeros((8, 128), jnp.float32)
 
     @pl.when(live)
     def _():
@@ -362,7 +366,6 @@ def _p2g_kernel(
             @pl.when(jnp.logical_not(has_b))
             def _():
                 write_mm(w)
-                imp_ref[0] = jnp.zeros((8, 128), jnp.float32)
 
             @pl.when(has_b)
             def _():
@@ -411,10 +414,9 @@ def _p2g_kernel(
                         imp_out = jnp.where(
                             (rows_i == r) & (cols_i == b), vals[r], imp_out
                         )
-                imp_ref[0] = imp_out
+                imp_ref[0] = imp_ref[0] + imp_out
         else:
             write_mm(w)
-            imp_ref[0] = jnp.zeros((8, 128), jnp.float32)
 
 
 def p2g_tiles(pdata, itiles, btable, jobs, bcells, cfg: GridConfig,
@@ -449,7 +451,7 @@ def p2g_tiles(pdata, itiles, btable, jobs, bcells, cfg: GridConfig,
         out_specs=(
             pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, 8, 128), lambda j, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -462,7 +464,7 @@ def p2g_tiles(pdata, itiles, btable, jobs, bcells, cfg: GridConfig,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((maxj, WPAD, 8), jnp.float32),
-            jax.ShapeDtypeStruct((maxj, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8, 128), jnp.float32),
         ),
         interpret=_interpret(),
     )(jobs["start"], jobs["len"], bcells[:, 0], bcells[:, 1],
@@ -473,7 +475,7 @@ def _g2p_kernel(
     starts, lens, bcx, bcy, bcz, jbody,
     pdata_ref, ftile_ref, itile_ref, btable_ref,
     out_hbm,
-    pd_big, res_big, outbuf, sem, sem_rd, sem_out,
+    pd_big, res_big, sem, sem_out,
     *, group: int, cell_width: float, nc: int,
 ):
     j = pl.program_id(0)
@@ -492,22 +494,6 @@ def _g2p_kernel(
         off = start - astart
         wslot = jax.lax.rem(j, 2)
 
-        # Deferred-write pipelining: program j-1's output DMA is still in
-        # flight; wait for it BEFORE reading the (overlapping) aligned
-        # window, instead of serializing at the end of each program.
-        @pl.when(j > 0)
-        def _():
-            pltpu.make_async_copy(
-                res_big.at[1 - wslot], out_hbm.at[:, pl.ds(0, gl)],
-                sem_out.at[1 - wslot],
-            ).wait()
-
-        # Overlap: read the aligned output window for the RMW merge while
-        # the particle DMA is in flight.
-        dma_rd = pltpu.make_async_copy(
-            out_hbm.at[:, pl.ds(astart, gl)], outbuf, sem_rd
-        )
-        dma_rd.start()
         pd = _load_pdata_db(pdata_ref, pd_big, sem, starts, lens, j, group, maxj)
 
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
@@ -527,17 +513,31 @@ def _g2p_kernel(
         )                                                            # [WPAD,16]
 
         def finish(out):
-            # RMW merge into the aligned window, then write back.  The
-            # write is NOT awaited here: the next program waits it before
-            # its own (overlapping) window read; the last live program
-            # drains it below.
+            # VMEM handoff instead of an HBM read-modify-write: live jobs
+            # partition the sorted ranks, so the only lanes of this aligned
+            # window not produced here are the first `off` — the tail of
+            # job j-1's particles, still sitting in its merged buffer
+            # res_big[1 - wslot].  Lanes past off + group are zeros and are
+            # overwritten by job j+1 (or masked by the pipeline's
+            # covered_end for the last job).  Consecutive windows overlap,
+            # so the previous write is awaited right before starting this
+            # one — after compute, where its latency hides.
             padded = jnp.pad(out, ((0, 0), (0, 128)))
             rolled = pltpu.roll(padded, off, axis=1)
             lane = jax.lax.broadcasted_iota(jnp.int32, (16, gl), 1)
-            mask = (lane >= off) & (lane < off + group)
-            dma_rd.wait()
-            merged = jnp.where(mask, rolled, outbuf[:])
+            pj = jnp.maximum(j - 1, 0)
+            shift = astart - (starts[pj] // 128) * 128
+            prev = pltpu.roll(res_big[1 - wslot], gl - shift, axis=1)
+            merged = jnp.where(lane < off, prev, rolled)
             res_big[wslot] = merged
+
+            @pl.when(j > 0)
+            def _():
+                pltpu.make_async_copy(
+                    res_big.at[1 - wslot], out_hbm.at[:, pl.ds(0, gl)],
+                    sem_out.at[1 - wslot],
+                ).wait()
+
             pltpu.make_async_copy(
                 res_big.at[wslot], out_hbm.at[:, pl.ds(astart, gl)],
                 sem_out.at[wslot],
@@ -638,9 +638,7 @@ def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
         scratch_shapes=[
             pltpu.VMEM((3, NCHAN, gl), jnp.float32),
             pltpu.VMEM((2, 16, gl), jnp.float32),
-            pltpu.VMEM((16, gl), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
