@@ -809,6 +809,22 @@ def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _chan_merge_mat_np(dim: int, c: int):
+    """Exact 0/1 matrix [c*bs^d, bs^d*c]: channel-major planes concatenated
+    on the lane axis ([NB, c*bs^d]) -> cell-major/channel-minor flat grid
+    rows.  ONE [NB, c*bs^d] @ [c*bs^d, bs^d*c] matmul: with K = c*bs^d
+    (256 at c=4) XLA keeps it on the MXU — per-channel K=64 matmuls get
+    conv-lowered in bf16 passes (~0.8 ms/substep at 1M).
+    """
+    bsd = block_size(dim) ** dim
+    m = np.zeros((c * bsd, bsd * c), np.float32)
+    for ch in range(c):
+        for cell in range(bsd):
+            m[ch * bsd + cell, cell * c + ch] = 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=None)
 def _cell_channel_mats_np(dim: int, c: int):
     """Exact 0/1 matrices [c, bs^d, bs^d*c] converting channel-major
     per-block cell arrays [NB, bs^d] into the cell-major/channel-minor

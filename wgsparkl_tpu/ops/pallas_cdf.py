@@ -117,26 +117,40 @@ def _pcdf_body(pd, ntile_ref, bcell, length, finish, *,
     naff_u = pltpu.bitcast(naff, jnp.uint32)
     prev_aff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)  # [1, G]
 
-    # Per-collider union + sign votes.
+    # Per-collider union + sign votes, MXU-formulated: presence and vote
+    # are both contractions over the window axis against per-node collider
+    # columns, so ONE [nc-row] matmul each replaces nc masked [WPAD, G]
+    # reduction passes on the VPU (the kernels are VPU-bound, not
+    # DMA-bound, at 1M particles).
+    supp_f = supp.astype(jnp.float32)                         # [WPAD, G]
+    has_cols = []
+    vote_cols = []
+    for c in range(nc):
+        has_c = (((naff_u >> c) & 1) != 0).astype(jnp.float32)   # [WPAD, 1]
+        sgn_c = jnp.where(((naff_u >> (16 + c)) & 1) != 0, -1.0, 1.0)
+        has_cols.append(has_c)
+        vote_cols.append(has_c * sgn_c * ndist)
+    has_m = jnp.concatenate(has_cols, axis=1)                 # [WPAD, nc]
+    vote_m = jnp.concatenate(vote_cols, axis=1)               # [WPAD, nc]
+    presents = jax.lax.dot_general(
+        has_m, supp_f, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                         # [nc, G]
+    votes = jax.lax.dot_general(
+        vote_m, w, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                         # [nc, G]
     p_aff_bits = jnp.zeros((1, group), jnp.uint32)
     sign_word = jnp.zeros((1, group), jnp.uint32)
     for c in range(nc):
-        has_c = ((naff_u >> c) & 1) != 0                     # [WPAD, 1]
-        present = jnp.max(
-            jnp.where(supp & has_c, 1.0, 0.0), axis=0, keepdims=True
-        )                                                     # [1, G]
         p_aff_bits = p_aff_bits | jnp.where(
-            present > 0, jnp.uint32(1 << c), jnp.uint32(0)
-        )
-        sgn_c = jnp.where(((naff_u >> (16 + c)) & 1) != 0, -1.0, 1.0)
-        vote = jnp.sum(
-            jnp.where(has_c, w * sgn_c * ndist, 0.0), axis=0, keepdims=True
+            presents[c : c + 1, :] > 0, jnp.uint32(1 << c), jnp.uint32(0)
         )
         prev_has = ((prev_aff >> c) & 1) != 0
         prev_sign = ((prev_aff >> (16 + c)) & 1).astype(jnp.int32).astype(
             jnp.float32
         )
-        vote_sign = jnp.where(vote < 0.0, 1.0, 0.0)
+        vote_sign = jnp.where(votes[c : c + 1, :] < 0.0, 1.0, 0.0)
         new_sign = jnp.where(prev_has, prev_sign, vote_sign)
         sign_word = sign_word | jnp.where(
             new_sign > 0.5, jnp.uint32(1 << (16 + c)), jnp.uint32(0)
@@ -151,23 +165,50 @@ def _pcdf_body(pd, ntile_ref, bcell, length, finish, *,
     wk = jnp.where(use, w, 0.0)
     sdist = ndist * sgn                                       # [WPAD, G]
 
+    # MLS normal-equation moments on the MXU: with node positions in
+    # job-local coordinates (x_l = x - block_origin, so |x_l| <= 6h and
+    # the monomial expansion stays well-conditioned in f32),
+    #   sum_w wk dx_r dx_c = S_rc - p_r S_c - p_c S_r + p_r p_c S
+    # where S_* are moments of wk against static node monomials — one
+    # [10, G] matmul + channelwise assembly replaces 14 masked [WPAD, G]
+    # reduction passes.
     xw = _window_positions(bcell, cell_width)                 # [WPAD, 3]
-    dx = [xw[:, k : k + 1] - pd[k][None, :] for k in range(3)]
-
-    def rsum(x):
-        return jnp.sum(x, axis=0)                             # [G]
-
+    offs = bcell.astype(jnp.float32) * cell_width             # [3]
+    xl = xw - offs[None, :]                                   # [WPAD, 3]
+    pl_ = [pd[k] - offs[k] for k in range(3)]                 # [G] each
+    mono = jnp.concatenate(
+        [
+            jnp.ones((WPAD, 1), jnp.float32), xl,
+            xl[:, 0:1] * xl,                 # xx xy xz
+            xl[:, 1:2] * xl[:, 1:3],         # yy yz
+            xl[:, 2:3] * xl[:, 2:3],         # zz
+        ],
+        axis=1,
+    )                                                         # [WPAD, 10]
+    smom = jax.lax.dot_general(
+        mono, wk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                         # [10, G]
+    tmom = jax.lax.dot_general(
+        mono[:, :4], wk * sdist, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                         # [4, G]
+    pair = {(0, 0): 4, (0, 1): 5, (0, 2): 6, (1, 1): 7, (1, 2): 8, (2, 2): 9}
     a = {}
     for r in range(3):
         for cix in range(r, 3):
-            a[r, cix] = rsum(wk * dx[r] * dx[cix])
+            a[r, cix] = (
+                smom[pair[r, cix]]
+                - pl_[r] * smom[1 + cix] - pl_[cix] * smom[1 + r]
+                + pl_[r] * pl_[cix] * smom[0]
+            )
     for r in range(3):
-        a[r, 3] = rsum(wk * dx[r])
-    a[3, 3] = rsum(wk)
+        a[r, 3] = smom[1 + r] - pl_[r] * smom[0]
+    a[3, 3] = smom[0]
     for r in range(4):
         for cix in range(r):
             a[r, cix] = a[cix, r]
-    b = [rsum(wk * sdist * dx[k]) for k in range(3)] + [rsum(wk * sdist)]
+    b = [tmom[1 + k] - pl_[k] * tmom[0] for k in range(3)] + [tmom[0]]
     x, det = _inv4_solve_ch(a, b)
 
     ok = det > 1e-8

@@ -590,20 +590,26 @@ def _g2p_kernel(
                 ghost = [
                     jnp.where(has_body, ghost_b[i], vp[i]) for i in range(3)
                 ]
-                add = [
-                    jnp.sum(w_i * ghost[i], axis=0, keepdims=True)
-                    for i in range(3)
-                ]
-                madd = [
-                    jnp.sum(
-                        w_i * ghost[i] * xw[:, k : k + 1],
-                        axis=0, keepdims=True,
+                # add/madd are contractions of w_i * ghost_i over the
+                # window axis against [1 | x_node]: one [4, G] matmul per
+                # component replaces 4 masked [WPAD, G] VPU reductions
+                # (consistent with the plain path, which already computes
+                # the moments via nfeat on the MXU).
+                m1 = jnp.concatenate(
+                    [jnp.ones((WPAD, 1), jnp.float32), xw], axis=1
+                )                                                    # [WPAD,4]
+                adds = [
+                    jax.lax.dot_general(
+                        m1, w_i * ghost[i], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
                     )
                     for i in range(3)
-                    for k in range(3)
-                ]
+                ]                                                    # [4, G] x3
                 extra = jnp.concatenate(
-                    add + madd + [jnp.zeros((4, group), jnp.float32)], axis=0
+                    [adds[0][0:1], adds[1][0:1], adds[2][0:1]]
+                    + [adds[i][1:4] for i in range(3)]
+                    + [jnp.zeros((4, group), jnp.float32)],
+                    axis=0,
                 )                                                    # [16, G]
                 finish(out + extra)
         else:

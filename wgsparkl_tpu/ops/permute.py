@@ -11,9 +11,9 @@ channels), and an XLA lane scatter patching the far movers costs ~150 ns
 per (channel, lane) 4-byte write; this module instead does everything with
 one Pallas kernel pass:
 
-  * in-band part: per 256-lane output chunk, a [3*256, 256] one-hot built
-    in VMEM from the permutation (never materialized to HBM) contracts
-    against a DMA'd [C, 3*256] source slab on the MXU —
+  * in-band part: per 256-lane output chunk, a [WMULT*256, 256] one-hot
+    built in VMEM from the permutation (never materialized to HBM)
+    contracts against a DMA'd [C, WMULT*256] source slab on the MXU —
     out[:, i] = rows[:, perm[i]];
   * far movers (perm outside the chunk's slab): their lanes are ranked in
     output order, so the exceptions landing in chunk g form one contiguous
@@ -47,6 +47,10 @@ def _interpret() -> bool:
 
 
 CHUNK = 256  # output lanes per program (also the displacement band)
+WMULT = 3    # slab chunks: covers source ranks [(g-1)C, (g+2)C).  WMULT=2
+             # was measured 27.7 -> 18.1 steps/s at 1M: forward movers with
+             # disp in (C, 2C) are common mid-frame and overflow the
+             # exception levels; the wider slab is cheaper than their take.
 EXCW = 512   # exception slab width (>= 128-align slack + 256 max/chunk)
 
 
@@ -65,7 +69,7 @@ def _permute_kernel(lo_ref, perm_ref, einv_ref, rows_hbm, exccols_hbm,
     g = pl.program_id(0)
     ng = pl.num_programs(0)
     c = CHUNK
-    w = min(3 * c, npad)
+    w = min(WMULT * c, npad)
 
     def slab_start(gg):
         # all values are multiples of CHUNK (npad and w are too); the hint
@@ -157,7 +161,7 @@ def _permute_banded(rows, perm_p, exc_lo, einv, exc_cols, npad: int):
             out_specs=pl.BlockSpec((c0, CHUNK), lambda g, lo: (0, g),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, c0, min(3 * CHUNK, npad)), jnp.float32),
+                pltpu.VMEM((2, c0, min(WMULT * CHUNK, npad)), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((c0, EXCW), jnp.float32),
                 pltpu.SemaphoreType.DMA,
@@ -185,7 +189,7 @@ def permute_lanes(rows, perm, emax: int = 262144):
     c0, npad = rows.shape
     assert npad % CHUNK == 0, (npad, CHUNK)
     ng = npad // CHUNK
-    w = min(3 * CHUNK, npad)
+    w = min(WMULT * CHUNK, npad)
     iota = jnp.arange(npad, dtype=jnp.int32)
     # EXACT out-of-slab test (the kernel slab for chunk g covers source
     # ranks [clip((g-1)C), clip+3C)): a conservative |disp| test would

@@ -1,0 +1,186 @@
+"""Fused particle-update Pallas kernel (3D): one pass over the row matrix.
+
+As plain XLA, the per-particle constitutive step (contact projection,
+F update, Jacobi SVD fracture check, Drucker-Prager projection, stress,
+APIC affine, advection) plus the rigid-contact-velocity build and the
+[PCHAN, N] row-matrix rebuild lowers to ~15 separate fusions, each
+streaming megabyte-scale channel intermediates through HBM, plus a 56-way
+strided stack — ~6 ms/substep at 1M particles, almost all of it memory
+traffic.  This kernel runs the whole phase in ONE pass over 2048-lane
+blocks: inputs are the current rows, the G2P result rows, the particle-CDF
+rows and the sorted block ids; output is the finished next-substep row
+matrix.  The body simply calls the channelized update
+(ops/particle_update.py:particle_update_channels — physics parity
+particle_update.wgsl:45-141), which is shape-agnostic elementwise jnp and
+traces fine under Pallas on [1, L] channel slices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wgsparkl_tpu.ops import pallas_transfer as ptf
+from wgsparkl_tpu.ops.particle_update import particle_update_channels
+
+LBLK = 2048  # lanes per program (pallas_npad pads NPAD to a multiple)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _update_kernel(ce_ref, pvec_ref, rows_ref, krows_ref, pcdf_ref, sid_ref,
+                   btable_ref, out_ref, *, live_below: int, nc: int,
+                   cell_width: float, elastic_model: str, inv_d_val: float):
+    g = pl.program_id(0)
+    dt = pvec_ref[0, 0]
+
+    class _P:  # params view for particle_update_channels
+        pass
+
+    prm = _P()
+    prm.dt = dt
+
+    class _G:
+        pass
+
+    gcfg = _G()
+    gcfg.cell_width = cell_width
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LBLK), 1) + g * LBLK
+    ig = (sid_ref[0:1, :] < live_below) & (lane < ce_ref[0])    # [1, L]
+
+    def row(ref, i):
+        return ref[i : i + 1, :]
+
+    zero = jnp.zeros((1, LBLK), jnp.float32)
+    pos_ch = [row(rows_ref, k) for k in range(3)]
+    v_ch = [jnp.where(ig, row(krows_ref, k), 0.0) for k in range(3)]
+    grad_ch = {
+        (i, k): jnp.where(
+            ig,
+            inv_d_val * (row(krows_ref, 3 + 3 * i + k) - v_ch[i] * pos_ch[k]),
+            0.0,
+        )
+        for i in range(3)
+        for k in range(3)
+    }
+    f_ch = {
+        (i, k): row(rows_ref, ptf.R_F0 + 3 * i + k)
+        for i in range(3)
+        for k in range(3)
+    }
+    aff_u = jnp.where(
+        ig, pltpu.bitcast(row(pcdf_ref, 0), jnp.uint32), jnp.uint32(0)
+    )
+    sd_ch = jnp.where(ig, row(pcdf_ref, 1), 0.0)
+    n_ch = [jnp.where(ig, row(pcdf_ref, 2 + k), 0.0) for k in range(3)]
+
+    # Rigid contact velocity from the body table (g2p.wgsl:220-226);
+    # btable rows: 0-2 world COM, 3-5 linvel, 6-8 angvel; lanes = slots.
+    rv_ch = [zero, zero, zero]
+    for b in range(nc):
+        has = ((aff_u >> b) & 1) != 0
+        com = [btable_ref[r, b] for r in range(3)]
+        lin = [btable_ref[3 + r, b] for r in range(3)]
+        ang = [btable_ref[6 + r, b] for r in range(3)]
+        rel = [pos_ch[k] - com[k] for k in range(3)]
+        bvb = [
+            lin[0] + ang[1] * rel[2] - ang[2] * rel[1],
+            lin[1] + ang[2] * rel[0] - ang[0] * rel[2],
+            lin[2] + ang[0] * rel[1] - ang[1] * rel[0],
+        ]
+        rv_ch = [rv_ch[k] + jnp.where(has, bvb[k], 0.0) for k in range(3)]
+
+    ch = {
+        "pos": pos_ch,
+        "vel": v_ch,
+        "grad": grad_ch,
+        "F": f_ch,
+        "sd": sd_ch,
+        "normal": n_ch,
+        "rigid_vel": rv_ch,
+        "mass": row(rows_ref, ptf.PM),
+        "vol0": row(rows_ref, ptf.R_VOL),
+        "lam": row(rows_ref, ptf.R_LAM),
+        "mu": row(rows_ref, ptf.R_MU),
+        "dp": {
+            k: row(rows_ref, ptf.R_DP0 + i)
+            for i, k in enumerate(ptf.DP_KEYS)
+        },
+        "dps": {
+            k: row(rows_ref, ptf.R_DPS0 + i)
+            for i, k in enumerate(ptf.DPS_KEYS)
+        },
+        "phase": row(rows_ref, ptf.R_PHASE),
+        "stretch": row(rows_ref, ptf.R_STRETCH),
+    }
+    out = particle_update_channels(ch, prm, gcfg, elastic_model)
+
+    new_rows = (
+        out["pos"] + out["vel"] + [row(rows_ref, ptf.PM)]
+        + [out["affine"][(i, k)] for i in range(3) for k in range(3)]
+        + [pltpu.bitcast(aff_u, jnp.float32)]
+        + n_ch
+        + [row(rows_ref, r) for r in range(20, 24)]
+        + [row(rows_ref, ptf.R_LAM), row(rows_ref, ptf.R_MU)]
+        + [row(rows_ref, ptf.R_DP0 + i) for i in range(len(ptf.DP_KEYS))]
+        + [out["dps"][k] for k in ptf.DPS_KEYS]
+        + [out["phase"], row(rows_ref, ptf.R_STRETCH)]
+        + [out["F"][(i, k)] for i in range(3) for k in range(3)]
+        + [row(rows_ref, ptf.R_VOL), row(rows_ref, ptf.R_RAD),
+           row(rows_ref, ptf.R_IDS)]
+        + [sd_ch]
+        + rv_ch
+        + [row(rows_ref, r) for r in range(ptf.R_RV0 + 3, ptf.PCHAN)]
+    )
+    out_ref[...] = jnp.concatenate(new_rows, axis=0)
+
+
+def update_rows(rows_all, krows, pcdf, sorted_ids, covered_end, btable,
+                params, cfg, nc: int, inv_d_val: float, live_below: int):
+    """Next-substep row matrix [PCHAN, NPAD] from the current rows, the G2P
+    rows (krows[:, :npad]), the particle-CDF rows (pcdf[:, :npad]; zeros
+    when nc == 0) and the sorted block ids (live iff id < live_below and
+    rank < covered_end)."""
+    pchan, npad = rows_all.shape
+    assert npad % LBLK == 0, (npad, LBLK)
+    ng = npad // LBLK
+    kernel = functools.partial(
+        _update_kernel, live_below=int(live_below), nc=nc,
+        cell_width=cfg.grid.cell_width, elastic_model=cfg.elastic_model,
+        inv_d_val=inv_d_val,
+    )
+    pvec = jnp.zeros((1, 128), jnp.float32).at[0, 0].set(params.dt)
+    ce = jnp.asarray([covered_end], jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ng,),
+            in_specs=[
+                pl.BlockSpec((1, 128), lambda g, ce: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pchan, LBLK), lambda g, ce: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, LBLK), lambda g, ce: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, LBLK), lambda g, ce: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LBLK), lambda g, ce: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, 128), lambda g, ce: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((pchan, LBLK), lambda g, ce: (0, g),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((pchan, npad), jnp.float32),
+        interpret=_interpret(),
+    )(ce, pvec, rows_all, krows[:, :npad], pcdf[:, :npad],
+      sorted_ids.reshape(1, npad), btable)

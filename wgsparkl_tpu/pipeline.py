@@ -333,9 +333,11 @@ def substep_blocked(
 
 
 def pallas_npad(n: int, group: int) -> int:
-    """Lane padding for the channel-major pallas state (multiple of 256 for
-    the banded permute; >= group slack for the job-start sentinels)."""
-    return -((n + group) // -256) * 256
+    """Lane padding for the channel-major pallas state (multiple of 2048 so
+    both the banded permute's 256-lane chunks and the fused particle-update
+    kernel's 2048-lane blocks divide it; >= group slack for the job-start
+    sentinels)."""
+    return -((n + group) // -2048) * 2048
 
 
 def substep_pallas(
@@ -597,15 +599,13 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         # Channels are block-major (see _node_cdf_full's position feed);
         # merge them into flat 2D grid rows with exact 0/1 matmuls (see
         # _cell_channel_mats_np) and append the flat ghost row.
-        cm4 = jnp.asarray(bk._cell_channel_mats_np(d, 4))
+        cm4 = jnp.asarray(bk._chan_merge_mat_np(d, 4))
         bsd = bs**d
         chs = [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist]
-        chan_flat = sum(
-            jax.lax.dot_general(
-                x.reshape(nb_total, bsd), cm4[ch], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for ch, x in enumerate(chs)
+        chan_flat = jax.lax.dot_general(
+            jnp.concatenate([x.reshape(nb_total, bsd) for x in chs], axis=1),
+            cm4, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         ghost_np = np.zeros((1, bsd * 4), np.float32)
         ghost_np[0, 2::4] = -1.0             # closest must read NONE (-1)
@@ -632,12 +632,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         mm_out, imp_out, krows = pallas_cdf.p2g_cdf_tiles(
             pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc, jbody
         )
-        aff_u = jnp.where(
-            ig, jax.lax.bitcast_convert_type(krows[0, :npad], jnp.uint32),
-            jnp.uint32(0),
-        )
-        sd_ch = jnp.where(ig, krows[1, :npad], 0.0)
-        n_ch = [jnp.where(ig, krows[2 + k, :npad], 0.0) for k in range(3)]
+        pcdf_rows = krows
         # Patch the affinity + normal channel rows for G2P.
         pdata = jax.lax.dynamic_update_slice(
             pdata,
@@ -650,9 +645,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         maxj = cfg.max_jobs
         ntiles = jnp.zeros((maxj, ptf.WPAD, 4), jnp.float32)
         jbody = None
-        aff_u = jnp.zeros((npad,), jnp.uint32)
-        sd_ch = jnp.zeros((npad,), jnp.float32)
-        n_ch = [jnp.zeros((npad,), jnp.float32) for _ in range(3)]
+        pcdf_rows = jnp.zeros((8, npad), jnp.float32)
         btable = _body_table(bodies)
         mm_out, imp_out = ptf.p2g_tiles(
             pdata, ntiles, btable, jobs, bcells, grid, group, nc, jbody
@@ -716,83 +709,14 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         jbody,
     )
 
-    # --- fused particle update, channel-major (no [N,3,3] intermediates) ---
-    from wgsparkl_tpu.ops.particle_update import particle_update_channels
+    # --- fused particle update + row rebuild: ONE Pallas pass (see
+    # ops/update_rows.py) ---
+    from wgsparkl_tpu.ops.update_rows import update_rows as _upd
 
-    inv_d_val = inv_d_fn(grid.cell_width)
-    pos_ch = [rows_all[k] for k in range(3)]
-    v_ch = [jnp.where(ig, krows[k, :npad], 0.0) for k in range(3)]
-    grad_ch = {
-        (i, k): jnp.where(
-            ig,
-            inv_d_val * (krows[3 + 3 * i + k, :npad] - v_ch[i] * pos_ch[k]),
-            0.0,
-        )
-        for i in range(3)
-        for k in range(3)
-    }
-    f_ch = {
-        (i, k): rows_all[ptf.R_F0 + 3 * i + k]
-        for i in range(3)
-        for k in range(3)
-    }
-
-    # Rigid contact velocity, channel form (g2p.wgsl:220-226).
-    rv_ch = [jnp.zeros((npad,), jnp.float32) for _ in range(3)]
-    for b in range(nc):
-        has = ((aff_u >> b) & 1) != 0
-        lin = bodies.linvel[b]
-        ang = bodies.angvel[b]
-        com = bodies.world_com[b]
-        rel = [pos_ch[k] - com[k] for k in range(3)]
-        bvb = [
-            lin[0] + ang[1] * rel[2] - ang[2] * rel[1],
-            lin[1] + ang[2] * rel[0] - ang[0] * rel[2],
-            lin[2] + ang[0] * rel[1] - ang[1] * rel[0],
-        ]
-        rv_ch = [rv_ch[k] + jnp.where(has, bvb[k], 0.0) for k in range(3)]
-
-    ch = {
-        "pos": pos_ch,
-        "vel": v_ch,
-        "grad": grad_ch,
-        "F": f_ch,
-        "sd": sd_ch,
-        "normal": n_ch,
-        "rigid_vel": rv_ch,
-        "mass": rows_all[ptf.PM],
-        "vol0": rows_all[ptf.R_VOL],
-        "lam": rows_all[ptf.R_LAM],
-        "mu": rows_all[ptf.R_MU],
-        "dp": {
-            k: rows_all[ptf.R_DP0 + i] for i, k in enumerate(ptf.DP_KEYS)
-        },
-        "dps": {
-            k: rows_all[ptf.R_DPS0 + i] for i, k in enumerate(ptf.DPS_KEYS)
-        },
-        "phase": rows_all[ptf.R_PHASE],
-        "stretch": rows_all[ptf.R_STRETCH],
-    }
-    out = particle_update_channels(ch, params, grid, cfg.elastic_model)
-
-    # Rebuild the row matrix in layout order — ONE stacked write.
-    new_rows = (
-        out["pos"] + out["vel"] + [rows_all[ptf.PM]]
-        + [out["affine"][(i, k)] for i in range(3) for k in range(3)]
-        + [jax.lax.bitcast_convert_type(aff_u, jnp.float32)]
-        + n_ch
-        + [rows_all[20], rows_all[21], rows_all[22], rows_all[23]]
-        + [rows_all[ptf.R_LAM], rows_all[ptf.R_MU]]
-        + [rows_all[ptf.R_DP0 + i] for i in range(len(ptf.DP_KEYS))]
-        + [out["dps"][k] for k in ptf.DPS_KEYS]
-        + [out["phase"], rows_all[ptf.R_STRETCH]]
-        + [out["F"][(i, k)] for i in range(3) for k in range(3)]
-        + [rows_all[ptf.R_VOL], rows_all[ptf.R_RAD], rows_all[ptf.R_IDS]]
-        + [sd_ch]
-        + rv_ch
-        + [rows_all[r] for r in range(ptf.R_RV0 + 3, ptf.PCHAN)]
+    rows_out = _upd(
+        rows_all, krows, pcdf_rows, sorted_ids, covered_end, btable,
+        params, cfg, nc, inv_d_fn(grid.cell_width), live_below=nb_total,
     )
-    rows_out = jnp.stack(new_rows, axis=0)
 
     bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
     return rows_out, bodies
@@ -907,15 +831,13 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
         aff_hi = (node_aff >> 16).astype(jnp.float32)
         # Flat-row channel merge via 0/1 matmuls (see _cell_channel_mats_np).
-        cm4 = jnp.asarray(bk._cell_channel_mats_np(d, 4))
+        cm4 = jnp.asarray(bk._chan_merge_mat_np(d, 4))
         bsd = bs**d
         chs = [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist]
-        chan_flat = sum(
-            jax.lax.dot_general(
-                x.reshape(amax, bsd), cm4[ch], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for ch, x in enumerate(chs)
+        chan_flat = jax.lax.dot_general(
+            jnp.concatenate([x.reshape(amax, bsd) for x in chs], axis=1),
+            cm4, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         ghost_np = np.zeros((1, bsd * 4), np.float32)
         ghost_np[0, 2::4] = -1.0
@@ -937,12 +859,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         mm_out, imp_out, krows = pallas_cdf.p2g_cdf_tiles(
             pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc, jbody
         )
-        aff_u = jnp.where(
-            ig, jax.lax.bitcast_convert_type(krows[0, :npad], jnp.uint32),
-            jnp.uint32(0),
-        )
-        sd_ch = jnp.where(ig, krows[1, :npad], 0.0)
-        n_ch = [jnp.where(ig, krows[2 + k, :npad], 0.0) for k in range(3)]
+        pcdf_rows = krows
         pdata = jax.lax.dynamic_update_slice(
             pdata,
             jnp.concatenate([krows[0:1, :npad], krows[2:5, :npad]], axis=0),
@@ -952,9 +869,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         maxj = cfg.max_jobs
         ntiles = jnp.zeros((maxj, ptf.WPAD, 4), jnp.float32)
         jbody = None
-        aff_u = jnp.zeros((npad,), jnp.uint32)
-        sd_ch = jnp.zeros((npad,), jnp.float32)
-        n_ch = [jnp.zeros((npad,), jnp.float32) for _ in range(3)]
+        pcdf_rows = jnp.zeros((8, npad), jnp.float32)
         btable = _body_table(bodies)
         mm_out, imp_out = ptf.p2g_tiles(
             pdata, ntiles, btable, jobs, bcells, grid, group, nc, jbody
@@ -990,81 +905,14 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         jbody,
     )
 
-    # --- fused particle update (identical to the bounded core) ---
-    from wgsparkl_tpu.ops.particle_update import particle_update_channels
+    # --- fused particle update + row rebuild: ONE Pallas pass (see
+    # ops/update_rows.py) ---
+    from wgsparkl_tpu.ops.update_rows import update_rows as _upd
 
-    inv_d_val = inv_d_fn(grid.cell_width)
-    pos_ch = [rows_all[k] for k in range(3)]
-    v_ch = [jnp.where(ig, krows[k, :npad], 0.0) for k in range(3)]
-    grad_ch = {
-        (i, k): jnp.where(
-            ig,
-            inv_d_val * (krows[3 + 3 * i + k, :npad] - v_ch[i] * pos_ch[k]),
-            0.0,
-        )
-        for i in range(3)
-        for k in range(3)
-    }
-    f_ch = {
-        (i, k): rows_all[ptf.R_F0 + 3 * i + k]
-        for i in range(3)
-        for k in range(3)
-    }
-
-    rv_ch = [jnp.zeros((npad,), jnp.float32) for _ in range(3)]
-    for b in range(nc):
-        has = ((aff_u >> b) & 1) != 0
-        lin = bodies.linvel[b]
-        ang = bodies.angvel[b]
-        com = bodies.world_com[b]
-        rel = [pos_ch[k] - com[k] for k in range(3)]
-        bvb = [
-            lin[0] + ang[1] * rel[2] - ang[2] * rel[1],
-            lin[1] + ang[2] * rel[0] - ang[0] * rel[2],
-            lin[2] + ang[0] * rel[1] - ang[1] * rel[0],
-        ]
-        rv_ch = [rv_ch[k] + jnp.where(has, bvb[k], 0.0) for k in range(3)]
-
-    ch = {
-        "pos": pos_ch,
-        "vel": v_ch,
-        "grad": grad_ch,
-        "F": f_ch,
-        "sd": sd_ch,
-        "normal": n_ch,
-        "rigid_vel": rv_ch,
-        "mass": rows_all[ptf.PM],
-        "vol0": rows_all[ptf.R_VOL],
-        "lam": rows_all[ptf.R_LAM],
-        "mu": rows_all[ptf.R_MU],
-        "dp": {
-            k: rows_all[ptf.R_DP0 + i] for i, k in enumerate(ptf.DP_KEYS)
-        },
-        "dps": {
-            k: rows_all[ptf.R_DPS0 + i] for i, k in enumerate(ptf.DPS_KEYS)
-        },
-        "phase": rows_all[ptf.R_PHASE],
-        "stretch": rows_all[ptf.R_STRETCH],
-    }
-    out = particle_update_channels(ch, params, grid, cfg.elastic_model)
-
-    new_rows = (
-        out["pos"] + out["vel"] + [rows_all[ptf.PM]]
-        + [out["affine"][(i, k)] for i in range(3) for k in range(3)]
-        + [jax.lax.bitcast_convert_type(aff_u, jnp.float32)]
-        + n_ch
-        + [rows_all[20], rows_all[21], rows_all[22], rows_all[23]]
-        + [rows_all[ptf.R_LAM], rows_all[ptf.R_MU]]
-        + [rows_all[ptf.R_DP0 + i] for i in range(len(ptf.DP_KEYS))]
-        + [out["dps"][k] for k in ptf.DPS_KEYS]
-        + [out["phase"], rows_all[ptf.R_STRETCH]]
-        + [out["F"][(i, k)] for i in range(3) for k in range(3)]
-        + [rows_all[ptf.R_VOL], rows_all[ptf.R_RAD], rows_all[ptf.R_IDS]]
-        + [sd_ch]
-        + rv_ch
-        + [rows_all[r] for r in range(ptf.R_RV0 + 3, ptf.PCHAN)]
+    rows_out = _upd(
+        rows_all, krows, pcdf_rows, sorted_ids, covered_end, btable,
+        params, cfg, nc, inv_d_fn(grid.cell_width), live_below=sent,
     )
-    rows_out = jnp.stack(new_rows, axis=0)
 
     bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
     return rows_out, bodies
@@ -1144,15 +992,13 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
         aff_hi = (node_aff >> 16).astype(jnp.float32)
         # Flat-row channel merge via 0/1 matmuls (see _cell_channel_mats_np).
-        cm4 = jnp.asarray(bk._cell_channel_mats_np(d, 4))
+        cm4 = jnp.asarray(bk._chan_merge_mat_np(d, 4))
         bsd = bs**d
         chs = [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist]
-        chan_flat = sum(
-            jax.lax.dot_general(
-                x.reshape(nb_total, bsd), cm4[ch], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for ch, x in enumerate(chs)
+        chan_flat = jax.lax.dot_general(
+            jnp.concatenate([x.reshape(nb_total, bsd) for x in chs], axis=1),
+            cm4, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         ghost_np = np.zeros((1, bsd * 4), np.float32)
         ghost_np[0, 2::4] = -1.0
