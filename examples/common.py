@@ -24,6 +24,19 @@ else:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def transfer_kw():
+    """MpmData kwargs for the flagship transfer path.
+
+    Examples default to transfer='pallas' — the MXU kernel path users
+    should see first (the reference's examples ARE its fast path).  Set
+    TRANSFER=dense/blocked to compare, GROUP to tune the job size.
+    """
+    kw = {"transfer": os.environ.get("TRANSFER", "pallas")}
+    if kw["transfer"] in ("blocked", "pallas"):
+        kw["group"] = int(os.environ.get("GROUP", 256))
+    return kw
+
+
 def run_example(data, num_substeps, frames=120, dump_ply_every=None, name=""):
     import json
 

@@ -7,7 +7,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(__file__))
-from common import run_example  # noqa: E402
+from common import run_example, transfer_kw  # noqa: E402
 
 import numpy as np  # noqa: E402
 
@@ -55,7 +55,7 @@ data = MpmData(
     grid_bounds=(
         np.array([-half - 2, -2.0, -half - 2]),
         np.array([half * 2 + 2, 2.2 * nf * h + 4, half + 2]),
-    ),
+    ),    **transfer_kw(),
 )
 print(f"dam_break3: {n} particles ({nfp} fluid + {n - nfp} elastic), "
       f"grid {data.config.grid.shape}")

@@ -5,7 +5,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(__file__))
-from common import run_example  # noqa: E402
+from common import run_example, transfer_kw  # noqa: E402
 
 import numpy as np  # noqa: E402
 
@@ -50,7 +50,7 @@ data = MpmData(
     grid_bounds=(
         np.array([-extent * 1.5, -2.0]),
         np.array([extent * 3.5, 40.0 * scale + extent]),
-    ),
+    ),    **transfer_kw(),
 )
 print(
     f"elastic_cut2: {data.num_particles} particles, "

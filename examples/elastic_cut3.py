@@ -6,7 +6,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(__file__))
-from common import run_example  # noqa: E402
+from common import run_example, transfer_kw  # noqa: E402
 
 import numpy as np  # noqa: E402
 
@@ -60,7 +60,7 @@ data = MpmData(
     params, particles, models, bodies, cell_width,
     grid_bounds=(
         np.array([-extent, -2.0, -extent]), np.array([extent, 25.0, extent])
-    ),
+    ),    **transfer_kw(),
 )
 print(
     f"elastic_cut3: {data.num_particles} particles, "

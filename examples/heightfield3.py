@@ -4,7 +4,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(__file__))
-from common import run_example  # noqa: E402
+from common import run_example, transfer_kw  # noqa: E402
 
 import numpy as np  # noqa: E402
 
@@ -48,7 +48,7 @@ data = MpmData(
     grid_bounds=(
         np.array([-extent, -6.0, -extent]),
         np.array([extent, 30.0, extent]),
-    ),
+    ),    **transfer_kw(),
 )
 print(
     f"heightfield3: {data.num_particles} particles, "

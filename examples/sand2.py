@@ -6,7 +6,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(__file__))
-from common import run_example  # noqa: E402
+from common import run_example, transfer_kw  # noqa: E402
 
 import numpy as np  # noqa: E402
 
@@ -65,7 +65,7 @@ data = MpmData(
     grid_bounds=(
         np.array([-extent * 1.6, -0.5]),
         np.array([extent * 2.6, 60.0 * scale + extent * 1.5]),
-    ),
+    ),    **transfer_kw(),
 )
 print(f"sand2: {data.num_particles} particles, grid {data.config.grid.shape}")
 tb = run_example(data, num_substeps=10, frames=int(os.environ.get("FRAMES", 60)),

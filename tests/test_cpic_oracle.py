@@ -123,6 +123,59 @@ def test_vs_oracle_cpic():
     )
 
 
+def test_vs_oracle_cpic_pallas():
+    """The FLAGSHIP path vs the oracle directly (round-2 verdict item 4):
+    the fused pCDF+P2G kernel with deferred RMW and the per-job CPIC gate
+    previously rested on the transitive chain pallas<->blocked<->dense<->
+    oracle; this pins it to the oracle with the same bit-exact affinity and
+    trajectory assertions (kernels in interpret mode on CPU)."""
+    from wgsparkl_tpu.pipeline import substep_pallas
+
+    data, obodies, pos, dp, phase = _scene()
+    pdata = MpmData(
+        data.params, data.state.particles, data.state.models,
+        data.bodies_desc, data.config.grid.cell_width, grid=data.config.grid,
+        body_contacts=False, transfer="pallas", group=64, job_chunk=8,
+    )
+    oracle = _mk_oracle(pdata, obodies, pos, dp, phase)
+
+    fn = jax.jit(substep_pallas, static_argnums=2)
+    state = pdata.state
+    for _ in range(STEPS):
+        state = fn(state, pdata.params, pdata.config)
+        oracle.step(DT, pdata.params.gravity)
+
+    # The pallas path re-sorts particles: compare by identity.
+    order = np.argsort(np.asarray(state.particles.ids))
+    np.testing.assert_allclose(
+        np.asarray(state.particles.pos)[order], oracle.p, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.particles.vel)[order], oracle.v, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.particles.def_grad)[order], oracle.F, atol=5e-4
+    )
+    assert (
+        np.asarray(state.particles.cdf_affinity)[order]
+        == oracle.aff.astype(np.uint32)
+    ).all()
+    np.testing.assert_allclose(
+        np.asarray(state.particles.cdf_signed_distance)[order], oracle.sd,
+        atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.bodies.pos)[2], obodies[2].pos, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.bodies.linvel)[2], obodies[2].linvel, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.bodies.angvel)[2], obodies[2].angvel, atol=1e-4
+    )
+    assert np.linalg.norm(obodies[2].linvel) > 1e-6
+
+
 def test_injected_sign_vote_bug_is_caught():
     """The comparison must be sharp enough to catch a sign-vote bug."""
     data, obodies, pos, dp, phase = _scene()

@@ -65,6 +65,27 @@ def test_mass_far_movers_dense_chunks():
     _check(perm, emax=2048)
 
 
+def test_global_drift_stays_banded():
+    """Locally-smooth but globally-drifting permutations (mass settling
+    compacts ranks cumulatively; a rotation is the extreme case) must ride
+    the shift-aware slab, NOT the exception path / full fallback: with
+    emax=512 only the wrap chunk's lanes may be exceptions."""
+    n = 8 * CHUNK
+    perm = ((np.arange(n) + 1037) % n).astype(np.int32)
+    _check(perm, emax=512)
+
+
+def test_drift_with_jitter_and_far_movers():
+    n = 8 * CHUNK
+    rng = np.random.default_rng(3)
+    base = (np.arange(n) * 0.83).astype(np.int64)  # cumulative compaction
+    keys = base + rng.integers(-30, 30, size=n)
+    perm = np.argsort(keys, kind="stable").astype(np.int32)
+    for a, b in [(5, n - 11), (CHUNK + 2, 6 * CHUNK + 77)]:
+        perm[[a, b]] = perm[[b, a]]
+    _check(perm, emax=2048)
+
+
 def test_exception_level_boundaries():
     n = 16 * CHUNK
     rng = np.random.default_rng(7)

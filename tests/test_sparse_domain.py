@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from wgsparkl_tpu import scenes
-from wgsparkl_tpu.pipeline import MpmData, substep_pallas
+from wgsparkl_tpu.pipeline import MpmData, step_with_diag, substep_pallas
 
 
 def _mk(base, **kw):
@@ -108,3 +108,35 @@ def test_particles_travel_beyond_initial_bounds():
     assert spread > 8.0, spread   # initial cube is ~2.5 wide; >4x beyond
     moving = np.linalg.norm(v, axis=1) > 1.0
     assert moving.mean() > 0.9, moving.mean()
+
+
+def test_sparse_capacity_overflow_is_reported():
+    """Round-2 advisor (medium): kmax/amax overflow froze the truncated
+    blocks' particles SILENTLY.  Both the on-device StepDiag and the
+    host-side diagnostics.check must flag it now."""
+    from wgsparkl_tpu.utils import diagnostics
+
+    base = scenes.sand_box_3d(nxz=8, ny=16, cell_width=1.0)
+    # Absurdly small block capacity: the scene occupies ~ tens of blocks.
+    data = _mk(base, sparse=True, kmax=8, amax=16)
+
+    rep = diagnostics.check(data)
+    assert rep.occupied_blocks > 8 and rep.active_blocks > 16
+    assert rep.sparse_overflow and not rep.ok
+    assert "SPARSE BLOCK OVERFLOW" in rep.summary()
+    assert "ACTIVE-SLOT OVERFLOW" in rep.summary()
+
+    fn = jax.jit(step_with_diag, static_argnums=(2, 3))
+    _, diag = fn(data.state, base.params, data.config, 2)
+    assert int(diag.sparse_occ_overflow) > 0
+    assert int(diag.sparse_act_overflow) > 0
+    assert bool(diag.any_overflow())
+    assert "sparse_occ_overflow" in diag.summary()
+
+    # A healthy config reports zero overflow on the same scene.
+    ok_data = _mk(base, sparse=True)
+    _, diag_ok = fn(ok_data.state, base.params, ok_data.config, 2)
+    assert not bool(diag_ok.any_overflow())
+    assert diag_ok.summary() == "OK"
+    rep_ok = diagnostics.check(ok_data)
+    assert rep_ok.ok and not rep_ok.sparse_overflow

@@ -283,7 +283,12 @@ def build_jobs_sparse(sorted_keys, group: int, max_jobs: int, kmax: int):
     length = jnp.where(live, length, 0)
     key = jnp.where(live, bkey[jb_safe], SPARSE_SENTINEL)
     return (
-        {"key": key, "start": start.astype(jnp.int32), "len": length},
+        {
+            "key": key,
+            "start": start.astype(jnp.int32),
+            "len": length,
+            "needed": total_jobs,
+        },
         bkey,
         n_occ,
     )
@@ -607,7 +612,15 @@ def build_jobs(sorted_ids, nb_total: int, group: int, max_jobs: int):
     # read the ghost slab and tile scatters land in the discarded ghost row,
     # so dead jobs cost nothing downstream and kernels can skip them.
     block = jnp.where(live, jb_safe, nb_total)
-    return {"block": block, "start": start.astype(jnp.int32), "len": length}
+    # "needed" = true job demand this substep; > max_jobs means the tail
+    # jobs were dropped (their particles are masked out of transfers) —
+    # surfaced on-device through pipeline.StepDiag.
+    return {
+        "block": block,
+        "start": start.astype(jnp.int32),
+        "len": length,
+        "needed": total_jobs,
+    }
 
 
 def _axis_weights(xloc, base_local, wsz: int):

@@ -41,7 +41,10 @@ def _chunked(fn, jobs, chunk: int, carry_init):
     """Run fn(carry, job_chunk) over the job table in chunks via scan."""
     mj = jobs["block"].shape[0]
     assert mj % chunk == 0, (mj, chunk)
-    stacked = {k: v.reshape(mj // chunk, chunk) for k, v in jobs.items()}
+    stacked = {
+        k: jobs[k].reshape(mj // chunk, chunk)
+        for k in ("start", "len", "block")
+    }
     carry, ys = jax.lax.scan(fn, carry_init, stacked)
     return carry, ys
 

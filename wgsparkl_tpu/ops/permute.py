@@ -14,7 +14,10 @@ one Pallas kernel pass:
   * in-band part: per 256-lane output chunk, a [WMULT*256, 256] one-hot
     built in VMEM from the permutation (never materialized to HBM)
     contracts against a DMA'd [C, WMULT*256] source slab on the MXU —
-    out[:, i] = rows[:, perm[i]];
+    out[:, i] = rows[:, perm[i]].  The slab is SHIFT-AWARE: its start is
+    the chunk's mean source rank minus half the slab (128-aligned), so
+    cumulative rank drift (global compaction during settling) stays
+    in-band and only the spread within a chunk matters;
   * far movers (perm outside the chunk's slab): their lanes are ranked in
     output order, so the exceptions landing in chunk g form one contiguous
     segment of that ranking of length <= 256 (a chunk only has 256 lanes).
@@ -54,8 +57,8 @@ WMULT = 3    # slab chunks: covers source ranks [(g-1)C, (g+2)C).  WMULT=2
 EXCW = 512   # exception slab width (>= 128-align slack + 256 max/chunk)
 
 
-def _permute_kernel(lo_ref, perm_ref, einv_ref, rows_hbm, exccols_hbm,
-                    out_ref, slab_db, sem, ecol_buf, esem,
+def _permute_kernel(lo_ref, slablo_ref, perm_ref, einv_ref, rows_hbm,
+                    exccols_hbm, out_ref, slab_db, sem, ecol_buf, esem,
                     *, npad: int, c0: int, cap: int):
     """Program g writes out[:, g*C:(g+1)*C] = rows[:, perm[g*C:(g+1)*C]].
 
@@ -65,19 +68,21 @@ def _permute_kernel(lo_ref, perm_ref, einv_ref, rows_hbm, exccols_hbm,
     the pre-gathered source column of exception e.  lo_ref[g] = first
     exception rank at or past lane g*CHUNK, so this chunk's ranks live in
     [lo, lo + 256) — always inside the 128-aligned EXCW-wide slab.
+
+    slablo_ref[g] is the chunk's SHIFT-AWARE slab start (XLA-computed,
+    128-aligned, clipped): centered on the chunk's mean source rank instead
+    of its output position, so a globally-drifting-but-locally-smooth
+    permutation (mass settling compacts ranks cumulatively across the whole
+    array) stays in-band and only genuine far movers pay the exception
+    path.
     """
     g = pl.program_id(0)
     ng = pl.num_programs(0)
     c = CHUNK
     w = min(WMULT * c, npad)
 
-    def slab_start(gg):
-        # all values are multiples of CHUNK (npad and w are too); the hint
-        # lets Mosaic prove the lane-dim DMA offset is 128-aligned.
-        return pl.multiple_of(jnp.clip((gg - 1) * c, 0, npad - w), 128)
-
     def dma_for(gg, slot):
-        s = slab_start(jnp.minimum(gg, ng - 1))
+        s = pl.multiple_of(slablo_ref[jnp.minimum(gg, ng - 1)], 128)
         return pltpu.make_async_copy(
             rows_hbm.at[:, pl.ds(s, w)], slab_db.at[slot], sem.at[slot]
         )
@@ -113,7 +118,7 @@ def _permute_kernel(lo_ref, perm_ref, einv_ref, rows_hbm, exccols_hbm,
 
     dma_for(g, slot).wait()
 
-    s = slab_start(g)
+    s = pl.multiple_of(slablo_ref[g], 128)
     rel = perm_ref[0][None, :] - s                                # [1, C]
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (w, c), 0)
     onehot = (rel == k_iota).astype(jnp.float32)                  # [W, C]
@@ -137,7 +142,7 @@ def _permute_kernel(lo_ref, perm_ref, einv_ref, rows_hbm, exccols_hbm,
     )
 
 
-def _permute_banded(rows, perm_p, exc_lo, einv, exc_cols, npad: int):
+def _permute_banded(rows, perm_p, exc_lo, slab_lo, einv, exc_cols, npad: int):
     c0 = rows.shape[0]
     cap = exc_cols.shape[1]
     if cap < EXCW:   # the kernel DMAs fixed EXCW-wide exception slabs
@@ -148,17 +153,17 @@ def _permute_banded(rows, perm_p, exc_lo, einv, exc_cols, npad: int):
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(ng,),
             in_specs=[
-                pl.BlockSpec((1, CHUNK), lambda g, lo: (0, g),
+                pl.BlockSpec((1, CHUNK), lambda g, lo, slo: (0, g),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CHUNK), lambda g, lo: (0, g),
+                pl.BlockSpec((1, CHUNK), lambda g, lo, slo: (0, g),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.HBM),
                 pl.BlockSpec(memory_space=pltpu.HBM),
             ],
-            out_specs=pl.BlockSpec((c0, CHUNK), lambda g, lo: (0, g),
+            out_specs=pl.BlockSpec((c0, CHUNK), lambda g, lo, slo: (0, g),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, c0, min(WMULT * CHUNK, npad)), jnp.float32),
@@ -169,7 +174,8 @@ def _permute_banded(rows, perm_p, exc_lo, einv, exc_cols, npad: int):
         ),
         out_shape=jax.ShapeDtypeStruct((c0, npad), jnp.float32),
         interpret=_interpret(),
-    )(exc_lo, perm_p.reshape(1, npad), einv.reshape(1, npad), rows, exc_cols)
+    )(exc_lo, slab_lo, perm_p.reshape(1, npad), einv.reshape(1, npad), rows,
+      exc_cols)
 
 
 EMAX_LEVELS = (2048, 8192, 16384, 65536, 262144)
@@ -191,11 +197,24 @@ def permute_lanes(rows, perm, emax: int = 262144):
     ng = npad // CHUNK
     w = min(WMULT * CHUNK, npad)
     iota = jnp.arange(npad, dtype=jnp.int32)
-    # EXACT out-of-slab test (the kernel slab for chunk g covers source
-    # ranks [clip((g-1)C), clip+3C)): a conservative |disp| test would
-    # patch lanes the slab matmul already handles — and the patch is
-    # additive, so it must fire exactly once per lane.
-    sstart = jnp.clip((iota // CHUNK - 1) * CHUNK, 0, npad - w)
+    # SHIFT-AWARE slab starts: center each chunk's source window on the
+    # chunk's MEDIAN source rank (not its output position).  Mass settling
+    # compacts ranks cumulatively — under a static band everything past the
+    # first few chunks fell out-of-band and the whole substep hit the
+    # full-gather fallback (~54 ms at 1M); the median tracks the drift and
+    # only genuine far movers pay the exception path.  Median, not mean: a
+    # few block-crossers at ~1e5-rank distance drag a mean past the window
+    # half-width at <1% outlier fraction (measured 31.5 -> 15.4 steps/s at
+    # 1M), while the median ignores any <50% of them outright.  Subsampled
+    # 32/256 per chunk for cost; 128-aligned for the kernel's lane-dim DMA.
+    sub = perm.reshape(ng, CHUNK)[:, ::8]                       # [ng, 32]
+    med_src = jax.lax.sort(sub, dimension=1)[:, 16]
+    slab_lo = jnp.clip(
+        ((med_src - w // 2) // 128) * 128, 0, npad - w
+    ).astype(jnp.int32)
+    # EXACT out-of-slab test against the same windows: the exception patch
+    # is additive, so it must fire exactly once per out-of-band lane.
+    sstart = jnp.repeat(slab_lo, CHUNK)
     flag = (perm < sstart) | (perm >= sstart + w)
     n_exc = jnp.sum(flag.astype(jnp.int32))
     levels = tuple(e for e in EMAX_LEVELS if e <= emax) or (emax,)
@@ -220,7 +239,7 @@ def permute_lanes(rows, perm, emax: int = 262144):
                 src = perm[jnp.where(exc_pos < npad, exc_pos, 0)]
                 exc_cols = jnp.take(rows, src, axis=1)          # [C, cap]
                 return _permute_banded(
-                    rows, perm, exc_lo, einv, exc_cols, npad
+                    rows, perm, exc_lo, slab_lo, einv, exc_cols, npad
                 )
 
             return br

@@ -119,7 +119,10 @@ def mesh_node_cdf(
     chan_of_slot = {cid: i for i, cid in enumerate(mesh_cids)}
 
     mj = max_jobs
-    stacked = {k: v.reshape(mj // chunk, chunk) for k, v in jobs.items()}
+    stacked = {
+        k: jobs[k].reshape(mj // chunk, chunk)
+        for k in ("start", "len", "block")
+    }
 
     def chunk_fn(carry, jb):
         key_grid, asg_grid = carry

@@ -367,7 +367,7 @@ def substep_pallas(
     slack = 2 * cfg.migration_cap if cfg.spatial_devices else 0
     npad = pallas_npad(n + slack, cfg.group)
     rows = ptf.pack_rows_padded(state.particles, state.models, npad)
-    rows, bodies = core(
+    rows, bodies, _ = core(
         rows, state.bodies, state.meshes, params, cfg, n, axis_name
     )
     particles, models = ptf.unpack_state_rows(
@@ -383,10 +383,15 @@ def step_pallas(
     cfg: MpmConfig,
     num_substeps: int,
     axis_name: Optional[str] = None,
-) -> SimState:
+    return_diag: bool = False,
+):
     """A frame of pallas substeps with the [PCHAN, NPAD] channel matrix as
     the scan carry — per-particle state never leaves channel-major layout
-    between substeps (no per-substep pack/unpack/[N,3] transposes)."""
+    between substeps (no per-substep pack/unpack/[N,3] transposes).
+
+    With return_diag=True also returns a StepDiag of on-device overflow
+    counters for the frame (job table, sparse capacities, migration cap,
+    frame-end live-lane truncation)."""
     if state.particles.dim == 2:
         from wgsparkl_tpu.ops import pallas_transfer2d as ptf
 
@@ -403,20 +408,48 @@ def step_pallas(
     rows0 = ptf.pack_rows_padded(state.particles, state.models, npad)
 
     def body(carry, _):
-        rows, bodies = carry
-        rows, bodies = core(
-            rows, bodies, state.meshes, params, cfg, n, axis_name
+        rows, bodies, dg = carry
+        rows, bodies, dg = core(
+            rows, bodies, state.meshes, params, cfg, n, axis_name, dg
         )
-        return (rows, bodies), None
+        return (rows, bodies, dg), None
 
-    (rows, bodies), _ = jax.lax.scan(
-        body, (rows0, state.bodies), None, length=num_substeps
+    (rows, bodies, diag), _ = jax.lax.scan(
+        body, (rows0, state.bodies, StepDiag.zeros()), None,
+        length=num_substeps,
     )
+    if cfg.spatial_devices and axis_name is not None:
+        # Frame-end truncation to the shard's fixed capacity n: live lanes
+        # occupy a sorted prefix, so anything past n is silently gone unless
+        # counted here (migration imbalance can push live population over
+        # the per-shard allocation — raise the shard slack when flagged).
+        live = jnp.sum((rows[ptf.PM] > 0.0).astype(jnp.int32))
+        diag = diag.replace(
+            live_lost=jnp.maximum(diag.live_lost, live - n)
+        )
     particles, models = ptf.unpack_state_rows(
         rows[:, :n], state.particles, state.models
     )
-    return SimState(particles=particles, models=models, bodies=bodies,
-                    meshes=state.meshes)
+    out = SimState(particles=particles, models=models, bodies=bodies,
+                   meshes=state.meshes)
+    return (out, diag) if return_diag else out
+
+
+def step_with_diag(
+    state: SimState,
+    params: SimulationParams,
+    cfg: MpmConfig,
+    num_substeps: int,
+    axis_name: Optional[str] = None,
+):
+    """`step` + on-device StepDiag overflow counters (pallas path; other
+    transfer paths return a zero diag — their capacities are checked
+    host-side by utils/diagnostics.check)."""
+    if cfg.transfer == "pallas":
+        return step_pallas(
+            state, params, cfg, num_substeps, axis_name, return_diag=True
+        )
+    return step(state, params, cfg, num_substeps), StepDiag.zeros()
 
 
 
@@ -430,8 +463,164 @@ def _body_table(bodies):
     return btable
 
 
+@flax.struct.dataclass
+class StepDiag:
+    """On-device health counters for one pallas frame (int32 scalars;
+    zero = healthy).
+
+    The substep cores mask every capacity overflow out of the transfers so
+    it degrades instead of corrupting; these counters make each masked
+    condition observable without a host round trip per substep
+    (failure-detection role, SURVEY.md section 5.3 — the reference's
+    hashmap overflow is silent, grid.wgsl:126-129).
+    """
+
+    job_overflow: jnp.ndarray         # max over substeps of jobs_needed - max_jobs
+    sparse_occ_overflow: jnp.ndarray  # max of distinct occupied blocks - kmax
+    sparse_act_overflow: jnp.ndarray  # max of active slots - amax
+    migration_dropped: jnp.ndarray    # cumulative slab-crossers beyond migration_cap
+    live_lost: jnp.ndarray            # live lanes dropped at frame-end truncation
+
+    @classmethod
+    def zeros(cls) -> "StepDiag":
+        z = jnp.zeros((), jnp.int32)
+        return cls(z, z, z, z, z)
+
+    def any_overflow(self):
+        return (
+            (self.job_overflow > 0)
+            | (self.sparse_occ_overflow > 0)
+            | (self.sparse_act_overflow > 0)
+            | (self.migration_dropped > 0)
+            | (self.live_lost > 0)
+        )
+
+    def summary(self) -> str:
+        vals = {
+            f.name: int(getattr(self, f.name))
+            for f in dataclasses.fields(self)
+        }
+        flags = [f"{k}={v}" for k, v in vals.items() if v > 0]
+        return "OK" if not flags else "OVERFLOW: " + ", ".join(flags)
+
+
+# ------------------------------------------------- shared pallas-core phases
+def _lazy_sort(rows_all, keys, npad: int):
+    """Lazy re-sort: when the block keys are still nondecreasing the current
+    order IS a valid sort — skip the permutation entirely (the reference
+    re-sorts unconditionally every substep, grid.rs:30-206).  Otherwise the
+    WHOLE state moves as one banded lane permutation (ops/permute.py)."""
+    from wgsparkl_tpu.ops.permute import permute_lanes
+
+    lane = jnp.arange(npad, dtype=jnp.int32)
+    still = jnp.all(keys[1:] >= keys[:-1])
+
+    def keep(args):
+        return args
+
+    def resort(args):
+        rows, kk = args
+        sids, perm = jax.lax.sort((kk, lane), num_keys=1)
+        return permute_lanes(rows, perm), sids
+
+    return jax.lax.cond(still, keep, resort, (rows_all, keys))
+
+
+def _mask_jobs(jobs, npad: int, group: int):
+    """Clamp job starts into the padded lane range and return the covered
+    rank prefix: on job-table overflow (jobs_needed > max_jobs) the dropped
+    jobs' particles would read uninitialized kernel output — every sorted
+    rank past the last live job's end is masked out downstream (live jobs
+    cover a contiguous rank prefix)."""
+    covered_end = jnp.max(
+        jnp.where(jobs["len"] > 0, jobs["start"] + jobs["len"], 0)
+    )
+    starts = jnp.where(
+        jobs["len"] > 0, jnp.minimum(jobs["start"], npad - group), npad - group
+    )
+    return covered_end, starts
+
+
+def _cdf_chan_grid(node_dist, node_aff, node_closest, nrows: int, d: int):
+    """Node CDF channels -> flat channel-merged grid rows [nrows+1, bsd*4].
+
+    The uint32 affinity word splits into two exact <=16-bit f32 channels;
+    [aff_lo, aff_hi, closest, dist] interleave per cell via exact 0/1
+    matmuls (bk._chan_merge_mat_np).  Row nrows is the ghost row (closest
+    = NONE) that dead jobs and window overflow read."""
+    from wgsparkl_tpu.ops import blocked as bk
+
+    bs = bk.block_size(d)
+    bsd = bs**d
+    aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    aff_hi = (node_aff >> 16).astype(jnp.float32)
+    cm4 = jnp.asarray(bk._chan_merge_mat_np(d, 4))
+    chs = [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist]
+    chan_flat = jax.lax.dot_general(
+        jnp.concatenate([x.reshape(nrows, bsd) for x in chs], axis=1),
+        cm4, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ghost_np = np.zeros((1, bsd * 4), np.float32)
+    ghost_np[0, 2::4] = -1.0             # closest must read NONE (-1)
+    return jnp.concatenate([chan_flat, jnp.asarray(ghost_np)], axis=0)
+
+
+def _jbody_gate(ntiles, wvol: int):
+    """Per-job CPIC gate: any collider-touched node in the job window
+    (affinity bits or a closest body) — jobs away from all colliders skip
+    the pairwise CPIC work inside the kernels.  Pad rows carry closest == 0,
+    so the reduction is masked to the real window."""
+    wmask = (jnp.arange(ntiles.shape[1]) < wvol)[None, :]
+    return jnp.any(
+        ((ntiles[..., 0] + ntiles[..., 1] > 0.0)
+         | (ntiles[..., 2] >= 0.0)) & wmask,
+        axis=1,
+    ).astype(jnp.int32)
+
+
+def _grid_velocity(grid_mm, params, grid, d: int):
+    """Momentum -> velocity + gravity + 1-cell/step clamp, elementwise on
+    block rows (grid_update.wgsl:44-65; ghost slot stays zero)."""
+    mass_b = grid_mm[..., d:]
+    inv_mass = jnp.where(mass_b > 0.0, 1.0 / jnp.maximum(mass_b, 1e-30), 0.0)
+    vel_b = (grid_mm[..., :d] + mass_b * params.gravity * params.dt) * inv_mass
+    vel_limit = grid.cell_width / params.dt
+    return jnp.clip(vel_b, -vel_limit, vel_limit)
+
+
+def _split_impulses(imp_out, count: int, d: int):
+    """Per-job in-kernel impulse accumulators [J, 8, 128] -> (lin, ang)."""
+    imp_sum = jnp.sum(imp_out, axis=0)
+    ang_rows = 3 if d == 3 else 1
+    return imp_sum[0:d, :count].T, imp_sum[d : d + ang_rows, :count].T
+
+
+def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
+                         bcells, grid, group: int, npad: int, nc: int):
+    """Gather node-CDF window tiles, compute the per-job CPIC gate, and run
+    the fused particle-CDF + P2G kernel (shares the particle DMA and
+    consumes the fresh affinity/normals in-kernel); patches the affinity +
+    normal channel rows for G2P."""
+    from wgsparkl_tpu.ops import pallas_cdf
+    from wgsparkl_tpu.ops import pallas_transfer as ptf
+
+    ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4), c=4)
+    jbody = _jbody_gate(ntiles, ptf.WVOL)
+    mm_out, imp_out, krows = pallas_cdf.p2g_cdf_tiles(
+        pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc, jbody
+    )
+    pdata = jax.lax.dynamic_update_slice(
+        pdata,
+        jnp.concatenate([krows[0:1, :npad], krows[2:5, :npad]], axis=0),
+        (ptf.AFF, 0),
+    )
+    return ntiles, jbody, mm_out, imp_out, krows, pdata
+
+
 def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
-                         n: int, axis_name: Optional[str] = None):
+                         n: int, axis_name: Optional[str] = None,
+                         diag: Optional[StepDiag] = None):
     """Channel-major substep core: ([PCHAN, NPAD] rows, bodies) -> same.
 
     Same physics as substep/substep_blocked; the P2G/G2P/pCDF passes run as
@@ -446,7 +635,6 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     from wgsparkl_tpu.ops import blocked as bk
     from wgsparkl_tpu.ops import pallas_transfer as ptf
     from wgsparkl_tpu.ops.kernel import inv_d as inv_d_fn
-    from wgsparkl_tpu.ops.permute import permute_lanes
 
     nc = cfg.num_colliders
     grid = cfg.grid
@@ -456,6 +644,8 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     bs = bk.block_size(d)
     group = cfg.group
     npad = rows_all.shape[1]
+    if diag is None:
+        diag = StepDiag.zeros()
 
     bodies = body_mod.update_world_mass_properties(bodies)
     spatial = cfg.spatial_devices if axis_name is not None else 0
@@ -473,23 +663,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         return jnp.where(lane < n, k, nb_total + 1)
 
     def sort_rows(rows):
-        # Lazy re-sort: when the block keys are still nondecreasing the
-        # current order IS a valid sort — skip the permutation entirely
-        # (the reference re-sorts unconditionally every substep,
-        # grid.rs:30-206).  Otherwise the WHOLE state moves as one banded
-        # lane permutation (ops/permute.py).
-        keys = keys_of(rows)
-        still = jnp.all(keys[1:] >= keys[:-1])
-
-        def keep(args):
-            return args
-
-        def resort(args):
-            rows, kk = args
-            sids, perm = jax.lax.sort((kk, lane), num_keys=1)
-            return permute_lanes(rows, perm), sids
-
-        return jax.lax.cond(still, keep, resort, (rows, keys))
+        return _lazy_sort(rows, keys_of(rows), npad)
 
     rows_all, sorted_ids = sort_rows(rows_all)
 
@@ -523,6 +697,12 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
 
         cl = jnp.minimum(nl, capx)
         cr = jnp.minimum(nov - nr0, capx)
+        # Movers beyond migration_cap stay parked outside the owned slab
+        # (masked, not corrupting) — count them so the loss is observable.
+        diag = diag.replace(
+            migration_dropped=diag.migration_dropped
+            + (nl - cl) + (nov - nr0 - cr)
+        )
         left_buf = win(jnp.int32(0), cl)
         right_buf = win(nr0, cr)
         recv_from_right = jax.lax.ppermute(
@@ -549,20 +729,16 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         rows_all, sorted_ids = sort_rows(rows_all)
 
     jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
+    diag = diag.replace(
+        job_overflow=jnp.maximum(
+            diag.job_overflow, jobs["needed"] - cfg.max_jobs
+        )
+    )
     jobs["block"] = bk.key_to_block(jobs["block"], nb, d)
-    # Out-of-grid particles land in the overflow bucket and belong to no job;
-    # their kernel output rows are never written and must be masked off.
-    # Likewise, on job-table overflow (jobs_needed > max_jobs) the dropped
-    # jobs' particles would read uninitialized kernel output — mask every
-    # sorted rank past the last live job's end (live jobs cover a contiguous
-    # rank prefix).  diagnostics.check reports the overflow itself.
-    covered_end = jnp.max(
-        jnp.where(jobs["len"] > 0, jobs["start"] + jobs["len"], 0)
-    )
-    ig = (sorted_ids < nb_total) & (lane < covered_end)        # [NPAD] bool
-    starts = jnp.where(
-        jobs["len"] > 0, jnp.minimum(jobs["start"], npad - group), npad - group
-    )
+    # Out-of-grid particles land in the overflow bucket and belong to no
+    # job; their kernel output rows are never written and must be masked
+    # off — see _mask_jobs.
+    covered_end, starts = _mask_jobs(jobs, npad, group)
     jobs = {"start": starts, "len": jobs["len"], "block": jobs["block"]}
     blk_coords = bk.block_coords_of(jobs["block"], nb)
     bcells = blk_coords * bs + jnp.asarray(grid.origin_cell, jnp.int32)
@@ -594,52 +770,14 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         # carried: the kernels rebuild them from the body table (btable)
         # per gated job — three dense [M]-node channels and their per-body
         # select loop would cost more than all gated jobs combined.
-        aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
-        aff_hi = (node_aff >> 16).astype(jnp.float32)
-        # Channels are block-major (see _node_cdf_full's position feed);
-        # merge them into flat 2D grid rows with exact 0/1 matmuls (see
-        # _cell_channel_mats_np) and append the flat ghost row.
-        cm4 = jnp.asarray(bk._chan_merge_mat_np(d, 4))
-        bsd = bs**d
-        chs = [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist]
-        chan_flat = jax.lax.dot_general(
-            jnp.concatenate([x.reshape(nb_total, bsd) for x in chs], axis=1),
-            cm4, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ghost_np = np.zeros((1, bsd * 4), np.float32)
-        ghost_np[0, 2::4] = -1.0             # closest must read NONE (-1)
-        chan_grid = jnp.concatenate(
-            [chan_flat, jnp.asarray(ghost_np)], axis=0
-        )
-        ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4), c=4)
-        # Per-job CPIC gate: any collider-touched node in the job window
-        # (affinity bits or a closest body) — jobs away from all colliders
-        # skip the pairwise CPIC work inside the kernels.  Pad rows carry
-        # closest == 0, so mask the reduction to the real window.
-        wmask = (jnp.arange(ptf.WPAD) < 216)[None, :]
-        jbody = jnp.any(
-            ((ntiles[..., 0] + ntiles[..., 1] > 0.0)
-             | (ntiles[..., 2] >= 0.0)) & wmask,
-            axis=1,
-        ).astype(jnp.int32)
-
-        # Fused particle-CDF + P2G kernel (shares the particle DMA and
-        # consumes the fresh affinity/normals in-kernel).
-        from wgsparkl_tpu.ops import pallas_cdf
-
+        chan_grid = _cdf_chan_grid(node_dist, node_aff, node_closest,
+                                   nb_total, d)
         btable = _body_table(bodies)
-        mm_out, imp_out, krows = pallas_cdf.p2g_cdf_tiles(
-            pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc, jbody
-        )
-        pcdf_rows = krows
-        # Patch the affinity + normal channel rows for G2P.
-        pdata = jax.lax.dynamic_update_slice(
-            pdata,
-            jnp.concatenate(
-                [krows[0:1, :npad], krows[2:5, :npad]], axis=0
-            ),
-            (ptf.AFF, 0),
+        ntiles, jbody, mm_out, imp_out, pcdf_rows, pdata = (
+            _cdf_kernel_phase_3d(
+                pdata, chan_grid, gather_tiles, btable, jobs, bcells, grid,
+                group, npad, nc,
+            )
         )
     else:
         maxj = cfg.max_jobs
@@ -657,9 +795,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     )
 
     # CPIC impulses: per-job, per-collider totals already reduced in-kernel.
-    imp_sum = jnp.sum(imp_out, axis=0)                          # [8, 128]
-    lin_imp = imp_sum[0:3, : bodies.count].T
-    ang_imp = imp_sum[3:6, : bodies.count].T
+    lin_imp, ang_imp = _split_impulses(imp_out, bodies.count, d)
 
     if axis_name is not None:
         if spatial:
@@ -696,11 +832,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         ang_imp = jax.lax.psum(ang_imp, axis_name)
 
     # --- grid update ---
-    mass_b = grid_mm[..., d:]
-    inv_mass = jnp.where(mass_b > 0.0, 1.0 / jnp.maximum(mass_b, 1e-30), 0.0)
-    vel_b = (grid_mm[..., :d] + mass_b * params.gravity * params.dt) * inv_mass
-    vel_limit = grid.cell_width / params.dt
-    vel_b = jnp.clip(vel_b, -vel_limit, vel_limit)
+    vel_b = _grid_velocity(grid_mm, params, grid, d)
 
     # --- G2P ---
     f_tiles = gather_tiles(vel_b, out=(ptf.WPAD, 4))
@@ -719,12 +851,13 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     )
 
     bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
-    return rows_out, bodies
+    return rows_out, bodies, diag
 
 
 def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
                                 cfg: MpmConfig, n: int,
-                                axis_name: Optional[str] = None):
+                                axis_name: Optional[str] = None,
+                                diag: Optional[StepDiag] = None):
     """Sparse/unbounded-domain 3D substep core (see _substep_pallas_rows).
 
     The reference's GPU-hashmap sparse grid (grid.wgsl:98-164) rebuilt the
@@ -741,7 +874,6 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
     from wgsparkl_tpu.ops import blocked as bk
     from wgsparkl_tpu.ops import pallas_transfer as ptf
     from wgsparkl_tpu.ops.kernel import inv_d as inv_d_fn
-    from wgsparkl_tpu.ops.permute import permute_lanes
 
     assert not cfg.mesh_cids, "sparse domain supports analytic colliders only"
     nc = cfg.num_colliders
@@ -753,6 +885,8 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
     kmax = cfg.kmax
     amax = cfg.amax
     sent = bk.SPARSE_SENTINEL
+    if diag is None:
+        diag = StepDiag.zeros()
 
     bodies = body_mod.update_world_mass_properties(bodies)
 
@@ -762,36 +896,30 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         [rows_all[0], rows_all[1], rows_all[2]], grid
     )
     bids = jnp.where(lane < n, bids, sent + 1)
-    still_sorted = jnp.all(bids[1:] >= bids[:-1])
-
-    def keep(args):
-        return args
-
-    def resort(args):
-        rows, keys = args
-        sids, perm = jax.lax.sort((keys, lane), num_keys=1)
-        return permute_lanes(rows, perm), sids
-
-    rows_all, sorted_ids = jax.lax.cond(
-        still_sorted, keep, resort, (rows_all, bids)
-    )
+    rows_all, sorted_ids = _lazy_sort(rows_all, bids, npad)
 
     jobs, okeys, n_occ = bk.build_jobs_sparse(
         sorted_ids, group, cfg.max_jobs, kmax
     )
     act, n_active, act_over = bk.sparse_active_table(okeys, d, amax)
+    # Surface every masked capacity overflow (kmax-truncated blocks freeze
+    # their particles; amax truncation drops halo nodes; job overflow masks
+    # the tail ranks) — zero when healthy.
+    diag = diag.replace(
+        job_overflow=jnp.maximum(
+            diag.job_overflow, jobs["needed"] - cfg.max_jobs
+        ),
+        sparse_occ_overflow=jnp.maximum(diag.sparse_occ_overflow, n_occ - kmax),
+        sparse_act_overflow=jnp.maximum(
+            diag.sparse_act_overflow, n_active - amax
+        ),
+    )
     deltas = bk.sparse_octant_deltas(d)
     tgts = jnp.stack(
         [bk.sparse_slots(act, jobs["key"] + dl, amax) for dl in deltas]
     )                                                           # [8, MAXJ]
 
-    covered_end = jnp.max(
-        jnp.where(jobs["len"] > 0, jobs["start"] + jobs["len"], 0)
-    )
-    ig = (sorted_ids < sent) & (lane < covered_end)
-    starts = jnp.where(
-        jobs["len"] > 0, jnp.minimum(jobs["start"], npad - group), npad - group
-    )
+    covered_end, starts = _mask_jobs(jobs, npad, group)
     jobs = {"start": starts, "len": jobs["len"], "key": jobs["key"]}
     bcells = (
         bk.sparse_key_coords(jobs["key"], d) * bs
@@ -828,42 +956,13 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
             cfg.collider_types, bodies.shape_params, bodies.rot, bodies.pos,
             (npx, npy, npz), grid.cell_width,
         )
-        aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
-        aff_hi = (node_aff >> 16).astype(jnp.float32)
-        # Flat-row channel merge via 0/1 matmuls (see _cell_channel_mats_np).
-        cm4 = jnp.asarray(bk._chan_merge_mat_np(d, 4))
-        bsd = bs**d
-        chs = [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist]
-        chan_flat = jax.lax.dot_general(
-            jnp.concatenate([x.reshape(amax, bsd) for x in chs], axis=1),
-            cm4, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ghost_np = np.zeros((1, bsd * 4), np.float32)
-        ghost_np[0, 2::4] = -1.0
-        chan_grid = jnp.concatenate(
-            [chan_flat, jnp.asarray(ghost_np)], axis=0
-        )
-        ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4), c=4)
-        # Pad rows carry closest == 0 — mask the gate to the real window.
-        wmask = (jnp.arange(ptf.WPAD) < 216)[None, :]
-        jbody = jnp.any(
-            ((ntiles[..., 0] + ntiles[..., 1] > 0.0)
-             | (ntiles[..., 2] >= 0.0)) & wmask,
-            axis=1,
-        ).astype(jnp.int32)
-
-        from wgsparkl_tpu.ops import pallas_cdf
-
+        chan_grid = _cdf_chan_grid(node_dist, node_aff, node_closest, amax, d)
         btable = _body_table(bodies)
-        mm_out, imp_out, krows = pallas_cdf.p2g_cdf_tiles(
-            pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc, jbody
-        )
-        pcdf_rows = krows
-        pdata = jax.lax.dynamic_update_slice(
-            pdata,
-            jnp.concatenate([krows[0:1, :npad], krows[2:5, :npad]], axis=0),
-            (ptf.AFF, 0),
+        ntiles, jbody, mm_out, imp_out, pcdf_rows, pdata = (
+            _cdf_kernel_phase_3d(
+                pdata, chan_grid, gather_tiles, btable, jobs, bcells, grid,
+                group, npad, nc,
+            )
         )
     else:
         maxj = cfg.max_jobs
@@ -880,9 +979,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         cfg.band_chunk, win=True,
     )
 
-    imp_sum = jnp.sum(imp_out, axis=0)
-    lin_imp = imp_sum[0:3, : bodies.count].T
-    ang_imp = imp_sum[3:6, : bodies.count].T
+    lin_imp, ang_imp = _split_impulses(imp_out, bodies.count, d)
 
     if axis_name is not None:
         # (spatial decomposition is bounded-grid only for now; the
@@ -892,11 +989,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         ang_imp = jax.lax.psum(ang_imp, axis_name)
 
     # --- grid update ---
-    mass_b = grid_mm[..., d:]
-    inv_mass = jnp.where(mass_b > 0.0, 1.0 / jnp.maximum(mass_b, 1e-30), 0.0)
-    vel_b = (grid_mm[..., :d] + mass_b * params.gravity * params.dt) * inv_mass
-    vel_limit = grid.cell_width / params.dt
-    vel_b = jnp.clip(vel_b, -vel_limit, vel_limit)
+    vel_b = _grid_velocity(grid_mm, params, grid, d)
 
     # --- G2P ---
     f_tiles = gather_tiles(vel_b, out=(ptf.WPAD, 4))
@@ -915,17 +1008,17 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
     )
 
     bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
-    return rows_out, bodies
+    return rows_out, bodies, diag
 
 
 def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
-                            n: int, axis_name: Optional[str] = None):
+                            n: int, axis_name: Optional[str] = None,
+                            diag: Optional[StepDiag] = None):
     """2D channel-major substep core (see _substep_pallas_rows; 2D kernel
     family in ops/pallas_transfer2d.py: 8x8 blocks, 10^2 windows)."""
     from wgsparkl_tpu.ops import blocked as bk
     from wgsparkl_tpu.ops import pallas_transfer2d as ptf
     from wgsparkl_tpu.ops.kernel import inv_d as inv_d_fn
-    from wgsparkl_tpu.ops.permute import permute_lanes
 
     nc = cfg.num_colliders
     grid = cfg.grid
@@ -935,6 +1028,8 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
     bs = bk.block_size(d)
     group = cfg.group
     npad = rows_all.shape[1]
+    if diag is None:
+        diag = StepDiag.zeros()
 
     bodies = body_mod.update_world_mass_properties(bodies)
 
@@ -942,29 +1037,17 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
     lane = jnp.arange(npad, dtype=jnp.int32)
     bids = bk.particle_sort_keys_ch([rows_all[0], rows_all[1]], grid)
     bids = jnp.where(lane < n, bids, nb_total + 1)
-    still_sorted = jnp.all(bids[1:] >= bids[:-1])
-
-    def keep(args):
-        return args
-
-    def resort(args):
-        rows, keys = args
-        sids, perm = jax.lax.sort((keys, lane), num_keys=1)
-        return permute_lanes(rows, perm), sids
-
-    rows_all, sorted_ids = jax.lax.cond(
-        still_sorted, keep, resort, (rows_all, bids)
-    )
+    rows_all, sorted_ids = _lazy_sort(rows_all, bids, npad)
 
     jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
+    diag = diag.replace(
+        job_overflow=jnp.maximum(
+            diag.job_overflow, jobs["needed"] - cfg.max_jobs
+        )
+    )
     jobs["block"] = bk.key_to_block(jobs["block"], nb, d)
-    covered_end = jnp.max(
-        jnp.where(jobs["len"] > 0, jobs["start"] + jobs["len"], 0)
-    )
+    covered_end, starts = _mask_jobs(jobs, npad, group)
     ig = (sorted_ids < nb_total) & (lane < covered_end)
-    starts = jnp.where(
-        jobs["len"] > 0, jnp.minimum(jobs["start"], npad - group), npad - group
-    )
     jobs = {"start": starts, "len": jobs["len"], "block": jobs["block"]}
     blk_coords = bk.block_coords_of(jobs["block"], nb)
     bcells = blk_coords * bs + jnp.asarray(grid.origin_cell, jnp.int32)
@@ -989,30 +1072,10 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         node_dist, node_aff, node_closest = _node_cdf_full(
             state_view, bodies, cfg, block_major=True
         )
-        aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
-        aff_hi = (node_aff >> 16).astype(jnp.float32)
-        # Flat-row channel merge via 0/1 matmuls (see _cell_channel_mats_np).
-        cm4 = jnp.asarray(bk._chan_merge_mat_np(d, 4))
-        bsd = bs**d
-        chs = [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist]
-        chan_flat = jax.lax.dot_general(
-            jnp.concatenate([x.reshape(nb_total, bsd) for x in chs], axis=1),
-            cm4, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ghost_np = np.zeros((1, bsd * 4), np.float32)
-        ghost_np[0, 2::4] = -1.0
-        chan_grid = jnp.concatenate(
-            [chan_flat, jnp.asarray(ghost_np)], axis=0
-        )
+        chan_grid = _cdf_chan_grid(node_dist, node_aff, node_closest,
+                                   nb_total, d)
         ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4), c=4)
-        # Pad rows carry closest == 0 — mask the gate to the real window.
-        wmask = (jnp.arange(ptf.WPAD) < wvol)[None, :]
-        jbody = jnp.any(
-            ((ntiles[..., 0] + ntiles[..., 1] > 0.0)
-             | (ntiles[..., 2] >= 0.0)) & wmask,
-            axis=1,
-        ).astype(jnp.int32)
+        jbody = _jbody_gate(ntiles, wvol)
 
         krows = ptf.pcdf_rows(
             pdata, ntiles, jobs, bcells, grid, group, npad, nc, jbody
@@ -1057,9 +1120,7 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         cfg.band, cfg.band_chunk, win=True,
     )
 
-    imp_sum = jnp.sum(imp_out, axis=0)                          # [8, 128]
-    lin_imp = imp_sum[0:2, : bodies.count].T
-    ang_imp = imp_sum[2:3, : bodies.count].T
+    lin_imp, ang_imp = _split_impulses(imp_out, bodies.count, d)
 
     if axis_name is not None:
         grid_mm = jax.lax.psum(grid_mm, axis_name)
@@ -1067,11 +1128,7 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         ang_imp = jax.lax.psum(ang_imp, axis_name)
 
     # --- grid update ---
-    mass_b = grid_mm[..., d:]
-    inv_mass = jnp.where(mass_b > 0.0, 1.0 / jnp.maximum(mass_b, 1e-30), 0.0)
-    vel_b = (grid_mm[..., :d] + mass_b * params.gravity * params.dt) * inv_mass
-    vel_limit = grid.cell_width / params.dt
-    vel_b = jnp.clip(vel_b, -vel_limit, vel_limit)
+    vel_b = _grid_velocity(grid_mm, params, grid, d)
 
     # --- G2P ---
     f_tiles = gather_tiles(vel_b, out=(ptf.WPAD, 4))
@@ -1154,7 +1211,7 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
     rows_out = jnp.stack(new_rows, axis=0)
 
     bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
-    return rows_out, bodies
+    return rows_out, bodies, diag
 
 
 def rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg):
@@ -1364,6 +1421,18 @@ class MpmData:
         self.params = params
         self.bodies_desc = tuple(bodies)
         collider_types = tuple(b.collider.shape_type for b in bodies)
+        if transfer == "pallas" and len(collider_types) > 14:
+            # The channel-major state carries the 16+16-bit affinity word
+            # bitcast to f32 through one-hot permutation matmuls
+            # (ops/permute.py); sign bits of colliders >= 15 reach the f32
+            # exponent field and an all-ones exponent is a NaN payload that
+            # NaN*0-poisons the matmul.  The reference caps at 16
+            # (collide.wgsl:36); the pallas path caps at 14.  Use
+            # transfer='blocked' for 15-16 collider scenes.
+            raise ValueError(
+                "transfer='pallas' supports at most 14 colliders "
+                f"(got {len(collider_types)}); use transfer='blocked'"
+            )
         auto_jobs = max_jobs == 0
         if transfer in ("blocked", "pallas") and auto_jobs:
             # Headroom: 4x the perfectly-packed job count (blocks at ~1/4

@@ -1,21 +1,24 @@
-"""Minimal body-body contact resolution (dynamic vs static/kinematic).
+"""Minimal body-body contact resolution (dynamic vs anything analytic).
 
-In the reference, dynamic rigid bodies rest on floors and hit other colliders
+In the reference, dynamic rigid bodies rest on floors and hit each other
 through rapier's CPU contact solver, stepped once per frame
 (/root/reference/src_testbed/step.rs:201-217).  This module is the TPU-native
 stand-in: velocity-level sequential impulses with Coulomb friction and a
-Baumgarte positional bias, resolved for each *dynamic* body against every
-static/kinematic analytic collider.  That covers the scene-level behavior the
-demos need (sand2's falling plates come to rest on the ground instead of
-tunnelling); it is not a general rigid-body engine (no dynamic-dynamic pairs,
-no joints) — matching the scope the reference outsources to rapier.
+Baumgarte positional bias, iterated Gauss-Seidel style over every
+dynamic-vs-collider pair — including DYNAMIC-DYNAMIC pairs (sand2's eight
+falling plates pile on each other, step.rs:201-217), with symmetric impulse
+application and combined effective mass.  It is not a general rigid-body
+engine (no joints, no manifolds beyond point samples) — matching the scope
+the reference outsources to rapier.
 
 Contact generation is shape-aware but deliberately simple:
   * dynamic cuboid: its 2^d corners tested against the other collider;
   * dynamic ball: deepest point toward the other collider's boundary;
   * dynamic capsule: its two cap centers treated as balls.
-All static control flow (which slots are dynamic, shape types) is unrolled in
-Python so XLA sees straight-line code; everything else is branch-free.
+Ordered pairs run both ways (b's corners vs c AND c's corners vs b), so
+box-box stacking catches both bodies' features.  All static control flow
+(which slots are dynamic, shape types) is unrolled in Python so XLA sees
+straight-line code; everything else is branch-free.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ from wgsparkl_tpu.math import pose as pose_math
 
 CONTACT_BETA = 0.2      # Baumgarte positional-correction factor
 CONTACT_FRICTION = 0.4
+CONTACT_ITERATIONS = 4  # Gauss-Seidel sweeps over all pairs
 
 
 def _corner_offsets(dim: int) -> np.ndarray:
@@ -78,6 +82,36 @@ def _ang_vel_at(dim, angvel, rel):
     return jnp.stack([-omega * rel[..., 1], omega * rel[..., 0]], axis=-1)
 
 
+def _candidates(bodies, b, bt, c, ct, dim):
+    """Contact candidates of dynamic body b against collider c, or None."""
+    proj = lambda p: shp.project_on_boundary(
+        ct, bodies.shape_params[c], bodies.rot[c], bodies.pos[c], p
+    )
+    if bt == shp.SHAPE_CUBOID:
+        he = bodies.shape_params[b, :dim]
+        local = jnp.asarray(_corner_offsets(dim)) * he[None, :]
+        pts = pose_math.transform_point(
+            bodies.rot[b][None], bodies.pos[b][None], local
+        )
+        return _point_contacts(pts, proj)
+    if bt in (shp.SHAPE_BALL, shp.SHAPE_CAPSULE):
+        if bt == shp.SHAPE_BALL:
+            radius = bodies.shape_params[b, 0]
+            centers = bodies.world_com[b][None, :]
+        else:
+            hh, radius = (
+                bodies.shape_params[b, 0],
+                bodies.shape_params[b, 1],
+            )
+            axis_local = jnp.zeros((2, dim), jnp.float32)
+            axis_local = axis_local.at[0, 1].set(hh).at[1, 1].set(-hh)
+            centers = pose_math.transform_point(
+                bodies.rot[b][None], bodies.pos[b][None], axis_local
+            )
+        return _ball_contacts(centers, radius, proj)
+    return None  # mesh-shaped dynamic bodies: not supported
+
+
 def resolve_contacts(
     bodies,
     collider_types: Tuple[int, ...],
@@ -87,6 +121,7 @@ def resolve_contacts(
     dt,
     slop: float,
     friction: float = CONTACT_FRICTION,
+    iterations: int = CONTACT_ITERATIONS,
 ):
     """Sequential-impulse contact pass.  Returns updated (linvel, angvel).
 
@@ -97,86 +132,92 @@ def resolve_contacts(
     """
     dim = bodies.dim
     analytic = set(shp._ANALYTIC)
+    dyn = set(dynamic_slots)
 
+    # Ordered dynamic-vs-collider pairs (both directions for dyn-dyn).
+    pairs = []
     for b in dynamic_slots:
         bt = collider_types[b]
+        if bt not in (shp.SHAPE_CUBOID, shp.SHAPE_BALL, shp.SHAPE_CAPSULE):
+            continue
         for c, ct in enumerate(collider_types):
-            if c == b or c in dynamic_slots or ct not in analytic:
+            if c == b or ct not in analytic:
                 continue
+            pairs.append((b, bt, c, ct))
+    if not pairs:
+        return linvel, angvel
 
-            # ---- contact candidates of b against c ----
-            if bt == shp.SHAPE_CUBOID:
-                he = bodies.shape_params[b, :dim]
-                local = jnp.asarray(_corner_offsets(dim)) * he[None, :]
-                pts = pose_math.transform_point(
-                    bodies.rot[b][None], bodies.pos[b][None], local
-                )
-                proj = lambda p: shp.project_on_boundary(
-                    ct, bodies.shape_params[c], bodies.rot[c], bodies.pos[c], p
-                )
-                points, normals, depths = _point_contacts(pts, proj)
-            elif bt in (shp.SHAPE_BALL, shp.SHAPE_CAPSULE):
-                if bt == shp.SHAPE_BALL:
-                    radius = bodies.shape_params[b, 0]
-                    centers = bodies.world_com[b][None, :]
-                else:
-                    hh, radius = (
-                        bodies.shape_params[b, 0],
-                        bodies.shape_params[b, 1],
-                    )
-                    axis_local = jnp.zeros((2, dim), jnp.float32)
-                    axis_local = axis_local.at[0, 1].set(hh).at[1, 1].set(-hh)
-                    centers = pose_math.transform_point(
-                        bodies.rot[b][None], bodies.pos[b][None], axis_local
-                    )
-                proj = lambda p: shp.project_on_boundary(
-                    ct, bodies.shape_params[c], bodies.rot[c], bodies.pos[c], p
-                )
-                points, normals, depths = _ball_contacts(centers, radius, proj)
-            else:
-                continue  # mesh-shaped dynamic bodies: not supported
+    for _ in range(iterations):
+        for b, bt, c, ct in pairs:
+            cand = _candidates(bodies, b, bt, c, ct, dim)
+            if cand is None:
+                continue
+            points, normals, depths = cand
+            two_way = c in dyn
+            inv_i_b = bodies.inv_inertia_world[b]
+            inv_i_c = bodies.inv_inertia_world[c]
 
-            # ---- sequential impulses over this pair's contact points ----
-            k_pts = points.shape[0]
-            for k in range(k_pts):
+            for k in range(points.shape[0]):
                 p, n, depth = points[k], normals[k], depths[k]
                 active = depth > 0.0
 
-                r = p - bodies.world_com[b]
-                v_b = linvel[b] + _ang_vel_at(dim, angvel[b], r)
-                # c is static/kinematic: its velocity field is prescribed.
-                rel_c = p - bodies.world_com[c]
-                v_c = bodies.linvel[c] + _ang_vel_at(dim, bodies.angvel[c], rel_c)
+                r_b = p - bodies.world_com[b]
+                r_c = p - bodies.world_com[c]
+                v_b = linvel[b] + _ang_vel_at(dim, angvel[b], r_b)
+                if two_way:
+                    v_c = linvel[c] + _ang_vel_at(dim, angvel[c], r_c)
+                else:
+                    # c static/kinematic: its velocity field is prescribed.
+                    v_c = bodies.linvel[c] + _ang_vel_at(
+                        dim, bodies.angvel[c], r_c
+                    )
                 v_rel = v_b - v_c
                 vn = jnp.dot(v_rel, n)
 
-                rxn = _cross(dim, r, n)
-                inv_i = bodies.inv_inertia_world[b]
+                rxn_b = _cross(dim, r_b, n)
                 k_n = jnp.sum(n * n * bodies.inv_mass[b]) + jnp.dot(
-                    rxn, inv_i @ rxn
+                    rxn_b, inv_i_b @ rxn_b
                 )
+                rxn_c = _cross(dim, r_c, n)
+                if two_way:
+                    k_n = k_n + jnp.sum(
+                        n * n * bodies.inv_mass[c]
+                    ) + jnp.dot(rxn_c, inv_i_c @ rxn_c)
                 bias = CONTACT_BETA * jnp.maximum(depth - slop, 0.0) / dt
                 jn = jnp.maximum((-vn + bias) / jnp.maximum(k_n, 1e-12), 0.0)
                 jn = jnp.where(active, jn, 0.0)
 
                 linvel = linvel.at[b].add(jn * n * bodies.inv_mass[b])
-                angvel = angvel.at[b].add(inv_i @ (rxn * jn))
+                angvel = angvel.at[b].add(inv_i_b @ (rxn_b * jn))
+                if two_way:
+                    linvel = linvel.at[c].add(-jn * n * bodies.inv_mass[c])
+                    angvel = angvel.at[c].add(inv_i_c @ (rxn_c * -jn))
 
                 # Coulomb friction against the updated normal state.
-                v_b = linvel[b] + _ang_vel_at(dim, angvel[b], r)
+                v_b = linvel[b] + _ang_vel_at(dim, angvel[b], r_b)
+                if two_way:
+                    v_c = linvel[c] + _ang_vel_at(dim, angvel[c], r_c)
                 v_rel = v_b - v_c
                 vt = v_rel - jnp.dot(v_rel, n) * n
                 vt_len = jnp.linalg.norm(vt)
                 t_hat = vt / jnp.maximum(vt_len, 1e-12)
-                rxt = _cross(dim, r, t_hat)
+                rxt_b = _cross(dim, r_b, t_hat)
                 k_t = jnp.sum(t_hat * t_hat * bodies.inv_mass[b]) + jnp.dot(
-                    rxt, inv_i @ rxt
+                    rxt_b, inv_i_b @ rxt_b
                 )
+                rxt_c = _cross(dim, r_c, t_hat)
+                if two_way:
+                    k_t = k_t + jnp.sum(
+                        t_hat * t_hat * bodies.inv_mass[c]
+                    ) + jnp.dot(rxt_c, inv_i_c @ rxt_c)
                 jt = jnp.clip(
                     vt_len / jnp.maximum(k_t, 1e-12), 0.0, friction * jn
                 )
                 jt = jnp.where(active & (vt_len > 1e-9), jt, 0.0)
                 linvel = linvel.at[b].add(-jt * t_hat * bodies.inv_mass[b])
-                angvel = angvel.at[b].add(inv_i @ (rxt * -jt))
+                angvel = angvel.at[b].add(inv_i_b @ (rxt_b * -jt))
+                if two_way:
+                    linvel = linvel.at[c].add(jt * t_hat * bodies.inv_mass[c])
+                    angvel = angvel.at[c].add(inv_i_c @ (rxt_c * jt))
 
     return linvel, angvel

@@ -34,6 +34,7 @@ def sand_box_3d(
     num_substeps: int = 20,
     gravity_factor: float = 1.0,
     with_paddle: bool = True,
+    **mpm_kw,
 ) -> MpmData:
     """3D sand in a box with an optional spinning paddle (sand3.rs:20-113).
 
@@ -81,6 +82,7 @@ def sand_box_3d(
             np.array([-half, -2 * cell_width, -half]),
             np.array([half, (ny + 30) * cell_width / 2, half]),
         ),
+        **mpm_kw,
     )
 
 
@@ -88,6 +90,7 @@ def elastic_blocks_2d(
     n_side: int = 700,
     cell_width: float = 0.2,
     num_substeps: int = 15,
+    **mpm_kw,
 ) -> MpmData:
     """2D elastic columns falling between tilted walls (elasticity2.rs:20-103
     structure: big elastic lattice, E=5e6, floor + 2 tilted walls)."""
@@ -118,6 +121,7 @@ def elastic_blocks_2d(
             np.array([-extent * 2.5, -0.5]),
             np.array([extent * 2.5, 1.5 + extent * 1.2]),
         ),
+        **mpm_kw,
     )
 
 
@@ -126,6 +130,7 @@ def sand_column_2d(
     ny: int = 256,
     cell_width: float = 0.2,
     num_substeps: int = 10,
+    **mpm_kw,
 ) -> MpmData:
     """2D sand column collapse on a flat floor (BASELINE config 2;
     material parameters from sand2.rs:33-47: density 1000, E=1e7, nu=0.2)."""
@@ -144,4 +149,5 @@ def sand_column_2d(
         grid_bounds=(
             np.array([-extent * 2, -0.2]), np.array([extent * 2, extent * 1.5])
         ),
+        **mpm_kw,
     )
