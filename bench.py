@@ -27,7 +27,9 @@ def main():
     # 12 frames (~240 substeps) measures sustained throughput past the
     # initial mass-settling transient (which is re-sort heavy).
     frames = int(os.environ.get("BENCH_FRAMES", 12))
-    group = int(os.environ.get("BENCH_GROUP", 512))
+    # group=1024 measured best at 1M (512: 33.1, 1024: 35.6 steps/s;
+    # 2048 exceeds the 16 MB VMEM budget in the fused pCDF+P2G kernel).
+    group = int(os.environ.get("BENCH_GROUP", 1024))
 
     from wgsparkl_tpu import scenes
     from wgsparkl_tpu.pipeline import MpmData, step

@@ -37,13 +37,19 @@ def transfer_kw():
     return kw
 
 
-def run_example(data, num_substeps, frames=120, dump_ply_every=None, name=""):
+def run_example(data, num_substeps, frames=120, dump_ply_every=None, name="",
+                dump_dir=None):
     import json
 
     from wgsparkl_tpu.testbed import Testbed
 
     tb = Testbed(data, num_substeps=num_substeps)
-    stats = tb.run(frames, dump_ply_every=dump_ply_every)
+    stats = tb.run(
+        frames, dump_ply_every=dump_ply_every,
+        dump_dir=dump_dir or os.environ.get(
+            "DUMP_DIR", f"/tmp/wgsparkl_frames_{name or 'scene'}"
+        ),
+    )
     print(json.dumps({"example": name, **stats}, indent=2))
     assert stats["finite"], "simulation produced non-finite state"
     return tb

@@ -704,7 +704,7 @@ def neighbor_block_table(nb: Tuple[int, ...]):
 
 
 def scatter_tiles(grid_blocks, tiles, job_block, nbr_table, dim: int,
-                  mode: str = "add"):
+                  mode: str = "add", tgt_table=None):
     """Scatter-reduce job window tiles into the block-major grid.
 
     grid_blocks: [NB+1, BS, BS(, BS), C]  (slot NB = ghost/overflow, discarded)
@@ -712,9 +712,14 @@ def scatter_tiles(grid_blocks, tiles, job_block, nbr_table, dim: int,
     job_block:   [J] flat home-block ids (may repeat across jobs).
     2^d octant passes of pure slice scatters; mode in {add, min, max}
     (min/max serve the rigid-mesh CDF pass, ops/rigid_cdf.py).
+    tgt_table: optional explicit per-octant targets [2^d, J] (sparse
+    active-slot addressing) overriding nbr_table[job_block].
     """
     for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
-        tgt = nbr_table[job_block, oi]                      # [J]
+        tgt = (
+            tgt_table[oi] if tgt_table is not None
+            else nbr_table[job_block, oi]
+        )                                                   # [J]
         if dim == 2:
             chunk = tiles[
                 :, starts[0] : starts[0] + sizes[0],

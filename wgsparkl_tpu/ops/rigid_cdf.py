@@ -126,79 +126,167 @@ def mesh_node_cdf(
 
     def chunk_fn(carry, jb):
         key_grid, asg_grid = carry
-        start, length, block = jb["start"], jb["len"], jb["block"]
-        gmask = jnp.arange(group, dtype=jnp.int32)[None, :] < length[:, None]
+        block = jb["block"]
         blk_coords = bk.block_coords_of(block, nb)
-
-        spos = _gather(data["pos"], start, group)
-        prim = _gather(data["prim"], start, group)     # [J,G,d]
-        cid = _gather(data["cid"], start, group)       # [J,G]
-
-        supp = _support_weights(spos, blk_coords[:, None, :], cfg)  # [J,G,W]
-        supp = supp * gmask[..., None]
-        xw = bk.window_node_positions(blk_coords, cfg)              # [J,W,d]
-
-        va = verts_w[prim[..., 0]]                                  # [J,G,d]
-        vb = verts_w[prim[..., 1]]
-        if d == 3:
-            vc = verts_w[prim[..., 2]]
-            ab = vb - va
-            ac = vc - va
-            bc2 = vc - vb
-            nrm = jnp.cross(ab, ac)                                 # [J,G,3]
-            nlen = jnp.linalg.norm(nrm, axis=-1)
-            ap = xw[:, None, :, :] - va[:, :, None, :]              # [J,G,W,3]
-            bp = xw[:, None, :, :] - vb[:, :, None, :]
-            cp = xw[:, None, :, :] - vc[:, :, None, :]
-            t1 = jnp.einsum(
-                "jgd,jgwd->jgw", jnp.cross(ab, nrm), ap
-            ) <= 0.0
-            t2 = jnp.einsum(
-                "jgd,jgwd->jgw", jnp.cross(bc2, nrm), bp
-            ) <= 0.0
-            t3 = jnp.einsum(
-                "jgd,jgwd->jgw", jnp.cross(ac, nrm), cp
-            ) >= 0.0
-            interior = t1 & t2 & t3 & (nlen[..., None] > 0.0)
-            signed = jnp.einsum("jgd,jgwd->jgw", nrm, ap) / jnp.maximum(
-                nlen[..., None], 1e-30
-            )
-        else:
-            ab = vb - va
-            ap = xw[:, None, :, :] - va[:, :, None, :]              # [J,G,W,2]
-            ab2 = jnp.maximum(jnp.sum(ab * ab, -1), 1e-30)
-            t = jnp.einsum("jgd,jgwd->jgw", ab, ap) / ab2[..., None]
-            interior = (t > 0.0) & (t < 1.0)
-            perp = jnp.stack([-ab[..., 1], ab[..., 0]], axis=-1)
-            plen = jnp.maximum(jnp.linalg.norm(perp, axis=-1), 1e-30)
-            signed = jnp.einsum("jgd,jgwd->jgw", perp, ap) / plen[..., None]
-
-        valid = interior & (supp > 0.0)                             # [J,G,W]
-        dist = jnp.abs(signed)
-        sign = signed < 0.0
-
-        # Packed argmin key: distance bits (low nibble replaced by cid).
-        dist_bits = jax.lax.bitcast_convert_type(dist, jnp.uint32)
-        key = (dist_bits & jnp.uint32(0xFFFFFFF0)) | cid[..., None].astype(
-            jnp.uint32
+        key_tile, asg_tile = _mesh_chunk_tiles(
+            data, verts_w, jb["start"], jb["len"], blk_coords, cfg,
+            mesh_cids, group, d,
         )
-        key = jnp.where(valid, key, INF_BITS)
-        key_tile = jnp.min(key, axis=1)                             # [J,W]
         key_grid = bk.scatter_tiles(
             key_grid, key_tile.reshape((-1,) + (wsz,) * d + (1,)),
             block, nbr, d, mode="min",
         )
-
-        # Per-mesh-collider affinity / sign indicators (OR via max).
-        chans = []
-        for slot in mesh_cids:
-            mine = valid & (cid[..., None] == slot)
-            chans.append(jnp.max(mine.astype(jnp.float32), axis=1))
-            chans.append(jnp.max((mine & sign).astype(jnp.float32), axis=1))
-        asg_tile = jnp.stack(chans, axis=-1)                        # [J,W,2C]
         asg_grid = bk.scatter_tiles(
             asg_grid, asg_tile.reshape((-1,) + (wsz,) * d + (2 * n_mesh,)),
             block, nbr, d, mode="max",
+        )
+        return (key_grid, asg_grid), None
+
+    (key_grid, asg_grid), _ = jax.lax.scan(
+        chunk_fn, (key_grid, asg_grid), stacked
+    )
+    return key_grid, asg_grid
+
+
+def _mesh_chunk_tiles(data, verts_w, start, length, blk_coords, cfg,
+                      mesh_cids, group: int, d: int):
+    """Per-job window tiles of the mesh CDF pass (p2g_cdf.wgsl:113-191):
+    pairwise node-window x sample-primitive projections, reduced over the
+    job's samples.  Returns (key_tile [J, W] uint32 packed argmin,
+    asg_tile [J, W, 2*n_mesh] affinity/sign indicators).  Addressing-
+    agnostic: blk_coords are spatial block coords, so the same math serves
+    the bounded grid and the sparse active-slot table."""
+    gmask = jnp.arange(group, dtype=jnp.int32)[None, :] < length[:, None]
+
+    spos = _gather(data["pos"], start, group)
+    prim = _gather(data["prim"], start, group)     # [J,G,d]
+    cid = _gather(data["cid"], start, group)       # [J,G]
+
+    supp = _support_weights(spos, blk_coords[:, None, :], cfg)  # [J,G,W]
+    supp = supp * gmask[..., None]
+    xw = bk.window_node_positions(blk_coords, cfg)              # [J,W,d]
+
+    va = verts_w[prim[..., 0]]                                  # [J,G,d]
+    vb = verts_w[prim[..., 1]]
+    if d == 3:
+        vc = verts_w[prim[..., 2]]
+        ab = vb - va
+        ac = vc - va
+        bc2 = vc - vb
+        nrm = jnp.cross(ab, ac)                                 # [J,G,3]
+        nlen = jnp.linalg.norm(nrm, axis=-1)
+        ap = xw[:, None, :, :] - va[:, :, None, :]              # [J,G,W,3]
+        bp = xw[:, None, :, :] - vb[:, :, None, :]
+        cp = xw[:, None, :, :] - vc[:, :, None, :]
+        t1 = jnp.einsum(
+            "jgd,jgwd->jgw", jnp.cross(ab, nrm), ap
+        ) <= 0.0
+        t2 = jnp.einsum(
+            "jgd,jgwd->jgw", jnp.cross(bc2, nrm), bp
+        ) <= 0.0
+        t3 = jnp.einsum(
+            "jgd,jgwd->jgw", jnp.cross(ac, nrm), cp
+        ) >= 0.0
+        interior = t1 & t2 & t3 & (nlen[..., None] > 0.0)
+        signed = jnp.einsum("jgd,jgwd->jgw", nrm, ap) / jnp.maximum(
+            nlen[..., None], 1e-30
+        )
+    else:
+        ab = vb - va
+        ap = xw[:, None, :, :] - va[:, :, None, :]              # [J,G,W,2]
+        ab2 = jnp.maximum(jnp.sum(ab * ab, -1), 1e-30)
+        t = jnp.einsum("jgd,jgwd->jgw", ab, ap) / ab2[..., None]
+        interior = (t > 0.0) & (t < 1.0)
+        perp = jnp.stack([-ab[..., 1], ab[..., 0]], axis=-1)
+        plen = jnp.maximum(jnp.linalg.norm(perp, axis=-1), 1e-30)
+        signed = jnp.einsum("jgd,jgwd->jgw", perp, ap) / plen[..., None]
+
+    valid = interior & (supp > 0.0)                             # [J,G,W]
+    dist = jnp.abs(signed)
+    sign = signed < 0.0
+
+    # Packed argmin key: distance bits (low nibble replaced by cid).
+    dist_bits = jax.lax.bitcast_convert_type(dist, jnp.uint32)
+    key = (dist_bits & jnp.uint32(0xFFFFFFF0)) | cid[..., None].astype(
+        jnp.uint32
+    )
+    key = jnp.where(valid, key, INF_BITS)
+    key_tile = jnp.min(key, axis=1)                             # [J,W]
+
+    # Per-mesh-collider affinity / sign indicators (OR via max).
+    chans = []
+    for slot in mesh_cids:
+        mine = valid & (cid[..., None] == slot)
+        chans.append(jnp.max(mine.astype(jnp.float32), axis=1))
+        chans.append(jnp.max((mine & sign).astype(jnp.float32), axis=1))
+    asg_tile = jnp.stack(chans, axis=-1)                        # [J,W,2C]
+    return key_tile, asg_tile
+
+
+def mesh_node_cdf_sparse(
+    meshes: MeshColliders,
+    bodies,
+    cfg: GridConfig,
+    mesh_cids: Tuple[int, ...],
+    group: int,
+    max_jobs: int,
+    chunk: int,
+    act,
+    amax: int,
+):
+    """mesh_node_cdf addressed to the sparse ACTIVE-SLOT table.
+
+    Samples are binned with the same packed unbounded keys as particles
+    (ops/blocked.py particle_sparse_keys_ch) and their window tiles
+    scatter-min/max into [amax + 1, BS.., C] grids through per-octant slot
+    targets — lifting the round-2 'analytic colliders only' restriction of
+    the sparse domain (pipeline.py:746 assert).
+
+    Returns (key [amax+1, BS.., 1] uint32, asg [amax+1, BS.., 2*C] f32) in
+    active-slot order (ghost = slot amax).
+    """
+    d = cfg.dim
+    bs = bk.block_size(d)
+    wsz = bk.window_size(d)
+    n_mesh = len(mesh_cids)
+    deltas = bk.sparse_octant_deltas(d)
+
+    sample_w, verts_w = world_transform(meshes, bodies)
+    keys = bk.particle_sparse_keys_ch(
+        [sample_w[:, a] for a in range(d)], cfg
+    )
+    data = {"pos": sample_w, "prim": meshes.sample_prim, "cid": meshes.sample_cid}
+    data, sorted_keys, _ = bk.sort_by_block(data, keys)
+    # Distinct occupied sample-blocks <= live jobs, so max_jobs bounds the
+    # sample block table too.
+    jobs, _, _ = bk.build_jobs_sparse(sorted_keys, group, max_jobs, max_jobs)
+
+    key_grid = jnp.full((amax + 1,) + (bs,) * d + (1,), INF_BITS, jnp.uint32)
+    asg_grid = jnp.zeros((amax + 1,) + (bs,) * d + (2 * n_mesh,), jnp.float32)
+
+    mj = max_jobs
+    stacked = {
+        k: jobs[k].reshape(mj // chunk, chunk) for k in ("start", "len", "key")
+    }
+
+    def chunk_fn(carry, jb):
+        key_grid, asg_grid = carry
+        jkey = jb["key"]
+        blk_coords = bk.sparse_key_coords(jkey, d)
+        key_tile, asg_tile = _mesh_chunk_tiles(
+            data, verts_w, jb["start"], jb["len"], blk_coords, cfg,
+            mesh_cids, group, d,
+        )
+        tgts = jnp.stack(
+            [bk.sparse_slots(act, jkey + dl, amax) for dl in deltas]
+        )
+        key_grid = bk.scatter_tiles(
+            key_grid, key_tile.reshape((-1,) + (wsz,) * d + (1,)),
+            None, None, d, mode="min", tgt_table=tgts,
+        )
+        asg_grid = bk.scatter_tiles(
+            asg_grid, asg_tile.reshape((-1,) + (wsz,) * d + (2 * n_mesh,)),
+            None, None, d, mode="max", tgt_table=tgts,
         )
         return (key_grid, asg_grid), None
 

@@ -101,20 +101,27 @@ def pad_particle_count(n: int, n_devices: int) -> int:
 
 
 def spatial_config(cfg: MpmConfig, n_devices: int,
-                   migration_cap: int = 2048) -> MpmConfig:
+                   migration_cap: int = 2048,
+                   halo_cap: int = 1024) -> MpmConfig:
     """Config for the spatially-decomposed pallas path: x-block slabs per
-    device, halo-plane grid exchange, fixed-capacity particle migration."""
+    device, halo-plane grid exchange, fixed-capacity particle migration.
+
+    Works on the bounded grid AND the sparse/unbounded domain: sparse slabs
+    split the NOMINAL grid's x extent (edge devices own everything beyond)
+    and the halo exchange ships (key, row) pairs of the boundary plane's
+    ACTIVE blocks (capacity halo_cap, overflow counted in StepDiag)."""
     import dataclasses
 
     from wgsparkl_tpu.ops import blocked as bk
 
     nb = bk.num_blocks(cfg.grid)
-    assert cfg.transfer == "pallas" and not cfg.sparse
+    assert cfg.transfer == "pallas"
     assert nb[0] % n_devices == 0, (
         f"x block count {nb[0]} must divide over {n_devices} devices"
     )
     return dataclasses.replace(
-        cfg, spatial_devices=n_devices, migration_cap=migration_cap
+        cfg, spatial_devices=n_devices, migration_cap=migration_cap,
+        halo_cap=halo_cap,
     )
 
 

@@ -96,6 +96,10 @@ class MpmConfig:
     # particles through fixed-capacity buffers (migration_cap per side).
     spatial_devices: int = 0
     migration_cap: int = 2048
+    # Sparse x spatial: max active slots per exchanged boundary plane (the
+    # sparse halo exchange ships (key, row) pairs, capacity-bounded and
+    # diag-reported on overflow).
+    halo_cap: int = 1024
     # Rigid-particle mesh colliders (body slots with trimesh/polyline/
     # heightfield shapes; see ops/rigid_cdf.py).
     mesh_cids: Tuple[int, ...] = ()
@@ -480,11 +484,12 @@ class StepDiag:
     sparse_act_overflow: jnp.ndarray  # max of active slots - amax
     migration_dropped: jnp.ndarray    # cumulative slab-crossers beyond migration_cap
     live_lost: jnp.ndarray            # live lanes dropped at frame-end truncation
+    halo_dropped: jnp.ndarray         # sparse halo-plane slots beyond halo_cap
 
     @classmethod
     def zeros(cls) -> "StepDiag":
         z = jnp.zeros((), jnp.int32)
-        return cls(z, z, z, z, z)
+        return cls(z, z, z, z, z, z)
 
     def any_overflow(self):
         return (
@@ -493,6 +498,7 @@ class StepDiag:
             | (self.sparse_act_overflow > 0)
             | (self.migration_dropped > 0)
             | (self.live_lost > 0)
+            | (self.halo_dropped > 0)
         )
 
     def summary(self) -> str:
@@ -596,6 +602,66 @@ def _split_impulses(imp_out, count: int, d: int):
     return imp_sum[0:d, :count].T, imp_sum[d : d + ang_rows, :count].T
 
 
+def _migrate_x(rows_all, sorted_ids, lo_key, hi_key, live_key, npad: int,
+               capx: int, axis_name, d_dev: int, diag: StepDiag,
+               sort_rows):
+    """Fixed-capacity particle migration between x-slab owners.
+
+    Keys sort x-slowest, so after the sort the left-bound movers (key <
+    lo_key) are a contiguous PREFIX and the right-bound movers (key in
+    [hi_key, live_key)) end exactly at the live/overflow boundary.  Edge
+    devices pass thresholds that make them own everything beyond their
+    slab, so they have no movers on that side by construction.  Movers
+    ship through capx-wide ppermute buffers, land on the (dead) tail pads
+    and fold in with a second sort — its permutation is near-identity +
+    tail inserts, exactly what the banded permute is cheap at.  Movers
+    beyond capx stay parked outside the owned slab (masked, not
+    corrupting) and are counted in diag.migration_dropped.
+    """
+    from wgsparkl_tpu.ops import pallas_transfer as ptf
+
+    lane = jnp.arange(npad, dtype=jnp.int32)
+    nl = jnp.searchsorted(sorted_ids, lo_key)
+    nr0 = jnp.searchsorted(sorted_ids, hi_key)
+    nov = jnp.searchsorted(sorted_ids, live_key)
+    li = jnp.arange(capx, dtype=jnp.int32)
+
+    def win(start, count):
+        st = jnp.clip(start, 0, npad - capx)
+        buf = jax.lax.dynamic_slice(rows_all, (0, st), (ptf.PCHAN, capx))
+        # Zero EVERY channel past the mover count, not just mass: the
+        # non-mover lanes are copies of live particles on the sender,
+        # and any stray job ever covering them must see all-zero rows.
+        return buf * (li < count)[None, :].astype(jnp.float32)
+
+    cl = jnp.minimum(nl, capx)
+    cr = jnp.minimum(nov - nr0, capx)
+    diag = diag.replace(
+        migration_dropped=diag.migration_dropped + (nl - cl) + (nov - nr0 - cr)
+    )
+    left_buf = win(jnp.int32(0), cl)
+    right_buf = win(nr0, cr)
+    recv_from_right = jax.lax.ppermute(
+        left_buf, axis_name, [(i, i - 1) for i in range(1, d_dev)]
+    )
+    recv_from_left = jax.lax.ppermute(
+        right_buf, axis_name, [(i, i + 1) for i in range(d_dev - 1)]
+    )
+    # retire the outgoing lanes locally
+    out_mask = (lane < cl) | ((lane >= nr0) & (lane < nr0 + cr))
+    rows_all = rows_all.at[ptf.PM].set(
+        jnp.where(out_mask, 0.0, rows_all[ptf.PM])
+    )
+    rows_all = jax.lax.dynamic_update_slice(
+        rows_all, recv_from_left, (0, npad - 2 * capx)
+    )
+    rows_all = jax.lax.dynamic_update_slice(
+        rows_all, recv_from_right, (0, npad - capx)
+    )
+    rows_all, sorted_ids = sort_rows(rows_all)
+    return rows_all, sorted_ids, diag
+
+
 def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
                          bcells, grid, group: int, npad: int, nc: int):
     """Gather node-CDF window tiles, compute the per-job CPIC gate, and run
@@ -668,65 +734,16 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     rows_all, sorted_ids = sort_rows(rows_all)
 
     if spatial:
-        # --- particle migration (x-slab decomposition) ---
-        # Keys are x-slowest, so after the sort the left-bound movers are a
-        # contiguous PREFIX and the right-bound movers end exactly at the
-        # overflow boundary.  Edge devices have no movers by construction
-        # (their slab touches the grid edge).
+        # --- particle migration (x-slab decomposition; see _migrate_x) ---
         d_dev = spatial
-        capx = cfg.migration_cap
         kdev = jax.lax.axis_index(axis_name)
         wx = nb[0] // d_dev
         xstride = nb[1] * nb[2]
-        lo_key = kdev * wx * xstride
-        hi_key = (kdev + 1) * wx * xstride
-        nl = jnp.searchsorted(sorted_ids, lo_key)
-        nr0 = jnp.searchsorted(sorted_ids, hi_key)
-        nov = jnp.searchsorted(sorted_ids, nb_total)
-        li = jnp.arange(capx, dtype=jnp.int32)
-
-        def win(start, count):
-            st = jnp.clip(start, 0, npad - capx)
-            buf = jax.lax.dynamic_slice(
-                rows_all, (0, st), (ptf.PCHAN, capx)
-            )
-            # Zero EVERY channel past the mover count, not just mass: the
-            # non-mover lanes are copies of live particles on the sender,
-            # and any stray job ever covering them must see all-zero rows.
-            return buf * (li < count)[None, :].astype(jnp.float32)
-
-        cl = jnp.minimum(nl, capx)
-        cr = jnp.minimum(nov - nr0, capx)
-        # Movers beyond migration_cap stay parked outside the owned slab
-        # (masked, not corrupting) — count them so the loss is observable.
-        diag = diag.replace(
-            migration_dropped=diag.migration_dropped
-            + (nl - cl) + (nov - nr0 - cr)
+        rows_all, sorted_ids, diag = _migrate_x(
+            rows_all, sorted_ids, kdev * wx * xstride,
+            (kdev + 1) * wx * xstride, nb_total, npad, cfg.migration_cap,
+            axis_name, d_dev, diag, sort_rows,
         )
-        left_buf = win(jnp.int32(0), cl)
-        right_buf = win(nr0, cr)
-        recv_from_right = jax.lax.ppermute(
-            left_buf, axis_name, [(i, i - 1) for i in range(1, d_dev)]
-        )
-        recv_from_left = jax.lax.ppermute(
-            right_buf, axis_name, [(i, i + 1) for i in range(d_dev - 1)]
-        )
-        # retire the outgoing lanes locally (movers beyond capx stay and
-        # degrade like job overflow — mass parked outside the owned slab).
-        out_mask = (lane < cl) | ((lane >= nr0) & (lane < nr0 + cr))
-        rows_all = rows_all.at[ptf.PM].set(
-            jnp.where(out_mask, 0.0, rows_all[ptf.PM])
-        )
-        # land the arrivals on the (dead) tail pads, then fold them in with
-        # a second sort — its permutation is near-identity + tail inserts,
-        # exactly what the banded permute is cheap at.
-        rows_all = jax.lax.dynamic_update_slice(
-            rows_all, recv_from_left, (0, npad - 2 * capx)
-        )
-        rows_all = jax.lax.dynamic_update_slice(
-            rows_all, recv_from_right, (0, npad - capx)
-        )
-        rows_all, sorted_ids = sort_rows(rows_all)
 
     jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
     diag = diag.replace(
@@ -875,7 +892,6 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
     from wgsparkl_tpu.ops import pallas_transfer as ptf
     from wgsparkl_tpu.ops.kernel import inv_d as inv_d_fn
 
-    assert not cfg.mesh_cids, "sparse domain supports analytic colliders only"
     nc = cfg.num_colliders
     grid = cfg.grid
     d = 3
@@ -889,14 +905,42 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         diag = StepDiag.zeros()
 
     bodies = body_mod.update_world_mass_properties(bodies)
+    spatial = cfg.spatial_devices if axis_name is not None else 0
 
     # --- sort phase (packed unbounded keys; gravity-fastest digit order) ---
     lane = jnp.arange(npad, dtype=jnp.int32)
-    bids = bk.particle_sparse_keys_ch(
-        [rows_all[0], rows_all[1], rows_all[2]], grid
-    )
-    bids = jnp.where(lane < n, bids, sent + 1)
-    rows_all, sorted_ids = _lazy_sort(rows_all, bids, npad)
+
+    def keys_of(rows):
+        k = bk.particle_sparse_keys_ch([rows[0], rows[1], rows[2]], grid)
+        if spatial:
+            # migrated-out / padding lanes carry mass 0 -> sort-to-tail key.
+            return jnp.where(rows[ptf.PM] > 0.0, k, sent + 1)
+        return jnp.where(lane < n, k, sent + 1)
+
+    def sort_rows(rows):
+        return _lazy_sort(rows, keys_of(rows), npad)
+
+    rows_all, sorted_ids = sort_rows(rows_all)
+
+    if spatial:
+        # --- particle migration between x-slab owners (see _migrate_x).
+        # Slabs split the NOMINAL grid's x-block extent; edge devices own
+        # everything beyond (the domain itself stays unbounded).
+        d_dev = spatial
+        kdev = jax.lax.axis_index(axis_name)
+        wxb = bk.num_blocks(grid)[0] // d_dev
+        dd2 = bk.SPARSE_DIM * bk.SPARSE_DIM
+        lo_key = jnp.where(
+            kdev > 0, (bk.SPARSE_HALF + kdev * wxb) * dd2, 0
+        )
+        hi_key = jnp.where(
+            kdev < d_dev - 1,
+            (bk.SPARSE_HALF + (kdev + 1) * wxb) * dd2, sent,
+        )
+        rows_all, sorted_ids, diag = _migrate_x(
+            rows_all, sorted_ids, lo_key, hi_key, sent, npad,
+            cfg.migration_cap, axis_name, d_dev, diag, sort_rows,
+        )
 
     jobs, okeys, n_occ = bk.build_jobs_sparse(
         sorted_ids, group, cfg.max_jobs, kmax
@@ -956,6 +1000,23 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
             cfg.collider_types, bodies.shape_params, bodies.rot, bodies.pos,
             (npx, npy, npz), grid.cell_width,
         )
+        if cfg.mesh_cids:
+            # Rigid-particle mesh CDF on the active-slot table
+            # (p2g_cdf.wgsl role; ops/rigid_cdf.py:mesh_node_cdf_sparse).
+            from wgsparkl_tpu.ops import rigid_cdf
+
+            key_b, asg_b = rigid_cdf.mesh_node_cdf_sparse(
+                meshes, bodies, grid, cfg.mesh_cids, cfg.sample_group,
+                cfg.sample_max_jobs, cfg.sample_chunk, act, amax,
+            )
+            node_dist, node_aff, node_closest = (
+                rigid_cdf.merge_mesh_into_node_cdf(
+                    node_dist, node_aff, node_closest,
+                    key_b[:-1].reshape(-1),
+                    asg_b[:-1].reshape(-1, asg_b.shape[-1]),
+                    cfg.mesh_cids,
+                )
+            )
         chan_grid = _cdf_chan_grid(node_dist, node_aff, node_closest, amax, d)
         btable = _body_table(bodies)
         ntiles, jbody, mm_out, imp_out, pcdf_rows, pdata = (
@@ -982,9 +1043,71 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
     lin_imp, ang_imp = _split_impulses(imp_out, bodies.count, d)
 
     if axis_name is not None:
-        # (spatial decomposition is bounded-grid only for now; the
-        # sparse path reduces the active-slot grid with a psum.)
-        grid_mm = jax.lax.psum(grid_mm, axis_name)
+        if spatial:
+            # --- sparse halo exchange (collective volume ~ one boundary
+            # plane of ACTIVE blocks, not the table).  Stencil windows
+            # reach +1 block in x only, so each device's contributions land
+            # in its own slab plus overhang keys with x == its hi
+            # boundary.  (1) ship the overhang (key, row) pairs right and
+            # add them into the owner's matching active slots; keys the
+            # owner has no slot for belong to nodes only the sender's
+            # particles touch — the sender's local copy is already
+            # complete, so routing them to the ghost there is exact.
+            # (2) ship the owner's reduced first-plane (key, row) pairs
+            # back left and overwrite the sender's overhang slots for G2P
+            # reads.  Capacity halo_cap per plane, overflow counted.
+            H = cfg.halo_cap
+            flatg = grid_mm.reshape(amax + 1, -1)
+            cols = flatg.shape[1]
+            li = jnp.arange(H, dtype=jnp.int32)
+            right = [(i, i + 1) for i in range(d_dev - 1)]
+            left = [(i, i - 1) for i in range(1, d_dev)]
+
+            def plane(first, last):
+                """(keys [H], rows [H, cols], dropped) of act[first:last)."""
+                s = jnp.clip(first, 0, amax - H)
+                ok = (li >= first - s) & (li < last - s)
+                keys = jnp.where(
+                    ok, jax.lax.dynamic_slice(act, (s,), (H,)), sent
+                )
+                rows = (
+                    jax.lax.dynamic_slice(flatg, (s, 0), (H, cols))
+                    * ok[:, None].astype(jnp.float32)
+                )
+                return keys, rows, jnp.maximum(last - first - H, 0)
+
+            i_over = jnp.searchsorted(act, hi_key).astype(jnp.int32)
+            i_sent = jnp.searchsorted(act, sent).astype(jnp.int32)
+            hkeys, hrows, drop1 = plane(i_over, i_sent)
+            rk = jax.lax.ppermute(hkeys, axis_name, right)
+            rr = jax.lax.ppermute(hrows, axis_name, right)
+            slots = bk.sparse_slots(act, rk, amax)
+            # Zero the payload whenever the key routes to the ghost slot:
+            # inactive-block window gathers READ the ghost row, so it must
+            # stay zero.
+            flatg = flatg.at[slots].add(
+                jnp.where((slots < amax)[:, None], rr, 0.0)
+            )
+
+            i0 = jnp.searchsorted(act, lo_key).astype(jnp.int32)
+            i1 = jnp.searchsorted(
+                act, jnp.minimum(lo_key + dd2, sent)
+            ).astype(jnp.int32)
+            bkeys, brows, drop2 = plane(i0, i1)
+            bkr = jax.lax.ppermute(bkeys, axis_name, left)
+            brr = jax.lax.ppermute(brows, axis_name, left)
+            slots2 = bk.sparse_slots(act, bkr, amax)
+            # Unconditional row writes: invalid/absent keys route to the
+            # ghost slot with a zero payload (the ghost must stay zero).
+            flatg = flatg.at[slots2].set(
+                jnp.where((slots2 < amax)[:, None], brr, 0.0)
+            )
+            diag = diag.replace(
+                halo_dropped=diag.halo_dropped + drop1 + drop2
+            )
+            grid_mm = flatg.reshape(grid_mm.shape)
+        else:
+            grid_mm = jax.lax.psum(grid_mm, axis_name)
         lin_imp = jax.lax.psum(lin_imp, axis_name)
         ang_imp = jax.lax.psum(ang_imp, axis_name)
 

@@ -66,7 +66,7 @@ def _source_map(compiled_text):
 
 
 def profile_step(data, num_substeps: int = 20, top: int = 40,
-                 trace_dir: str | None = None):
+                 trace_dir: str | None = None, warmup_frames: int = 1):
     """Profile one frame of `data` (an MpmData); returns table rows.
 
     Compiles (cached), runs one warm frame, traces a second, buckets device
@@ -78,6 +78,8 @@ def profile_step(data, num_substeps: int = 20, top: int = 40,
     cfg = data.config
     fn = jax.jit(lambda s, p: step(s, p, cfg, num_substeps=num_substeps))
     state = fn(data.state, data.params)
+    for _ in range(warmup_frames - 1):
+        state = fn(state, data.params)
     np.asarray(jax.tree.leaves(state.particles.pos))  # sync
     tdir = trace_dir or tempfile.mkdtemp(prefix="wgsparkl_prof_")
     with jax.profiler.trace(tdir):
