@@ -204,6 +204,34 @@ def test_spatial_sharding_matches_single_device():
     )
 
 
+def test_spatial_diag_reports_migration_overflow():
+    """make_sharded_step(with_diag=True): an absurdly small migration_cap
+    must surface dropped movers per shard instead of silently parking
+    them (round-2 advisor: spatial loss must be observable)."""
+    from wgsparkl_tpu.parallel import (
+        make_sharded_step,
+        shard_state_spatial,
+        spatial_config,
+    )
+    from wgsparkl_tpu.pipeline import MpmData
+
+    n_dev = 2
+    particles, models, bodies, params, grid = _spatial_scene()
+    data = MpmData(params, particles, models, bodies, 1.0, grid=grid,
+                   transfer="pallas", group=64, job_chunk=8)
+    cfg_sp = spatial_config(data.config, n_dev, migration_cap=8)
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("dp",))
+    sharded = shard_state_spatial(data.state, mesh, cfg_sp)
+    stepper = make_sharded_step(cfg_sp, mesh, num_substeps=8, with_diag=True)
+    out, diag = stepper(sharded, data.params)
+    md = np.asarray(diag.migration_dropped)
+    assert md.shape == (n_dev,)
+    # The scene pushes hundreds of particles across the slab boundary;
+    # cap=8 per side per substep cannot carry them all.
+    assert md.sum() > 0, md
+    assert np.isfinite(np.asarray(out.particles.pos)).all()
+
+
 def test_spatial_sparse_matches_single_device():
     """Sparse x spatial (round-2 verdict missing item 3): the sparse
     active-table core under the x-slab decomposition — slab-local tables,

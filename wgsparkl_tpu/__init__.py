@@ -25,5 +25,19 @@ Public API parity map (reference file:line cited in each module):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU matmuls default to single-pass bf16 (jax_default_matmul_precision
+# DEFAULT), which ROUNDS f32 payloads riding the engine's 0/1 one-hot
+# selection matmuls — verified on v5e: 65535.0 -> 65536.0 through a
+# one-hot dot — corrupting affinity words / particle ids and degrading all
+# transfer physics to ~bf16.  The engine's correctness contract is fp32
+# trajectories (BASELINE.md north star), so the package-wide default is
+# 'highest' (full f32 on the MXU).  The exactness-critical sites
+# (ops/permute.py, ops/blocked.py tile moves, channel merges) additionally
+# pin precision per-call so a user override cannot corrupt them.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from wgsparkl_tpu import models, solver  # noqa: F401
 from wgsparkl_tpu.params import SimulationParams  # noqa: F401

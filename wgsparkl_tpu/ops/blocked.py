@@ -181,6 +181,14 @@ SPARSE_DIM = 2 * SPARSE_HALF
 # share them).
 SPARSE_SENTINEL = 1 << 30              # out-of-range / overflow key
 
+# All tile moves / channel merges in this module are EXACT 0/1 selection
+# matmuls with f32 payloads (grid rows, CDF channels, affinity words).
+# TPU's DEFAULT matmul precision is single-pass bf16, which rounds the
+# payload (verified on v5e: a one-hot dot turns 65535.0 into 65536.0) —
+# pin full-f32 MXU passes per call so not even a user-level precision
+# override can corrupt the selections.
+_EXACT = jax.lax.Precision.HIGHEST
+
 
 def sparse_octant_deltas(dim: int):
     """Packed-key delta of each {0,1}^d neighbor (static ints)."""
@@ -366,7 +374,7 @@ def gather_tiles_slots(grid_blocks, tgts, band_lo, bands_ok, dim: int,
             )
             win = jax.lax.dot_general(
                 cat, pm, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_EXACT,
             )
             return win.reshape(j, out[0], out[1])
         tile = jnp.zeros((j,) + (wsz,) * dim + (c,), jnp.float32)
@@ -392,7 +400,7 @@ def gather_tiles_slots(grid_blocks, tgts, band_lo, bands_ok, dim: int,
             onehot = (tgts[oi][:, None] == blk_ids).astype(jnp.float32)
             return jax.lax.dot_general(
                 onehot, grid_flat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_EXACT,
             )
 
         return assemble(got)
@@ -419,7 +427,7 @@ def gather_tiles_slots(grid_blocks, tgts, band_lo, bands_ok, dim: int,
                 got = jax.lax.dot_general(
                     onehot.astype(jnp.float32), slab,
                     (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=_EXACT,
                 )
                 gots.append(
                     got
@@ -457,7 +465,7 @@ def scatter_tiles_slots(grid_blocks, tiles, tgts, band_lo, bands_ok,
         )
         oct_all = jax.lax.dot_general(
             tiles.reshape(j, -1), pm, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_EXACT,
         )
         cw = bs**dim * c
 
@@ -487,7 +495,7 @@ def scatter_tiles_slots(grid_blocks, tiles, tgts, band_lo, bands_ok,
             ).astype(jnp.float32)
             grid_flat = grid_flat + jax.lax.dot_general(
                 onehot, chunk_of(oi, tiles), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_EXACT,
             )
         return grid_flat
 
@@ -516,7 +524,7 @@ def scatter_tiles_slots(grid_blocks, tiles, tgts, band_lo, bands_ok,
                 ).astype(jnp.float32)
                 delta = delta + jax.lax.dot_general(
                     onehot, cch[oi], (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=_EXACT,
                 )
             slab = jax.lax.dynamic_slice(grid_flat, (s, 0), (w2, cols))
             return (
@@ -793,7 +801,7 @@ def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int,
         pm = jnp.asarray(_window_perm_np(dim, c, tiles.shape[1], tiles.shape[2]))
         oct_all = jax.lax.dot_general(
             tiles.reshape(j, -1), pm, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_EXACT,
         )                                                       # [J, 2^d*bs^d*c]
         cw = bs**dim * c
         for oi in range(2**dim):
@@ -802,7 +810,7 @@ def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int,
             flat_grid = flat_grid + jax.lax.dot_general(
                 onehot, oct_all[:, oi * cw : (oi + 1) * cw],
                 (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_EXACT,
             )
         return flat_grid.reshape(grid_blocks.shape)
     for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
@@ -821,7 +829,7 @@ def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int,
         chunk = jnp.pad(chunk, pad).reshape(j, -1)
         flat_grid = flat_grid + jax.lax.dot_general(
             onehot, chunk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_EXACT,
         )
     return flat_grid.reshape(grid_blocks.shape)
 
@@ -913,11 +921,11 @@ def gather_tiles_mm(grid_blocks, job_block, nbr_table, dim: int,
             onehot = (src[:, None] == blk_ids).astype(jnp.float32)
             gots.append(jax.lax.dot_general(
                 onehot, flat_grid, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_EXACT,
             ))
         win = jax.lax.dot_general(
             jnp.concatenate(gots, axis=1), pm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_EXACT,
         )
         return win.reshape(j, out[0], out[1])
     tile = jnp.zeros((j,) + (wsz,) * dim + (c,), jnp.float32)
@@ -926,7 +934,7 @@ def gather_tiles_mm(grid_blocks, job_block, nbr_table, dim: int,
         onehot = (src[:, None] == blk_ids).astype(jnp.float32)
         got = jax.lax.dot_general(
             onehot, flat_grid, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_EXACT,
         ).reshape((j,) + (bs,) * dim + (c,))
         if dim == 2:
             chunk = got[:, : sizes[0], : sizes[1]]
@@ -1052,14 +1060,14 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
                 onehot = ((src[:, None] - s) == lane) & ~is_ghost[:, None]
                 g = jax.lax.dot_general(
                     onehot.astype(jnp.float32), slab, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=_EXACT,
                 )
                 gots.append(
                     g + is_ghost[:, None].astype(jnp.float32) * ghost_row[None]
                 )
             win = jax.lax.dot_general(
                 jnp.concatenate(gots, axis=1), pm, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_EXACT,
             )
             return _, win
         tile = jnp.zeros((cj,) + (wsz,) * dim + (c,), jnp.float32)
@@ -1069,7 +1077,7 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
             onehot = ((src[:, None] - s) == lane) & ~is_ghost[:, None]
             got = jax.lax.dot_general(
                 onehot.astype(jnp.float32), slab, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_EXACT,
             )
             got = got + is_ghost[:, None].astype(jnp.float32) * ghost_row[None, :]
             got = got.reshape((cj,) + (bs,) * dim + (c,))
@@ -1123,7 +1131,7 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
         if win:
             oct_all = jax.lax.dot_general(
                 tchunk.reshape(cj, -1), pm, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_EXACT,
             )
             cw = bs**dim * c
             for oi in range(2**dim):
@@ -1133,7 +1141,7 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
                     onehot.astype(jnp.float32),
                     oct_all[:, oi * cw : (oi + 1) * cw],
                     (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=_EXACT,
                 )
             slab = jax.lax.dynamic_slice(flat_grid, (s, 0), (w2, cols))
             return (
@@ -1156,7 +1164,7 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
             chunk = jnp.pad(chunk, pad).reshape(cj, -1)
             delta = delta + jax.lax.dot_general(
                 onehot.astype(jnp.float32), chunk, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_EXACT,
             )
         slab = jax.lax.dynamic_slice(flat_grid, (s, 0), (w2, cols))
         return (

@@ -125,6 +125,7 @@ def _permute_kernel(lo_ref, slablo_ref, perm_ref, einv_ref, rows_hbm,
     acc = jax.lax.dot_general(
         slab_db[slot], onehot, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(has_exc)
@@ -139,6 +140,7 @@ def _permute_kernel(lo_ref, slablo_ref, perm_ref, einv_ref, rows_hbm,
     out_ref[:, :] = acc + jax.lax.dot_general(
         ecol_buf[...], onehot2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

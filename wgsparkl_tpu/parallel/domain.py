@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from wgsparkl_tpu.pipeline import (
     MpmConfig,
     SimState,
+    StepDiag,
     step_pallas,
     substep,
     substep_blocked,
@@ -54,15 +55,21 @@ def shard_state(state: SimState, mesh: Mesh, axis: str = "dp") -> SimState:
 
 
 def make_sharded_step(
-    cfg: MpmConfig, mesh: Mesh, num_substeps: int, axis: str = "dp"
+    cfg: MpmConfig, mesh: Mesh, num_substeps: int, axis: str = "dp",
+    with_diag: bool = False,
 ):
     """Jitted SPMD step: (state, params) -> state with particles sharded.
 
     Works on all three transfer paths (dense / blocked / pallas): each chip
     sorts and transfers its own particle shard into a full local grid and
     the per-substep psum reduces grid momentum/mass + rigid impulses over
-    ICI.  Requires particle count divisible by the mesh axis size (pad the
-    scene with zero-mass particles if needed — `pad_particle_count`).
+    ICI (or, under spatial_config, the halo exchange).  Requires particle
+    count divisible by the mesh axis size (pad the scene with zero-mass
+    particles if needed — `pad_particle_count`).
+
+    with_diag=True (pallas path): returns (state, StepDiag) where each diag
+    leaf is a [n_devices] per-shard vector of overflow counters — the
+    observable for migration/halo/job capacity loss per chip.
     """
 
     fn = {
@@ -74,22 +81,37 @@ def make_sharded_step(
     def local_steps(state, params):
         if cfg.transfer == "pallas":
             # rows-carry frame loop (one pack/unpack per call).
-            return step_pallas(state, params, cfg, num_substeps, axis)
+            out = step_pallas(
+                state, params, cfg, num_substeps, axis,
+                return_diag=with_diag,
+            )
+            if with_diag:
+                state, diag = out
+                return state, jax.tree.map(lambda x: x.reshape(1), diag)
+            return out
 
         def body(s, _):
             return fn(s, params, cfg, axis_name=axis), None
 
         out, _ = jax.lax.scan(body, state, None, length=num_substeps)
+        if with_diag:
+            return out, jax.tree.map(
+                lambda x: x.reshape(1), StepDiag.zeros()
+            )
         return out
 
     def wrapped(state, params):
         specs = state_specs(state, axis)
         param_specs = jax.tree.map(lambda x: P(), params)
+        out_specs = (
+            (specs, jax.tree.map(lambda x: P(axis), StepDiag.zeros()))
+            if with_diag else specs
+        )
         return jax.shard_map(
             local_steps,
             mesh=mesh,
             in_specs=(specs, param_specs),
-            out_specs=specs,
+            out_specs=out_specs,
             check_vma=False,
         )(state, params)
 

@@ -566,6 +566,7 @@ def _cdf_chan_grid(node_dist, node_aff, node_closest, nrows: int, d: int):
         jnp.concatenate([x.reshape(nrows, bsd) for x in chs], axis=1),
         cm4, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     ghost_np = np.zeros((1, bsd * 4), np.float32)
     ghost_np[0, 2::4] = -1.0             # closest must read NONE (-1)
