@@ -204,6 +204,69 @@ def test_spatial_sharding_matches_single_device():
     )
 
 
+def test_spatial_2d_matches_single_device():
+    """2D x-slab decomposition (the last empty cell of the spatial matrix):
+    migration + block-row halo exchange vs single device."""
+    from wgsparkl_tpu.grid import GridConfig
+    from wgsparkl_tpu.models.elasticity import ElasticCoefficients
+    from wgsparkl_tpu.parallel import (
+        make_sharded_step,
+        shard_state_spatial,
+        spatial_config,
+    )
+    from wgsparkl_tpu.params import SimulationParams
+    from wgsparkl_tpu.pipeline import MpmData, RigidBodyDesc, step_pallas
+    from wgsparkl_tpu.collision.shapes import Collider
+    from wgsparkl_tpu.solver import Models, Particles
+
+    rng = np.random.default_rng(11)
+    grid = GridConfig.from_bounds(
+        np.array([0.0, 0.0]), np.array([120.0, 24.0]), 1.0
+    )
+    xs = np.arange(64) * 0.5 + 44.0
+    ys = np.arange(16) * 0.5 + 2.0
+    pos = np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
+    n = len(pos)
+    vel = np.zeros((n, 2), np.float32)
+    vel[:, 0] = rng.uniform(-14.0, 14.0, n)
+    particles = Particles.from_arrays(
+        pos.astype(np.float32), vel, density=1000.0, radius=0.25
+    )
+    elast = ElasticCoefficients.from_young_modulus(1.0e6, 0.2)
+    models = Models.from_arrays(
+        n, elast.lam, elast.mu, phase=np.ones(n, np.float32)
+    )
+    bodies = [RigidBodyDesc(Collider.cuboid(200.0, 1.0), (60.0, -0.9))]
+    params = SimulationParams.new(dt=2e-3, gravity=np.array([0.0, -9.81]))
+    data = MpmData(params, particles, models, bodies, 1.0, grid=grid,
+                   transfer="pallas", group=64, job_chunk=8)
+
+    ref = jax.jit(
+        lambda s, p: step_pallas(s, p, data.config, 10)
+    )(data.state, data.params)
+
+    cfg_sp = spatial_config(data.config, 2, migration_cap=512)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("dp",))
+    sharded = shard_state_spatial(data.state, mesh, cfg_sp)
+    stepper = make_sharded_step(cfg_sp, mesh, num_substeps=10)
+    out = stepper(sharded, data.params)
+
+    oid = np.asarray(out.particles.ids)
+    om = np.asarray(out.particles.mass)
+    live = (oid >= 0) & (om > 0)
+    assert live.sum() == n, (int(live.sum()), n)
+    osort = np.argsort(oid[live])
+    rsort = np.argsort(np.asarray(ref.particles.ids))
+    np.testing.assert_allclose(
+        np.asarray(out.particles.pos)[live][osort],
+        np.asarray(ref.particles.pos)[rsort], atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.particles.vel)[live][osort],
+        np.asarray(ref.particles.vel)[rsort], atol=1e-3,
+    )
+
+
 def test_spatial_diag_reports_migration_overflow():
     """make_sharded_step(with_diag=True): an absurdly small migration_cap
     must surface dropped movers per shard instead of silently parking

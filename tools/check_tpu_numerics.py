@@ -1,0 +1,98 @@
+"""TPU-vs-CPU numerics gate: catch hardware-precision divergence.
+
+The CPU test suite is exact by construction, so a TPU-only precision hazard
+(e.g. the default bf16 matmul passes that silently rounded every one-hot
+selection payload until round 3) is invisible to it.  This script steps the
+SAME small coupled scene on the TPU and on the host CPU and compares
+trajectories + bit-exact affinity words.  Run it on real hardware after any
+change to matmul shapes, precision settings, or Pallas kernels:
+
+    python tools/check_tpu_numerics.py            # needs the axon TPU
+
+Expected: positions within 2e-4 (f32 reassociation over 20 substeps),
+affinity words bit-identical, ids exactly preserved through the permute.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def run(platform: str):
+    # Subprocess-free double-backend run: jax platforms can't be switched
+    # in-process, so re-exec ourselves per backend.
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, __file__, "--child", platform],
+        capture_output=True, text=True, timeout=3600,
+    )
+    if out.returncode != 0:
+        print(out.stdout)
+        print(out.stderr)
+        raise SystemExit(f"{platform} child failed")
+    path = f"/tmp/tpu_numerics_{platform}.npz"
+    return np.load(path)
+
+
+def child(platform: str):
+    if platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from wgsparkl_tpu import scenes
+    from wgsparkl_tpu.pipeline import MpmData, step
+
+    base = scenes.sand_box_3d(nxz=10, ny=24, cell_width=1.0)
+    data = MpmData(
+        base.params, base.state.particles, base.state.models,
+        base.bodies_desc, 1.0, grid=base.config.grid,
+        transfer="pallas", group=128, job_chunk=8,
+    )
+    cfg = data.config
+    fn = jax.jit(lambda s, p: step(s, p, cfg, num_substeps=20))
+    state = fn(data.state, data.params)
+    np.savez(
+        f"/tmp/tpu_numerics_{platform}.npz",
+        pos=np.asarray(state.particles.pos),
+        vel=np.asarray(state.particles.vel),
+        ids=np.asarray(state.particles.ids),
+        aff=np.asarray(state.particles.cdf_affinity),
+        bpos=np.asarray(state.bodies.pos),
+    )
+    print(f"{platform} ok ({jax.devices()[0]})")
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(sys.argv[2])
+        return
+    tpu = run("tpu")
+    cpu = run("cpu")
+    it = np.argsort(tpu["ids"])
+    ic = np.argsort(cpu["ids"])
+    assert (tpu["ids"][it] == cpu["ids"][ic]).all(), (
+        "particle ids corrupted on TPU (permute payload rounding?)"
+    )
+    dp = np.abs(tpu["pos"][it] - cpu["pos"][ic]).max()
+    dv = np.abs(tpu["vel"][it] - cpu["vel"][ic]).max()
+    aff_same = (tpu["aff"][it] == cpu["aff"][ic]).mean()
+    db = np.abs(tpu["bpos"] - cpu["bpos"]).max()
+    print(f"max |dpos| = {dp:.3e}, max |dvel| = {dv:.3e}, "
+          f"affinity match = {aff_same*100:.2f}%, max |dbody| = {db:.3e}")
+    assert dp < 2e-4, f"TPU positions diverge from CPU: {dp}"
+    assert dv < 2e-3, f"TPU velocities diverge from CPU: {dv}"
+    assert aff_same == 1.0, "affinity words differ between TPU and CPU"
+    assert db < 1e-5, f"body poses diverge: {db}"
+    print("TPU numerics OK (fp32-equivalent to CPU)")
+
+
+if __name__ == "__main__":
+    main()

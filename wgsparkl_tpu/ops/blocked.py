@@ -189,6 +189,49 @@ SPARSE_SENTINEL = 1 << 30              # out-of-range / overflow key
 # override can corrupt the selections.
 _EXACT = jax.lax.Precision.HIGHEST
 
+def _split3(x):
+    """Exact Dekker split of f32 into three bf16 terms: x == x1 + x2 + x3
+    (8+8+8 mantissa bits; the subtractions are f32-exact)."""
+    x1 = x.astype(jnp.bfloat16)
+    r1 = x - x1.astype(jnp.float32)
+    x2 = r1.astype(jnp.bfloat16)
+    x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return x1, x2, x3
+
+
+def sel3_dot(a, b, dims, payload: str):
+    """0/1-selection dot, EXACT at 3 bf16 MXU passes instead of HIGHEST's
+    f32 passes: the payload operand ('a' or 'b') is Dekker-split into three
+    bf16 terms whose f32 sum reconstructs it exactly, the 0/1 selector is
+    exact in bf16, and the three partial products occupy non-overlapping
+    mantissa segments so their f32 accumulation is exact wherever each
+    output receives a single contribution (gathers / permutations); for
+    scatter-adds the reassociation error matches ordinary f32 roundoff.
+    """
+    if payload == "a":
+        parts = _split3(a)
+        sel = b.astype(jnp.bfloat16)
+        outs = [
+            jax.lax.dot_general(
+                t, sel, dims, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            for t in parts
+        ]
+    else:
+        parts = _split3(b)
+        sel = a.astype(jnp.bfloat16)
+        outs = [
+            jax.lax.dot_general(
+                sel, t, dims, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            for t in parts
+        ]
+    return (outs[0] + outs[1]) + outs[2]
+
+
+
 
 def sparse_octant_deltas(dim: int):
     """Packed-key delta of each {0,1}^d neighbor (static ints)."""
@@ -372,9 +415,8 @@ def gather_tiles_slots(grid_blocks, tgts, band_lo, bands_ok, dim: int,
             cat = jnp.concatenate(
                 [got_fn(oi) for oi in range(2**dim)], axis=1
             )
-            win = jax.lax.dot_general(
-                cat, pm, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_EXACT,
+            win = sel3_dot(
+                cat, pm, (((1,), (0,)), ((), ())), "a",
             )
             return win.reshape(j, out[0], out[1])
         tile = jnp.zeros((j,) + (wsz,) * dim + (c,), jnp.float32)
@@ -398,9 +440,8 @@ def gather_tiles_slots(grid_blocks, tgts, band_lo, bands_ok, dim: int,
 
         def got(oi):
             onehot = (tgts[oi][:, None] == blk_ids).astype(jnp.float32)
-            return jax.lax.dot_general(
-                onehot, grid_flat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_EXACT,
+            return sel3_dot(
+                onehot, grid_flat, (((1,), (0,)), ((), ())), "b",
             )
 
         return assemble(got)
@@ -424,10 +465,9 @@ def gather_tiles_slots(grid_blocks, tgts, band_lo, bands_ok, dim: int,
                 t = tchunk[oi]
                 is_ghost = t >= nb1 - 1
                 onehot = ((t[:, None] - s) == lane_b) & ~is_ghost[:, None]
-                got = jax.lax.dot_general(
+                got = sel3_dot(
                     onehot.astype(jnp.float32), slab,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_EXACT,
+                    (((1,), (0,)), ((), ())), "b",
                 )
                 gots.append(
                     got
@@ -463,9 +503,8 @@ def scatter_tiles_slots(grid_blocks, tiles, tgts, band_lo, bands_ok,
         pm = jnp.asarray(
             _window_perm_np(dim, c, tiles.shape[1], tiles.shape[2])
         )
-        oct_all = jax.lax.dot_general(
-            tiles.reshape(j, -1), pm, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_EXACT,
+        oct_all = sel3_dot(
+            tiles.reshape(j, -1), pm, (((1,), (1,)), ((), ())), "a",
         )
         cw = bs**dim * c
 
@@ -493,9 +532,8 @@ def scatter_tiles_slots(grid_blocks, tiles, tgts, band_lo, bands_ok,
             onehot = (
                 (tgts[oi][:, None] == blk_ids) & (tgts[oi] < nb1 - 1)[:, None]
             ).astype(jnp.float32)
-            grid_flat = grid_flat + jax.lax.dot_general(
-                onehot, chunk_of(oi, tiles), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_EXACT,
+            grid_flat = grid_flat + sel3_dot(
+                onehot, chunk_of(oi, tiles), (((0,), (0,)), ((), ())), "b",
             )
         return grid_flat
 
@@ -522,9 +560,8 @@ def scatter_tiles_slots(grid_blocks, tiles, tgts, band_lo, bands_ok,
                 onehot = (
                     ((t[:, None] - s) == lane_b) & (t < nb1 - 1)[:, None]
                 ).astype(jnp.float32)
-                delta = delta + jax.lax.dot_general(
-                    onehot, cch[oi], (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_EXACT,
+                delta = delta + sel3_dot(
+                    onehot, cch[oi], (((0,), (0,)), ((), ())), "b",
                 )
             slab = jax.lax.dynamic_slice(grid_flat, (s, 0), (w2, cols))
             return (
@@ -799,18 +836,16 @@ def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int,
     flat_grid = grid_blocks.reshape(nb1, -1)
     if win:
         pm = jnp.asarray(_window_perm_np(dim, c, tiles.shape[1], tiles.shape[2]))
-        oct_all = jax.lax.dot_general(
-            tiles.reshape(j, -1), pm, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_EXACT,
+        oct_all = sel3_dot(
+            tiles.reshape(j, -1), pm, (((1,), (1,)), ((), ())), "a",
         )                                                       # [J, 2^d*bs^d*c]
         cw = bs**dim * c
         for oi in range(2**dim):
             tgt = nbr_table[job_block, oi]
             onehot = (tgt[:, None] == blk_ids).astype(jnp.float32)
-            flat_grid = flat_grid + jax.lax.dot_general(
+            flat_grid = flat_grid + sel3_dot(
                 onehot, oct_all[:, oi * cw : (oi + 1) * cw],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_EXACT,
+                (((0,), (0,)), ((), ())), "b",
             )
         return flat_grid.reshape(grid_blocks.shape)
     for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
@@ -827,9 +862,8 @@ def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int,
             pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]),
                    (0, bs - sizes[2]), (0, 0))
         chunk = jnp.pad(chunk, pad).reshape(j, -1)
-        flat_grid = flat_grid + jax.lax.dot_general(
-            onehot, chunk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_EXACT,
+        flat_grid = flat_grid + sel3_dot(
+            onehot, chunk, (((0,), (0,)), ((), ())), "b",
         )
     return flat_grid.reshape(grid_blocks.shape)
 
@@ -919,22 +953,19 @@ def gather_tiles_mm(grid_blocks, job_block, nbr_table, dim: int,
         for oi in range(2**dim):
             src = nbr_table[job_block, oi]
             onehot = (src[:, None] == blk_ids).astype(jnp.float32)
-            gots.append(jax.lax.dot_general(
-                onehot, flat_grid, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_EXACT,
+            gots.append(sel3_dot(
+                onehot, flat_grid, (((1,), (0,)), ((), ())), "b",
             ))
-        win = jax.lax.dot_general(
-            jnp.concatenate(gots, axis=1), pm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_EXACT,
+        win = sel3_dot(
+            jnp.concatenate(gots, axis=1), pm, (((1,), (0,)), ((), ())), "a",
         )
         return win.reshape(j, out[0], out[1])
     tile = jnp.zeros((j,) + (wsz,) * dim + (c,), jnp.float32)
     for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
         src = nbr_table[job_block, oi]
         onehot = (src[:, None] == blk_ids).astype(jnp.float32)
-        got = jax.lax.dot_general(
-            onehot, flat_grid, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_EXACT,
+        got = sel3_dot(
+            onehot, flat_grid, (((1,), (0,)), ((), ())), "b",
         ).reshape((j,) + (bs,) * dim + (c,))
         if dim == 2:
             chunk = got[:, : sizes[0], : sizes[1]]
@@ -1058,16 +1089,14 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
                 src = _octant_targets(jb, nb, nb_total, oi, offs)
                 is_ghost = src >= nb_total
                 onehot = ((src[:, None] - s) == lane) & ~is_ghost[:, None]
-                g = jax.lax.dot_general(
-                    onehot.astype(jnp.float32), slab, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_EXACT,
+                g = sel3_dot(
+                    onehot.astype(jnp.float32), slab, (((1,), (0,)), ((), ())), "b",
                 )
                 gots.append(
                     g + is_ghost[:, None].astype(jnp.float32) * ghost_row[None]
                 )
-            win = jax.lax.dot_general(
-                jnp.concatenate(gots, axis=1), pm, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_EXACT,
+            win = sel3_dot(
+                jnp.concatenate(gots, axis=1), pm, (((1,), (0,)), ((), ())), "a",
             )
             return _, win
         tile = jnp.zeros((cj,) + (wsz,) * dim + (c,), jnp.float32)
@@ -1075,9 +1104,8 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
             src = _octant_targets(jb, nb, nb_total, oi, offs)
             is_ghost = src >= nb_total
             onehot = ((src[:, None] - s) == lane) & ~is_ghost[:, None]
-            got = jax.lax.dot_general(
-                onehot.astype(jnp.float32), slab, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_EXACT,
+            got = sel3_dot(
+                onehot.astype(jnp.float32), slab, (((1,), (0,)), ((), ())), "b",
             )
             got = got + is_ghost[:, None].astype(jnp.float32) * ghost_row[None, :]
             got = got.reshape((cj,) + (bs,) * dim + (c,))
@@ -1129,19 +1157,17 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
         s = jnp.clip(lo, 0, nb1 - w2)
         delta = jnp.zeros((w2, cols), jnp.float32)
         if win:
-            oct_all = jax.lax.dot_general(
-                tchunk.reshape(cj, -1), pm, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_EXACT,
+            oct_all = sel3_dot(
+                tchunk.reshape(cj, -1), pm, (((1,), (1,)), ((), ())), "a",
             )
             cw = bs**dim * c
             for oi in range(2**dim):
                 tgt = _octant_targets(jb, nb, nb_total, oi, offs)
                 onehot = ((tgt[:, None] - s) == lane) & (tgt < nb_total)[:, None]
-                delta = delta + jax.lax.dot_general(
+                delta = delta + sel3_dot(
                     onehot.astype(jnp.float32),
                     oct_all[:, oi * cw : (oi + 1) * cw],
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_EXACT,
+                    (((0,), (0,)), ((), ())), "b",
                 )
             slab = jax.lax.dynamic_slice(flat_grid, (s, 0), (w2, cols))
             return (
@@ -1162,9 +1188,8 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
                 pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]),
                        (0, bs - sizes[2]), (0, 0))
             chunk = jnp.pad(chunk, pad).reshape(cj, -1)
-            delta = delta + jax.lax.dot_general(
-                onehot.astype(jnp.float32), chunk, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_EXACT,
+            delta = delta + sel3_dot(
+                onehot.astype(jnp.float32), chunk, (((0,), (0,)), ((), ())), "b",
             )
         slab = jax.lax.dynamic_slice(flat_grid, (s, 0), (w2, cols))
         return (

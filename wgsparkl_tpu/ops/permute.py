@@ -44,6 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from wgsparkl_tpu.ops.blocked import sel3_dot
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -122,10 +124,8 @@ def _permute_kernel(lo_ref, slablo_ref, perm_ref, einv_ref, rows_hbm,
     rel = perm_ref[0][None, :] - s                                # [1, C]
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (w, c), 0)
     onehot = (rel == k_iota).astype(jnp.float32)                  # [W, C]
-    acc = jax.lax.dot_general(
-        slab_db[slot], onehot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    acc = sel3_dot(
+        slab_db[slot], onehot, (((1,), (0,)), ((), ())), "a"
     )
 
     @pl.when(has_exc)
@@ -137,10 +137,8 @@ def _permute_kernel(lo_ref, slablo_ref, perm_ref, einv_ref, rows_hbm,
     rel2 = einv_ref[0][None, :] - base                            # [1, C]
     k2 = jax.lax.broadcasted_iota(jnp.int32, (EXCW, c), 0)
     onehot2 = (rel2 == k2).astype(jnp.float32)                    # [EXCW, C]
-    out_ref[:, :] = acc + jax.lax.dot_general(
-        ecol_buf[...], onehot2, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    out_ref[:, :] = acc + sel3_dot(
+        ecol_buf[...], onehot2, (((1,), (0,)), ((), ())), "a"
     )
 
 

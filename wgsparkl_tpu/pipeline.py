@@ -562,11 +562,9 @@ def _cdf_chan_grid(node_dist, node_aff, node_closest, nrows: int, d: int):
     aff_hi = (node_aff >> 16).astype(jnp.float32)
     cm4 = jnp.asarray(bk._chan_merge_mat_np(d, 4))
     chs = [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist]
-    chan_flat = jax.lax.dot_general(
+    chan_flat = bk.sel3_dot(
         jnp.concatenate([x.reshape(nrows, bsd) for x in chs], axis=1),
-        cm4, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        cm4, (((1,), (0,)), ((), ())), "a",
     )
     ghost_np = np.zeros((1, bsd * 4), np.float32)
     ghost_np[0, 2::4] = -1.0             # closest must read NONE (-1)
@@ -603,9 +601,39 @@ def _split_impulses(imp_out, count: int, d: int):
     return imp_sum[0:d, :count].T, imp_sum[d : d + ang_rows, :count].T
 
 
+def _halo_exchange_x(grid_mm, nb_total: int, p2: int, kdev, wx: int,
+                     d_dev: int, axis_name):
+    """Bounded-grid halo exchange instead of a whole-grid psum: stencil
+    windows only reach +1 block in x, so each chip's contributions land in
+    its own slab plus ONE overhang x-plane (p2 = blocks per plane in
+    storage order).  (1) send the overhang plane right and add it into the
+    owner's first plane; (2) fetch the right neighbor's reduced first plane
+    back into the local overhang for G2P reads.  Collective volume = one
+    block-plane."""
+    flatg = grid_mm.reshape(nb_total + 1, -1)
+    cols = flatg.shape[1]
+    ov_start = jnp.minimum((kdev + 1) * wx * p2, nb_total + 1 - p2)
+    ov = jax.lax.dynamic_slice(flatg, (ov_start, 0), (p2, cols))
+    recv = jax.lax.ppermute(
+        ov, axis_name, [(i, i + 1) for i in range(d_dev - 1)]
+    )
+    first_start = kdev * wx * p2
+    first = (
+        jax.lax.dynamic_slice(flatg, (first_start, 0), (p2, cols)) + recv
+    )
+    flatg = jax.lax.dynamic_update_slice(flatg, first, (first_start, 0))
+    nf = jax.lax.ppermute(
+        first, axis_name, [(i, i - 1) for i in range(1, d_dev)]
+    )
+    cur = jax.lax.dynamic_slice(flatg, (ov_start, 0), (p2, cols))
+    upd = jnp.where(kdev < d_dev - 1, nf, cur)
+    flatg = jax.lax.dynamic_update_slice(flatg, upd, (ov_start, 0))
+    return flatg.reshape(grid_mm.shape)
+
+
 def _migrate_x(rows_all, sorted_ids, lo_key, hi_key, live_key, npad: int,
                capx: int, axis_name, d_dev: int, diag: StepDiag,
-               sort_rows):
+               sort_rows, pchan: int, pm: int):
     """Fixed-capacity particle migration between x-slab owners.
 
     Keys sort x-slowest, so after the sort the left-bound movers (key <
@@ -619,8 +647,6 @@ def _migrate_x(rows_all, sorted_ids, lo_key, hi_key, live_key, npad: int,
     beyond capx stay parked outside the owned slab (masked, not
     corrupting) and are counted in diag.migration_dropped.
     """
-    from wgsparkl_tpu.ops import pallas_transfer as ptf
-
     lane = jnp.arange(npad, dtype=jnp.int32)
     nl = jnp.searchsorted(sorted_ids, lo_key)
     nr0 = jnp.searchsorted(sorted_ids, hi_key)
@@ -629,7 +655,7 @@ def _migrate_x(rows_all, sorted_ids, lo_key, hi_key, live_key, npad: int,
 
     def win(start, count):
         st = jnp.clip(start, 0, npad - capx)
-        buf = jax.lax.dynamic_slice(rows_all, (0, st), (ptf.PCHAN, capx))
+        buf = jax.lax.dynamic_slice(rows_all, (0, st), (pchan, capx))
         # Zero EVERY channel past the mover count, not just mass: the
         # non-mover lanes are copies of live particles on the sender,
         # and any stray job ever covering them must see all-zero rows.
@@ -650,8 +676,8 @@ def _migrate_x(rows_all, sorted_ids, lo_key, hi_key, live_key, npad: int,
     )
     # retire the outgoing lanes locally
     out_mask = (lane < cl) | ((lane >= nr0) & (lane < nr0 + cr))
-    rows_all = rows_all.at[ptf.PM].set(
-        jnp.where(out_mask, 0.0, rows_all[ptf.PM])
+    rows_all = rows_all.at[pm].set(
+        jnp.where(out_mask, 0.0, rows_all[pm])
     )
     rows_all = jax.lax.dynamic_update_slice(
         rows_all, recv_from_left, (0, npad - 2 * capx)
@@ -743,7 +769,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         rows_all, sorted_ids, diag = _migrate_x(
             rows_all, sorted_ids, kdev * wx * xstride,
             (kdev + 1) * wx * xstride, nb_total, npad, cfg.migration_cap,
-            axis_name, d_dev, diag, sort_rows,
+            axis_name, d_dev, diag, sort_rows, ptf.PCHAN, ptf.PM,
         )
 
     jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
@@ -817,33 +843,9 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
 
     if axis_name is not None:
         if spatial:
-            # Halo exchange instead of a whole-grid psum: stencil windows
-            # only reach +1 block in x, so each chip's contributions land in
-            # its own slab plus ONE overhang x-plane.  (1) send the overhang
-            # plane right and add it into the owner's first plane; (2) fetch
-            # the right neighbor's reduced first plane back into the local
-            # overhang for G2P reads.  Collective volume = one block-plane.
-            flatg = grid_mm.reshape(nb_total + 1, -1)
-            cols = flatg.shape[1]
-            p2 = nb[1] * nb[2]
-            ov_start = jnp.minimum((kdev + 1) * wx * p2, nb_total + 1 - p2)
-            ov = jax.lax.dynamic_slice(flatg, (ov_start, 0), (p2, cols))
-            recv = jax.lax.ppermute(
-                ov, axis_name, [(i, i + 1) for i in range(d_dev - 1)]
+            grid_mm = _halo_exchange_x(
+                grid_mm, nb_total, nb[1] * nb[2], kdev, wx, d_dev, axis_name
             )
-            first_start = kdev * wx * p2
-            first = (
-                jax.lax.dynamic_slice(flatg, (first_start, 0), (p2, cols))
-                + recv
-            )
-            flatg = jax.lax.dynamic_update_slice(flatg, first, (first_start, 0))
-            nf = jax.lax.ppermute(
-                first, axis_name, [(i, i - 1) for i in range(1, d_dev)]
-            )
-            cur = jax.lax.dynamic_slice(flatg, (ov_start, 0), (p2, cols))
-            upd = jnp.where(kdev < d_dev - 1, nf, cur)
-            flatg = jax.lax.dynamic_update_slice(flatg, upd, (ov_start, 0))
-            grid_mm = flatg.reshape(grid_mm.shape)
         else:
             grid_mm = jax.lax.psum(grid_mm, axis_name)
         lin_imp = jax.lax.psum(lin_imp, axis_name)
@@ -941,6 +943,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         rows_all, sorted_ids, diag = _migrate_x(
             rows_all, sorted_ids, lo_key, hi_key, sent, npad,
             cfg.migration_cap, axis_name, d_dev, diag, sort_rows,
+            ptf.PCHAN, ptf.PM,
         )
 
     jobs, okeys, n_occ = bk.build_jobs_sparse(
@@ -1156,12 +1159,34 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         diag = StepDiag.zeros()
 
     bodies = body_mod.update_world_mass_properties(bodies)
+    spatial = cfg.spatial_devices if axis_name is not None else 0
 
     # --- sort phase ---
     lane = jnp.arange(npad, dtype=jnp.int32)
-    bids = bk.particle_sort_keys_ch([rows_all[0], rows_all[1]], grid)
-    bids = jnp.where(lane < n, bids, nb_total + 1)
-    rows_all, sorted_ids = _lazy_sort(rows_all, bids, npad)
+
+    def keys_of(rows):
+        k = bk.particle_sort_keys_ch([rows[0], rows[1]], grid)
+        if spatial:
+            # migrated-out / padding lanes carry mass 0 -> sort-to-tail key.
+            return jnp.where(rows[ptf.PM] > 0.0, k, nb_total + 1)
+        return jnp.where(lane < n, k, nb_total + 1)
+
+    def sort_rows(rows):
+        return _lazy_sort(rows, keys_of(rows), npad)
+
+    rows_all, sorted_ids = sort_rows(rows_all)
+
+    if spatial:
+        # --- particle migration (x-slab decomposition; see _migrate_x).
+        # 2D sort keys are x-slowest (x * nb_y + y) like 3D.
+        d_dev = spatial
+        kdev = jax.lax.axis_index(axis_name)
+        wx = nb[0] // d_dev
+        rows_all, sorted_ids, diag = _migrate_x(
+            rows_all, sorted_ids, kdev * wx * nb[1],
+            (kdev + 1) * wx * nb[1], nb_total, npad, cfg.migration_cap,
+            axis_name, d_dev, diag, sort_rows, ptf.PCHAN, ptf.PM,
+        )
 
     jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
     diag = diag.replace(
@@ -1247,7 +1272,12 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
     lin_imp, ang_imp = _split_impulses(imp_out, bodies.count, d)
 
     if axis_name is not None:
-        grid_mm = jax.lax.psum(grid_mm, axis_name)
+        if spatial:
+            grid_mm = _halo_exchange_x(
+                grid_mm, nb_total, nb[1], kdev, wx, d_dev, axis_name
+            )
+        else:
+            grid_mm = jax.lax.psum(grid_mm, axis_name)
         lin_imp = jax.lax.psum(lin_imp, axis_name)
         ang_imp = jax.lax.psum(ang_imp, axis_name)
 
