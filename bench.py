@@ -41,11 +41,15 @@ def main():
     n = base.num_particles
     # Flagship config: Pallas MXU transfer path, tuned job table
     # (multiple of 128 keeps the banded tile moves statically available).
+    # BENCH_SPARSE=1 runs the sparse/unbounded active-block domain
+    # (BASELINE config 5's "sparse/blocked grid"; node CDF on active
+    # blocks only).
+    sparse = bool(int(os.environ.get("BENCH_SPARSE", 0)))
     max_jobs = int((-(-n // group) * 1.5 + 256) // 128 * 128)
     data = MpmData(
         base.params, base.state.particles, base.state.models,
         base.bodies_desc, 1.0, grid=base.config.grid,
-        transfer="pallas", group=group, max_jobs=max_jobs,
+        transfer="pallas", group=group, max_jobs=max_jobs, sparse=sparse,
     )
     print(
         f"bench scene: {n} particles, grid {data.config.grid.shape}, "

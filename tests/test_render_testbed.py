@@ -31,3 +31,38 @@ def test_testbed_frame_loop():
     tb.run_state.gravity_factor = 0.0
     tb.step_frame()
     assert tb.frame == 4
+
+
+def test_viewer_renders_and_roundtrips(tmp_path):
+    """Offline viewer (viewer.py): PLY roundtrip, rasterization, turntable
+    GIF — the instancing3d.rs role, headless."""
+    from wgsparkl_tpu import render, viewer
+
+    data = scenes.sand_box_3d(nxz=4, ny=8)
+    inst = render.prep_instances(data.state.particles)
+    ply = str(tmp_path / "f.ply")
+    render.write_ply(ply, inst)
+    pos, col = viewer.read_ply(ply)
+    assert pos.shape[1] == 3 and col.shape == pos.shape
+    np.testing.assert_allclose(
+        np.sort(pos[:, 1]), np.sort(np.asarray(inst["position"])[:, 1]),
+        atol=1e-3,
+    )
+
+    img = viewer.render_instances(inst, width=320, height=240)
+    assert img.shape == (240, 320, 3) and img.dtype == np.uint8
+    # particles must actually rasterize (image differs from background)
+    assert (img != img[0, 0]).any()
+
+    out = str(tmp_path / "tt.gif")
+    viewer.turntable(pos, col, 0.25, out, n_frames=3, width=160, height=120)
+    import os
+
+    assert os.path.getsize(out) > 500
+
+    # frame-sequence mode
+    render.write_ply(str(tmp_path / "frame_00001.ply"), inst)
+    render.write_ply(str(tmp_path / "frame_00002.ply"), inst)
+    viewer.main([str(tmp_path), "--out", str(tmp_path / "seq.gif"),
+                 "--width", "160", "--height", "120"])
+    assert os.path.getsize(str(tmp_path / "seq.gif")) > 500
