@@ -45,7 +45,14 @@ def main():
     # (BASELINE config 5's "sparse/blocked grid"; node CDF on active
     # blocks only).
     sparse = bool(int(os.environ.get("BENCH_SPARSE", 0)))
-    max_jobs = int((-(-n // group) * 1.5 + 256) // 128 * 128)
+    # Job-table capacity must cover the OCCUPIED BLOCK count, not just
+    # n/group: blocks cap at 8 particles/cell so a 4-node gravity axis
+    # holds <= 512/block and the t=0 lattice needs ~n/455 jobs (measured
+    # 2200 at 1M vs the old n/group*1.5 formula's 1664 — silent overflow
+    # froze the sorted tail).  BENCH_MAXJOBS overrides.
+    max_jobs = int(os.environ.get("BENCH_MAXJOBS", 0)) or int(
+        (n // 400 + 256) // 128 * 128
+    )
     data = MpmData(
         base.params, base.state.particles, base.state.models,
         base.bodies_desc, 1.0, grid=base.config.grid,
@@ -78,6 +85,17 @@ def main():
         state = stepper(state, data.params)
     sync(state)
     elapsed = time.time() - t0
+
+    # Honesty gate: re-run one frame with on-device overflow counters and
+    # fail loudly if any capacity (job table, migration, sparse tables)
+    # clipped — a clipped run under-simulates and over-reports.
+    from wgsparkl_tpu.pipeline import step_with_diag
+
+    _, diag = jax.jit(
+        lambda s, p: step_with_diag(s, p, cfg, num_substeps=substeps)
+    )(state, data.params)
+    print(f"diag: {diag.summary()}", file=sys.stderr)
+    assert not bool(diag.any_overflow()), f"bench overflow: {diag.summary()}"
 
     total_steps = frames * substeps
     steps_per_s = total_steps / elapsed

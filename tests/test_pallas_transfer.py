@@ -82,3 +82,36 @@ def test_pallas_matches_blocked_2d_coupled():
     np.testing.assert_allclose(
         np.asarray(sb.bodies.pos), np.asarray(sp.bodies.pos), atol=1e-6
     )
+
+
+def test_static_cdf_hoist_matches_per_substep():
+    """step_pallas hoists fixed colliders' node CDF out of the substep scan
+    (MpmConfig.static_slots, auto-inferred for zero-velocity 'fixed'
+    bodies).  The hoisted partial + per-substep moving partial must merge
+    to EXACTLY the all-colliders-every-substep result
+    (cdf_channel.merge_node_cdf tie-break = lowest collider index)."""
+    import dataclasses
+
+    from wgsparkl_tpu.pipeline import step_pallas
+
+    d3 = scenes.sand_box_3d(nxz=8, ny=16, cell_width=1.0)
+    data = MpmData(
+        d3.params, d3.state.particles, d3.state.models, d3.bodies_desc, 1.0,
+        grid=d3.config.grid, transfer="pallas", group=256, job_chunk=8,
+    )
+    cfg = data.config
+    assert cfg.static_slots, "sand_box_3d walls should be auto-inferred"
+    cfg_off = dataclasses.replace(cfg, static_slots=())
+    f = jax.jit(step_pallas, static_argnums=(2, 3))
+    s_on = f(data.state, d3.params, cfg, 10)
+    s_off = f(data.state, d3.params, cfg_off, 10)
+    np.testing.assert_array_equal(
+        np.asarray(s_on.particles.pos), np.asarray(s_off.particles.pos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_on.particles.cdf_affinity),
+        np.asarray(s_off.particles.cdf_affinity),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_on.bodies.pos), np.asarray(s_off.bodies.pos)
+    )

@@ -103,8 +103,32 @@ def _proj_halfspace(q):
     return proj, q[1] < 0.0
 
 
-def node_cdf_channels(collider_types, shape_params, rot, trans, pos, cell_width):
-    """pos: list of d channel arrays [M].  Returns (dist, aff, closest)."""
+def merge_node_cdf(a, b):
+    """Merge two partial node-CDF triples (dist, aff, closest) computed over
+    DISJOINT collider subsets into the triple the full index-ordered loop in
+    node_cdf_channels would produce: lowest collider index wins exact
+    distance ties (the loop only replaces on strictly-smaller distance), and
+    affinity words OR together."""
+    da, fa, ca = a
+    db, fb, cb = b
+    b_wins = (cb >= 0) & (
+        (db < da) | ((db == da) & ((ca < 0) | (cb < ca)))
+    )
+    return (
+        jnp.where(b_wins, db, da),
+        fa | fb,
+        jnp.where(b_wins, cb, ca),
+    )
+
+
+def node_cdf_channels(collider_types, shape_params, rot, trans, pos,
+                      cell_width, only=None):
+    """pos: list of d channel arrays [M].  Returns (dist, aff, closest).
+
+    only: optional collider-index subset to evaluate (None = all).  Partial
+    results over disjoint subsets recombine exactly with merge_node_cdf —
+    pipeline.step_pallas uses this to compute never-moving colliders' CDF
+    once per frame instead of once per substep."""
     d = len(pos)
     m = pos[0].shape[0]
     dist = jnp.full((m,), BIG, jnp.float32)
@@ -117,6 +141,8 @@ def node_cdf_channels(collider_types, shape_params, rot, trans, pos, cell_width)
 
     for i, st in enumerate(collider_types):
         if st not in analytic:
+            continue
+        if only is not None and i not in only:
             continue
         ri = [rot[i, k] for k in range(rot.shape[1])]
         ti = [trans[i, k] for k in range(d)]

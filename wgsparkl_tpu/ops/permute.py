@@ -107,13 +107,6 @@ def _permute_kernel(lo_ref, slablo_ref, perm_ref, einv_ref, rows_hbm,
     def _():
         dma_for(g, slot).start()
 
-    @pl.when((g == 0) & jnp.logical_not(has_exc))
-    def _():
-        # Uninitialized column VMEM could hold NaN payloads and NaN * 0
-        # poisons the additive one-hot matmul (later chunks reuse stale —
-        # finite — contents, which the one-hot zeroes out).
-        ecol_buf[...] = jnp.zeros(ecol_buf.shape, jnp.float32)
-
     @pl.when(g + 1 < ng)
     def _():
         dma_for(g + 1, nslot).start()
@@ -128,18 +121,24 @@ def _permute_kernel(lo_ref, slablo_ref, perm_ref, einv_ref, rows_hbm,
         slab_db[slot], onehot, (((1,), (0,)), ((), ())), "a"
     )
 
+    # Most chunks have zero far movers — the exception matmul (3 bf16
+    # passes over [C, EXCW] x [EXCW, C]) only runs when this chunk's
+    # exception segment is nonempty (~40% of the permute FLOPs at 1M).
     @pl.when(has_exc)
     def _():
         ecopy.wait()
+        # onehot2[e, i] = (lane i's exception rank == base + e); in-band
+        # lanes carry rank -1 and never match.
+        rel2 = einv_ref[0][None, :] - base                        # [1, C]
+        k2 = jax.lax.broadcasted_iota(jnp.int32, (EXCW, c), 0)
+        onehot2 = (rel2 == k2).astype(jnp.float32)                # [EXCW, C]
+        out_ref[:, :] = acc + sel3_dot(
+            ecol_buf[...], onehot2, (((1,), (0,)), ((), ())), "a"
+        )
 
-    # onehot2[e, i] = (lane i's exception rank == base + e); in-band lanes
-    # carry rank -1 and never match.
-    rel2 = einv_ref[0][None, :] - base                            # [1, C]
-    k2 = jax.lax.broadcasted_iota(jnp.int32, (EXCW, c), 0)
-    onehot2 = (rel2 == k2).astype(jnp.float32)                    # [EXCW, C]
-    out_ref[:, :] = acc + sel3_dot(
-        ecol_buf[...], onehot2, (((1,), (0,)), ((), ())), "a"
-    )
+    @pl.when(jnp.logical_not(has_exc))
+    def _():
+        out_ref[:, :] = acc
 
 
 def _permute_banded(rows, perm_p, exc_lo, slab_lo, einv, exc_cols, npad: int):

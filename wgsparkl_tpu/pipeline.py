@@ -106,6 +106,13 @@ class MpmConfig:
     sample_group: int = 128
     sample_chunk: int = 32
     sample_max_jobs: int = 0
+    # Body slots whose pose is assumed constant within a frame ('fixed'
+    # bodies created with zero velocity — auto-inferred by MpmData).  Their
+    # analytic node CDF is computed ONCE per frame by step_pallas instead of
+    # every substep (the reference reruns collide.wgsl on every node every
+    # substep).  Pass static_slots=() to disable (e.g. when mutating a fixed
+    # body's pose mid-frame by hand).
+    static_slots: Tuple[int, ...] = ()
 
     @property
     def num_colliders(self) -> int:
@@ -179,8 +186,25 @@ def substep(
     return SimState(particles=particles, models=models, bodies=bodies, meshes=state.meshes)
 
 
+def _node_cdf_static(bodies, cfg: MpmConfig, block_major: bool = False):
+    """Partial analytic node CDF over cfg.static_slots only (poses constant
+    within a frame) — computed once per frame by step_pallas and merged into
+    every substep's moving-collider CDF by _node_cdf_full."""
+    from wgsparkl_tpu.ops import blocked as bk
+
+    from wgsparkl_tpu.collision import cdf_channel
+
+    grid = cfg.grid
+    pos_ch = (bk.block_major_node_positions_ch(grid) if block_major
+              else grid.node_position_channels())
+    return cdf_channel.node_cdf_channels(
+        cfg.collider_types, bodies.shape_params, bodies.rot, bodies.pos,
+        pos_ch, grid.cell_width, only=frozenset(cfg.static_slots),
+    )
+
+
 def _node_cdf_full(state: SimState, bodies, cfg: MpmConfig,
-                   block_major: bool = False):
+                   block_major: bool = False, static_part=None):
     """Node CDF: analytic shapes (grid_update_cdf/collide.wgsl) merged with
     the rigid-particle mesh pass (p2g_cdf.wgsl; ops/rigid_cdf.py).
 
@@ -189,6 +213,11 @@ def _node_cdf_full(state: SimState, bodies, cfg: MpmConfig,
     block-major node positions and the mesh pass — already block-major —
     just drops its ghost slot.  This avoids a [M, C] layout transpose with
     a 1-lane minor dim (~2 ms per channel per substep at 1M particles).
+
+    static_part: optional (dist, aff, closest) triple for cfg.static_slots
+    precomputed at frame start (same block_major layout); only the moving
+    colliders are evaluated here and the two merge exactly
+    (cdf_channel.merge_node_cdf).
     """
     from wgsparkl_tpu.ops import blocked as bk
     from wgsparkl_tpu.ops import rigid_cdf
@@ -198,10 +227,20 @@ def _node_cdf_full(state: SimState, bodies, cfg: MpmConfig,
     grid = cfg.grid
     pos_ch = (bk.block_major_node_positions_ch(grid) if block_major
               else grid.node_position_channels())
+    only = None
+    if static_part is not None:
+        only = frozenset(
+            i for i in range(len(cfg.collider_types))
+            if i not in cfg.static_slots
+        )
     node_dist, node_aff, node_closest = cdf_channel.node_cdf_channels(
         cfg.collider_types, bodies.shape_params, bodies.rot, bodies.pos,
-        pos_ch, grid.cell_width,
+        pos_ch, grid.cell_width, only=only,
     )
+    if static_part is not None:
+        node_dist, node_aff, node_closest = cdf_channel.merge_node_cdf(
+            static_part, (node_dist, node_aff, node_closest)
+        )
     if cfg.mesh_cids:
         key_b, asg_b = rigid_cdf.mesh_node_cdf(
             state.meshes, bodies, grid, cfg.mesh_cids,
@@ -411,10 +450,20 @@ def step_pallas(
     npad = pallas_npad(n + slack, cfg.group)
     rows0 = ptf.pack_rows_padded(state.particles, state.models, npad)
 
+    # Never-moving colliders (cfg.static_slots): analytic node CDF hoisted
+    # out of the substep scan — computed ONCE per frame here, merged with
+    # the moving colliders' per-substep CDF inside the core.  The sparse
+    # core evaluates CDF on dynamic active-node positions and cannot
+    # consume a precomputed full-grid buffer.
+    static_cdf = None
+    if (cfg.static_slots and cfg.num_colliders > 0 and not cfg.sparse):
+        static_cdf = _node_cdf_static(state.bodies, cfg, block_major=True)
+
     def body(carry, _):
         rows, bodies, dg = carry
         rows, bodies, dg = core(
-            rows, bodies, state.meshes, params, cfg, n, axis_name, dg
+            rows, bodies, state.meshes, params, cfg, n, axis_name, dg,
+            static_cdf=static_cdf,
         )
         return (rows, bodies, dg), None
 
@@ -713,7 +762,7 @@ def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
 
 def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
                          n: int, axis_name: Optional[str] = None,
-                         diag: Optional[StepDiag] = None):
+                         diag: Optional[StepDiag] = None, static_cdf=None):
     """Channel-major substep core: ([PCHAN, NPAD] rows, bodies) -> same.
 
     Same physics as substep/substep_blocked; the P2G/G2P/pCDF passes run as
@@ -806,7 +855,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         state_view = SimState(particles=None, models=None, bodies=bodies,
                               meshes=meshes)
         node_dist, node_aff, node_closest = _node_cdf_full(
-            state_view, bodies, cfg, block_major=True
+            state_view, bodies, cfg, block_major=True, static_part=static_cdf
         )
         # Node-side channels for the kernels, gathered per job window with
         # one-hot matmuls.  Integers ride as exact <=16-bit f32 channels:
@@ -877,7 +926,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
 def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
                                 cfg: MpmConfig, n: int,
                                 axis_name: Optional[str] = None,
-                                diag: Optional[StepDiag] = None):
+                                diag: Optional[StepDiag] = None, static_cdf=None):
     """Sparse/unbounded-domain 3D substep core (see _substep_pallas_rows).
 
     The reference's GPU-hashmap sparse grid (grid.wgsl:98-164) rebuilt the
@@ -1140,7 +1189,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
 
 def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
                             n: int, axis_name: Optional[str] = None,
-                            diag: Optional[StepDiag] = None):
+                            diag: Optional[StepDiag] = None, static_cdf=None):
     """2D channel-major substep core (see _substep_pallas_rows; 2D kernel
     family in ops/pallas_transfer2d.py: 8x8 blocks, 10^2 windows)."""
     from wgsparkl_tpu.ops import blocked as bk
@@ -1219,7 +1268,7 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         state_view = SimState(particles=None, models=None, bodies=bodies,
                               meshes=meshes)
         node_dist, node_aff, node_closest = _node_cdf_full(
-            state_view, bodies, cfg, block_major=True
+            state_view, bodies, cfg, block_major=True, static_part=static_cdf
         )
         chan_grid = _cdf_chan_grid(node_dist, node_aff, node_closest,
                                    nb_total, d)
@@ -1657,6 +1706,18 @@ class MpmData:
         dynamic_slots = tuple(
             i for i, b in enumerate(bodies) if b.body_type == "dynamic"
         )
+
+        def _zero_vel(v):
+            return v is None or not np.any(np.asarray(v, np.float32))
+
+        # 'fixed' bodies created without velocity never move: their node CDF
+        # is frame-constant and step_pallas hoists it out of the substep
+        # scan (see MpmConfig.static_slots).
+        static_slots = tuple(
+            i for i, b in enumerate(bodies)
+            if b.body_type == "fixed" and _zero_vel(b.linvel)
+            and _zero_vel(b.angvel) and i not in mesh_slots
+        )
         if coupling is None:
             coupling_t = tuple(COUPLING_TWO_WAY for _ in bodies)
         else:
@@ -1677,6 +1738,7 @@ class MpmData:
             sample_group=sample_group,
             sample_chunk=sample_chunk,
             sample_max_jobs=sample_max_jobs,
+            static_slots=static_slots,
             sparse=sparse,
             kmax=kmax,
             amax=amax,
