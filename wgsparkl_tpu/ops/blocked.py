@@ -48,45 +48,61 @@ def block_size(dim: int) -> int:
     return BLOCK3D if dim == 3 else BLOCK2D
 
 
+def block_shape(dim: int, by: int = 4) -> Tuple[int, ...]:
+    """Per-axis block node counts.  3D blocks are ANISOTROPIC along the
+    gravity axis (y): `by` > 4 packs more particles per block (a full
+    4 x by x 4 block at the 8/cell seeding density holds 128 * by
+    particles), which raises kernel lane occupancy and halves the job
+    count at by = 8 — the single biggest lever found at 1M particles
+    (one-block jobs cap at 512/1024 lanes otherwise)."""
+    if dim == 2:
+        return (BLOCK2D, BLOCK2D)
+    return (BLOCK3D, by, BLOCK3D)
+
+
+def window_shape(dim: int, by: int = 4) -> Tuple[int, ...]:
+    return tuple(b + 2 for b in block_shape(dim, by))
+
+
 def window_size(dim: int) -> int:
     return block_size(dim) + 2  # halo of 2 on the high side
 
 
 @functools.lru_cache(maxsize=None)
-def _octant_slices(dim: int) -> Tuple:
+def _octant_slices(dim: int, by: int = 4) -> Tuple:
     """Static decomposition of the window tile into per-neighbor-block chunks.
 
     Yields (block_offset e in {0,1}^d, window start per axis, sizes per axis):
-    chunk [0:B] lands in the home block, [B:B+2] in the +1 neighbor.
+    chunk [0:B_a] lands in the home block, [B_a:B_a+2] in the +1 neighbor.
     """
-    bs = block_size(dim)
+    bsh = block_shape(dim, by)
     out = []
     for e in np.ndindex(*((2,) * dim)):
-        starts = tuple(0 if ei == 0 else bs for ei in e)
-        sizes = tuple(bs if ei == 0 else 2 for ei in e)
+        starts = tuple(0 if ei == 0 else bsh[a] for a, ei in enumerate(e))
+        sizes = tuple(bsh[a] if ei == 0 else 2 for a, ei in enumerate(e))
         out.append((e, starts, sizes))
     return tuple(out)
 
 
-def num_blocks(cfg: GridConfig) -> Tuple[int, ...]:
-    bs = block_size(cfg.dim)
-    assert all(s % bs == 0 for s in cfg.shape), (
-        f"blocked grid needs node shape divisible by {bs}, got {cfg.shape}"
+def num_blocks(cfg: GridConfig, by: int = 4) -> Tuple[int, ...]:
+    bsh = block_shape(cfg.dim, by)
+    assert all(s % b == 0 for s, b in zip(cfg.shape, bsh)), (
+        f"blocked grid needs node shape divisible by {bsh}, got {cfg.shape}"
     )
-    return tuple(s // bs for s in cfg.shape)
+    return tuple(s // b for s, b in zip(cfg.shape, bsh))
 
 
-def particle_block_ids(pos, cfg: GridConfig):
+def particle_block_ids(pos, cfg: GridConfig, by: int = 4):
     """Flat home-block id per particle (block of the stencil base cell).
 
     Out-of-grid particles get id = NB_total (an overflow bucket sorted last).
     """
     d = pos.shape[-1]
-    bs = block_size(d)
+    bsh = jnp.asarray(block_shape(d, by), jnp.int32)
     base = jnp.round(pos / cfg.cell_width).astype(jnp.int32) - 1
     rel = base - jnp.asarray(cfg.origin_cell, jnp.int32)
-    blk = jnp.floor_divide(rel, bs)
-    nb = num_blocks(cfg)
+    blk = jnp.floor_divide(rel, bsh)
+    nb = num_blocks(cfg, by)
     # The window is [block, block+1]; home block must have its +1 neighbor
     # in-bounds on each axis handled by masking, but the home block itself
     # must be in range for the scatter.
@@ -98,25 +114,25 @@ def particle_block_ids(pos, cfg: GridConfig):
     return jnp.where(ok, flat, nb_total), blk
 
 
-def particle_block_ids_ch(pch, cfg: GridConfig):
+def particle_block_ids_ch(pch, cfg: GridConfig, by: int = 4):
     """Channel form of particle_block_ids: pch = [d] position channels [N].
 
     Out-of-grid lanes get id = NB_total (the overflow bucket)."""
     d = len(pch)
-    bs = block_size(d)
-    nb = num_blocks(cfg)
+    bsh = block_shape(d, by)
+    nb = num_blocks(cfg, by)
     flat = None
     ok = None
     for a in range(d):
         base = jnp.round(pch[a] / cfg.cell_width).astype(jnp.int32) - 1
-        blk = jnp.floor_divide(base - int(cfg.origin_cell[a]), bs)
+        blk = jnp.floor_divide(base - int(cfg.origin_cell[a]), bsh[a])
         oka = (blk >= 0) & (blk < nb[a])
         ok = oka if ok is None else (ok & oka)
         flat = blk if flat is None else flat * nb[a] + blk
     return jnp.where(ok, flat, int(np.prod(nb)))
 
 
-def particle_sort_keys_ch(pch, cfg: GridConfig):
+def particle_sort_keys_ch(pch, cfg: GridConfig, by: int = 4):
     """Gravity-fastest block SORT KEY (a bijection of the flat block id).
 
     3D keys enumerate blocks in (x, z, y) order — y (the gravity axis in
@@ -129,13 +145,13 @@ def particle_sort_keys_ch(pch, cfg: GridConfig):
     particle_block_ids_ch.  Convert job keys back with key_to_block.
     """
     d = len(pch)
-    bs = block_size(d)
-    nb = num_blocks(cfg)
+    bsh = block_shape(d, by)
+    nb = num_blocks(cfg, by)
     nb_total = int(np.prod(nb))
     blks, ok = [], None
     for a in range(d):
         base = jnp.round(pch[a] / cfg.cell_width).astype(jnp.int32) - 1
-        blk = jnp.floor_divide(base - int(cfg.origin_cell[a]), bs)
+        blk = jnp.floor_divide(base - int(cfg.origin_cell[a]), bsh[a])
         oka = (blk >= 0) & (blk < nb[a])
         ok = oka if ok is None else (ok & oka)
         blks.append(blk)
@@ -686,42 +702,45 @@ def _axis_weights(xloc, base_local, wsz: int):
     return w
 
 
-def window_weights(pos, blk_coords, cfg: GridConfig):
+def window_weights(pos, blk_coords, cfg: GridConfig, by: int = 4):
     """[..., WSZ^d] window weight matrix rows + support data for one job.
 
     pos: [..., d] particle positions; blk_coords [..., d] their home block.
     Returns (w_flat [..., WSZ^d], base_local [..., d] ints, xfrac [..., d]).
     """
     d = pos.shape[-1]
-    bs = block_size(d)
-    wsz = window_size(d)
+    bsh = block_shape(d, by)
+    wsh = window_shape(d, by)
     h = cfg.cell_width
     base = jnp.round(pos / h).astype(jnp.int32) - 1
     xfrac = pos / h - base.astype(pos.dtype)
-    base_local = base - jnp.asarray(cfg.origin_cell, jnp.int32) - blk_coords * bs
-    base_local = jnp.clip(base_local, 0, bs - 1)
+    base_local = (base - jnp.asarray(cfg.origin_cell, jnp.int32)
+                  - blk_coords * jnp.asarray(bsh, jnp.int32))
+    base_local = jnp.clip(base_local, 0, jnp.asarray(bsh, jnp.int32) - 1)
 
     waxes = [
-        _axis_weights(xfrac[..., a], base_local[..., a], wsz) for a in range(d)
+        _axis_weights(xfrac[..., a], base_local[..., a], wsh[a])
+        for a in range(d)
     ]
     if d == 2:
         w = waxes[0][..., :, None] * waxes[1][..., None, :]
-        w_flat = w.reshape(*w.shape[:-2], wsz * wsz)
+        w_flat = w.reshape(*w.shape[:-2], wsh[0] * wsh[1])
     else:
         w = (
             waxes[0][..., :, None, None]
             * waxes[1][..., None, :, None]
             * waxes[2][..., None, None, :]
         )
-        w_flat = w.reshape(*w.shape[:-3], wsz * wsz * wsz)
+        w_flat = w.reshape(*w.shape[:-3], wsh[0] * wsh[1] * wsh[2])
     return w_flat, base_local, xfrac
 
 
 @functools.lru_cache(maxsize=None)
-def window_node_offsets(dim: int) -> np.ndarray:
-    """[WSZ^d, d] static int offsets of window nodes from the block origin."""
-    wsz = window_size(dim)
-    grids = np.meshgrid(*([np.arange(wsz)] * dim), indexing="ij")
+def window_node_offsets(dim: int, by: int = 4) -> np.ndarray:
+    """[prod(WSH), d] static int offsets of window nodes from the block
+    origin."""
+    wsh = window_shape(dim, by)
+    grids = np.meshgrid(*[np.arange(w) for w in wsh], indexing="ij")
     return np.stack([g.ravel() for g in grids], axis=-1).astype(np.int32)
 
 
@@ -1237,7 +1256,7 @@ def scatter_tiles_auto(grid_blocks, tiles, job_block, band_lo, bands_ok,
     )
 
 
-def block_major_node_positions_ch(cfg: GridConfig):
+def block_major_node_positions_ch(cfg: GridConfig, by: int = 4):
     """Node world-position channels enumerated in BLOCK-MAJOR order.
 
     Feeding these to the node-CDF keeps its outputs in the grid's storage
@@ -1246,33 +1265,33 @@ def block_major_node_positions_ch(cfg: GridConfig):
     substep at 1M).  Pure iota arithmetic; fuses into the CDF math.
     """
     d = cfg.dim
-    bs = block_size(d)
-    nb = num_blocks(cfg)
-    bsd = bs**d
+    bsh = block_shape(d, by)
+    nb = num_blocks(cfg, by)
+    bsd = int(np.prod(bsh))
     m = int(np.prod(nb)) * bsd
     i = jnp.arange(m, dtype=jnp.int32)
     inner = i % bsd
     b = i // bsd
     out = []
     for a in range(d):
-        inner_stride = bs ** (d - 1 - a)
+        inner_stride = int(np.prod(bsh[a + 1 :]))
         blk_stride = int(np.prod(nb[a + 1 :]))
         cell = (
-            (b // blk_stride) % nb[a] * bs
-            + (inner // inner_stride) % bs
+            (b // blk_stride) % nb[a] * bsh[a]
+            + (inner // inner_stride) % bsh[a]
             + int(cfg.origin_cell[a])
         )
         out.append(cell.astype(jnp.float32) * cfg.cell_width)
     return tuple(out)
 
 
-def window_node_positions(blk_coords, cfg: GridConfig):
-    """[..., WSZ^d, d] world positions of a job's window nodes."""
+def window_node_positions(blk_coords, cfg: GridConfig, by: int = 4):
+    """[..., prod(WSH), d] world positions of a job's window nodes."""
     d = cfg.dim
-    bs = block_size(d)
-    offs = jnp.asarray(window_node_offsets(d))  # [W, d]
+    bsh = jnp.asarray(block_shape(d, by), jnp.int32)
+    offs = jnp.asarray(window_node_offsets(d, by))  # [W, d]
     origin = jnp.asarray(cfg.origin_cell, jnp.int32)
-    cell = blk_coords[..., None, :] * bs + origin + offs
+    cell = blk_coords[..., None, :] * bsh + origin + offs
     return cell.astype(jnp.float32) * cfg.cell_width
 
 
