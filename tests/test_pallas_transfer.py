@@ -115,3 +115,46 @@ def test_static_cdf_hoist_matches_per_substep():
     np.testing.assert_array_equal(
         np.asarray(s_on.bodies.pos), np.asarray(s_off.bodies.pos)
     )
+
+
+def test_pallas_by8_matches_blocked_3d_coupled():
+    """Anisotropic 4x8x4 blocks (MpmConfig.by=8, the 1M-bench default)
+    must match the isotropic blocked path exactly like by=4 does."""
+    d3 = scenes.sand_box_3d(nxz=8, ny=16, cell_width=1.0)
+    db = MpmData(
+        d3.params, d3.state.particles, d3.state.models, d3.bodies_desc, 1.0,
+        grid=d3.config.grid, transfer="blocked", group=256, job_chunk=8,
+    )
+    dp = MpmData(
+        d3.params, d3.state.particles, d3.state.models, d3.bodies_desc, 1.0,
+        grid=d3.config.grid, transfer="pallas", group=256, job_chunk=8,
+        by=8,
+    )
+    fb = jax.jit(substep_blocked, static_argnums=2)
+    fp = jax.jit(substep_pallas, static_argnums=2)
+    sb, sp = db.state, dp.state
+    for _ in range(20):
+        sb = fb(sb, d3.params, db.config)
+        sp = fp(sp, d3.params, dp.config)
+    ib = np.argsort(np.asarray(sb.particles.ids))
+    ip = np.argsort(np.asarray(sp.particles.ids))
+    np.testing.assert_allclose(
+        np.asarray(sb.particles.pos)[ib], np.asarray(sp.particles.pos)[ip],
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sb.particles.vel)[ib], np.asarray(sp.particles.vel)[ip],
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sb.particles.def_grad)[ib],
+        np.asarray(sp.particles.def_grad)[ip],
+        atol=1e-4,
+    )
+    assert (
+        np.asarray(sb.particles.cdf_affinity)[ib]
+        == np.asarray(sp.particles.cdf_affinity)[ip]
+    ).all()
+    np.testing.assert_allclose(
+        np.asarray(sb.bodies.pos), np.asarray(sp.bodies.pos), atol=1e-6
+    )

@@ -835,7 +835,7 @@ def gather_tiles(grid_blocks, job_block, nbr_table, dim: int):
 
 
 def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int,
-                     win: bool = False):
+                     win: bool = False, by: int = 4):
     """Scatter-add via one-hot matmuls (MXU) instead of serial XLA scatter.
 
     XLA lowers indexed scatter to a serial while loop (one tiny DMA per
@@ -849,16 +849,18 @@ def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int,
     """
     nb1 = grid_blocks.shape[0]
     c = grid_blocks.shape[-1]
-    bs = block_size(dim)
+    bsh = block_shape(dim, by)
     j = tiles.shape[0]
     blk_ids = jax.lax.broadcasted_iota(jnp.int32, (j, nb1), 1)
     flat_grid = grid_blocks.reshape(nb1, -1)
     if win:
-        pm = jnp.asarray(_window_perm_np(dim, c, tiles.shape[1], tiles.shape[2]))
+        pm = jnp.asarray(
+            _window_perm_np(dim, c, tiles.shape[1], tiles.shape[2], by)
+        )
         oct_all = sel3_dot(
             tiles.reshape(j, -1), pm, (((1,), (1,)), ((), ())), "a",
         )                                                       # [J, 2^d*bs^d*c]
-        cw = bs**dim * c
+        cw = int(np.prod(bsh)) * c
         for oi in range(2**dim):
             tgt = nbr_table[job_block, oi]
             onehot = (tgt[:, None] == blk_ids).astype(jnp.float32)
@@ -867,19 +869,20 @@ def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int,
                 (((0,), (0,)), ((), ())), "b",
             )
         return flat_grid.reshape(grid_blocks.shape)
-    for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
+    for oi, (e, starts, sizes) in enumerate(_octant_slices(dim, by)):
         tgt = nbr_table[job_block, oi]
         onehot = (tgt[:, None] == blk_ids).astype(jnp.float32)      # [J, NB+1]
         if dim == 2:
             chunk = tiles[:, starts[0] : starts[0] + sizes[0],
                           starts[1] : starts[1] + sizes[1]]
-            pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]), (0, 0))
+            pad = ((0, 0), (0, bsh[0] - sizes[0]), (0, bsh[1] - sizes[1]),
+                   (0, 0))
         else:
             chunk = tiles[:, starts[0] : starts[0] + sizes[0],
                           starts[1] : starts[1] + sizes[1],
                           starts[2] : starts[2] + sizes[2]]
-            pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]),
-                   (0, bs - sizes[2]), (0, 0))
+            pad = ((0, 0), (0, bsh[0] - sizes[0]), (0, bsh[1] - sizes[1]),
+                   (0, bsh[2] - sizes[2]), (0, 0))
         chunk = jnp.pad(chunk, pad).reshape(j, -1)
         flat_grid = flat_grid + sel3_dot(
             onehot, chunk, (((0,), (0,)), ((), ())), "b",
@@ -888,14 +891,14 @@ def scatter_tiles_mm(grid_blocks, tiles, job_block, nbr_table, dim: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _chan_merge_mat_np(dim: int, c: int):
+def _chan_merge_mat_np(dim: int, c: int, by: int = 4):
     """Exact 0/1 matrix [c*bs^d, bs^d*c]: channel-major planes concatenated
     on the lane axis ([NB, c*bs^d]) -> cell-major/channel-minor flat grid
     rows.  ONE [NB, c*bs^d] @ [c*bs^d, bs^d*c] matmul: with K = c*bs^d
     (256 at c=4) XLA keeps it on the MXU — per-channel K=64 matmuls get
     conv-lowered in bf16 passes (~0.8 ms/substep at 1M).
     """
-    bsd = block_size(dim) ** dim
+    bsd = int(np.prod(block_shape(dim, by)))
     m = np.zeros((c * bsd, bsd * c), np.float32)
     for ch in range(c):
         for cell in range(bsd):
@@ -904,7 +907,7 @@ def _chan_merge_mat_np(dim: int, c: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _cell_channel_mats_np(dim: int, c: int):
+def _cell_channel_mats_np(dim: int, c: int, by: int = 4):
     """Exact 0/1 matrices [c, bs^d, bs^d*c] converting channel-major
     per-block cell arrays [NB, bs^d] into the cell-major/channel-minor
     flat grid rows [NB, bs^d*c] the tile matmuls consume:
@@ -915,7 +918,7 @@ def _cell_channel_mats_np(dim: int, c: int):
     a [NB, bs.., c] tensor whose (bs, c) minor dims tile onto (8, 128) at
     16/1024 lane occupancy — each strided channel write costs ~0.7 ms per
     substep at 1M particles."""
-    bsd = block_size(dim) ** dim
+    bsd = int(np.prod(block_shape(dim, by)))
     mats = np.zeros((c, bsd, bsd * c), np.float32)
     for ch in range(c):
         for cell in range(bsd):
@@ -924,7 +927,7 @@ def _cell_channel_mats_np(dim: int, c: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _window_perm_np(dim: int, c: int, wpad: int, cpad: int):
+def _window_perm_np(dim: int, c: int, wpad: int, cpad: int, by: int = 4):
     """Static 0/1 matrix [2^d*bs^d*c, wpad*cpad]: per-octant gathered block
     cells (cell-major, channel-minor) -> flattened padded window tiles.
 
@@ -933,26 +936,27 @@ def _window_perm_np(dim: int, c: int, wpad: int, cpad: int):
     c -> c/128 usable lanes) out of the XLA graph entirely; its transpose
     is the scatter-side window->octant split.  Channels >= c of the padded
     output stay zero."""
-    bs = block_size(dim)
-    wsz = window_size(dim)
-    src_w = (2**dim) * bs**dim * c
+    bsh = block_shape(dim, by)
+    wsh = window_shape(dim, by)
+    bsd = int(np.prod(bsh))
+    src_w = (2**dim) * bsd * c
     pm = np.zeros((src_w, wpad * cpad), np.float32)
-    for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
-        for cell in np.ndindex(*((bs,) * dim)):
+    for oi, (e, starts, sizes) in enumerate(_octant_slices(dim, by)):
+        for cell in np.ndindex(*bsh):
             if any(cell[a] >= sizes[a] for a in range(dim)):
                 continue
             wflat = 0
             cflat = 0
             for a in range(dim):
-                wflat = wflat * wsz + starts[a] + cell[a]
-                cflat = cflat * bs + cell[a]
+                wflat = wflat * wsh[a] + starts[a] + cell[a]
+                cflat = cflat * bsh[a] + cell[a]
             for ch in range(c):
-                pm[(oi * bs**dim + cflat) * c + ch, wflat * cpad + ch] = 1.0
+                pm[(oi * bsd + cflat) * c + ch, wflat * cpad + ch] = 1.0
     return pm
 
 
 def gather_tiles_mm(grid_blocks, job_block, nbr_table, dim: int,
-                    out=None, c=None):
+                    out=None, c=None, by: int = 4):
     """Window-tile gather via one-hot matmuls (see scatter_tiles_mm).
 
     grid_blocks must be f32 with values exactly representable in f32
@@ -961,13 +965,13 @@ def gather_tiles_mm(grid_blocks, job_block, nbr_table, dim: int,
     nb1 = grid_blocks.shape[0]
     if c is None:
         c = grid_blocks.shape[-1]
-    bs = block_size(dim)
-    wsz = window_size(dim)
+    bsh = block_shape(dim, by)
+    wsh = window_shape(dim, by)
     j = job_block.shape[0]
     blk_ids = jax.lax.broadcasted_iota(jnp.int32, (j, nb1), 1)
     flat_grid = grid_blocks.reshape(nb1, -1)
     if out is not None:
-        pm = jnp.asarray(_window_perm_np(dim, c, out[0], out[1]))
+        pm = jnp.asarray(_window_perm_np(dim, c, out[0], out[1], by))
         gots = []
         for oi in range(2**dim):
             src = nbr_table[job_block, oi]
@@ -979,13 +983,13 @@ def gather_tiles_mm(grid_blocks, job_block, nbr_table, dim: int,
             jnp.concatenate(gots, axis=1), pm, (((1,), (0,)), ((), ())), "a",
         )
         return win.reshape(j, out[0], out[1])
-    tile = jnp.zeros((j,) + (wsz,) * dim + (c,), jnp.float32)
-    for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
+    tile = jnp.zeros((j,) + wsh + (c,), jnp.float32)
+    for oi, (e, starts, sizes) in enumerate(_octant_slices(dim, by)):
         src = nbr_table[job_block, oi]
         onehot = (src[:, None] == blk_ids).astype(jnp.float32)
         got = sel3_dot(
             onehot, flat_grid, (((1,), (0,)), ((), ())), "b",
-        ).reshape((j,) + (bs,) * dim + (c,))
+        ).reshape((j,) + bsh + (c,))
         if dim == 2:
             chunk = got[:, : sizes[0], : sizes[1]]
             tile = tile.at[
@@ -1079,7 +1083,8 @@ def _band_geometry(nb: Tuple[int, ...], band: int):
 
 
 def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
-                        dim: int, band: int, cj: int, out=None, c=None):
+                        dim: int, band: int, cj: int, out=None, c=None,
+                        by: int = 4):
     """Banded gather_tiles_mm (see module notes above); bit-exact when
     band_info(...)[1] holds.  With out=(wpad, cpad) the octant->window
     assembly rides a static permutation matmul and the result is the
@@ -1088,15 +1093,15 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
     nb1 = grid_blocks.shape[0]
     if c is None:
         c = grid_blocks.shape[-1]
-    bs = block_size(dim)
-    wsz = window_size(dim)
+    bsh = block_shape(dim, by)
+    wsh = window_shape(dim, by)
     j = job_block.shape[0]
     flat_grid = grid_blocks.reshape(nb1, -1)
     ghost_row = flat_grid[nb_total]                               # [bs^d * c]
     jb_chunks = job_block.reshape(-1, cj)
     lane = jax.lax.broadcasted_iota(jnp.int32, (cj, w2), 1)
     pm = (None if out is None
-          else jnp.asarray(_window_perm_np(dim, c, out[0], out[1])))
+          else jnp.asarray(_window_perm_np(dim, c, out[0], out[1], by)))
 
     def body(_, args):
         jb, lo = args
@@ -1118,8 +1123,8 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
                 jnp.concatenate(gots, axis=1), pm, (((1,), (0,)), ((), ())), "a",
             )
             return _, win
-        tile = jnp.zeros((cj,) + (wsz,) * dim + (c,), jnp.float32)
-        for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
+        tile = jnp.zeros((cj,) + wsh + (c,), jnp.float32)
+        for oi, (e, starts, sizes) in enumerate(_octant_slices(dim, by)):
             src = _octant_targets(jb, nb, nb_total, oi, offs)
             is_ghost = src >= nb_total
             onehot = ((src[:, None] - s) == lane) & ~is_ghost[:, None]
@@ -1127,7 +1132,7 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
                 onehot.astype(jnp.float32), slab, (((1,), (0,)), ((), ())), "b",
             )
             got = got + is_ghost[:, None].astype(jnp.float32) * ghost_row[None, :]
-            got = got.reshape((cj,) + (bs,) * dim + (c,))
+            got = got.reshape((cj,) + bsh + (c,))
             if dim == 2:
                 chunk = got[:, : sizes[0], : sizes[1]]
                 tile = tile.at[
@@ -1146,12 +1151,12 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
     _, tiles = jax.lax.scan(body, 0, (jb_chunks, band_lo))
     if out is not None:
         return tiles.reshape(j, out[0], out[1])
-    return tiles.reshape((j,) + (wsz,) * dim + (c,))
+    return tiles.reshape((j,) + wsh + (c,))
 
 
 def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
                          nb, dim: int, band: int, cj: int,
-                         win: bool = False):
+                         win: bool = False, by: int = 4):
     """Banded scatter_tiles_mm; bit-exact on non-ghost rows when
     band_info(...)[1] holds.  Ghost-target contributions (out-of-range
     neighbors, dead jobs) are dropped instead of accumulated in the ghost
@@ -1162,14 +1167,15 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
     nb_total, offs, w2 = _band_geometry(nb, band)
     nb1 = grid_blocks.shape[0]
     c = grid_blocks.shape[-1]
-    bs = block_size(dim)
+    bsh = block_shape(dim, by)
     flat_grid = grid_blocks.reshape(nb1, -1)
     cols = flat_grid.shape[1]
     jb_chunks = job_block.reshape(-1, cj)
     tile_chunks = tiles.reshape((-1, cj) + tiles.shape[1:])
     lane = jax.lax.broadcasted_iota(jnp.int32, (cj, w2), 1)
-    pm = (jnp.asarray(_window_perm_np(dim, c, tiles.shape[1], tiles.shape[2]))
-          if win else None)
+    pm = (jnp.asarray(
+        _window_perm_np(dim, c, tiles.shape[1], tiles.shape[2], by))
+        if win else None)
 
     def body(flat_grid, args):
         jb, lo, tchunk = args
@@ -1179,7 +1185,7 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
             oct_all = sel3_dot(
                 tchunk.reshape(cj, -1), pm, (((1,), (1,)), ((), ())), "a",
             )
-            cw = bs**dim * c
+            cw = int(np.prod(bsh)) * c
             for oi in range(2**dim):
                 tgt = _octant_targets(jb, nb, nb_total, oi, offs)
                 onehot = ((tgt[:, None] - s) == lane) & (tgt < nb_total)[:, None]
@@ -1193,19 +1199,20 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
                 jax.lax.dynamic_update_slice(flat_grid, slab + delta, (s, 0)),
                 None,
             )
-        for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
+        for oi, (e, starts, sizes) in enumerate(_octant_slices(dim, by)):
             tgt = _octant_targets(jb, nb, nb_total, oi, offs)
             onehot = ((tgt[:, None] - s) == lane) & (tgt < nb_total)[:, None]
             if dim == 2:
                 chunk = tchunk[:, starts[0] : starts[0] + sizes[0],
                                starts[1] : starts[1] + sizes[1]]
-                pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]), (0, 0))
+                pad = ((0, 0), (0, bsh[0] - sizes[0]), (0, bsh[1] - sizes[1]),
+                       (0, 0))
             else:
                 chunk = tchunk[:, starts[0] : starts[0] + sizes[0],
                                starts[1] : starts[1] + sizes[1],
                                starts[2] : starts[2] + sizes[2]]
-                pad = ((0, 0), (0, bs - sizes[0]), (0, bs - sizes[1]),
-                       (0, bs - sizes[2]), (0, 0))
+                pad = ((0, 0), (0, bsh[0] - sizes[0]), (0, bsh[1] - sizes[1]),
+                       (0, bsh[2] - sizes[2]), (0, 0))
             chunk = jnp.pad(chunk, pad).reshape(cj, -1)
             delta = delta + sel3_dot(
                 onehot.astype(jnp.float32), chunk, (((0,), (0,)), ((), ())), "b",
@@ -1221,37 +1228,42 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
 
 
 def gather_tiles_auto(grid_blocks, job_block, band_lo, bands_ok, nbr_table,
-                      nb, dim: int, band: int, cj: int, out=None, c=None):
+                      nb, dim: int, band: int, cj: int, out=None, c=None,
+                      by: int = 4):
     """Banded gather when every job chunk's block span fits the static band
     (the common case — jobs are block-sorted), full one-hot matmul otherwise."""
     if job_block.shape[0] % cj or band >= int(np.prod(nb)):
         return gather_tiles_mm(
-            grid_blocks, job_block, nbr_table, dim, out=out, c=c
+            grid_blocks, job_block, nbr_table, dim, out=out, c=c, by=by
         )
     return jax.lax.cond(
         bands_ok,
         lambda g: gather_tiles_banded(
-            g, job_block, band_lo, nb, dim, band, cj, out=out, c=c
+            g, job_block, band_lo, nb, dim, band, cj, out=out, c=c, by=by
         ),
-        lambda g: gather_tiles_mm(g, job_block, nbr_table, dim, out=out, c=c),
+        lambda g: gather_tiles_mm(
+            g, job_block, nbr_table, dim, out=out, c=c, by=by
+        ),
         grid_blocks,
     )
 
 
 def scatter_tiles_auto(grid_blocks, tiles, job_block, band_lo, bands_ok,
                        nbr_table, nb, dim: int, band: int, cj: int,
-                       win: bool = False):
+                       win: bool = False, by: int = 4):
     """Banded scatter-add with full one-hot matmul fallback (see gather)."""
     if job_block.shape[0] % cj or band >= int(np.prod(nb)):
         return scatter_tiles_mm(
-            grid_blocks, tiles, job_block, nbr_table, dim, win=win
+            grid_blocks, tiles, job_block, nbr_table, dim, win=win, by=by
         )
     return jax.lax.cond(
         bands_ok,
         lambda g, t: scatter_tiles_banded(
-            g, t, job_block, band_lo, nb, dim, band, cj, win=win
+            g, t, job_block, band_lo, nb, dim, band, cj, win=win, by=by
         ),
-        lambda g, t: scatter_tiles_mm(g, t, job_block, nbr_table, dim, win=win),
+        lambda g, t: scatter_tiles_mm(
+            g, t, job_block, nbr_table, dim, win=win, by=by
+        ),
         grid_blocks, tiles,
     )
 

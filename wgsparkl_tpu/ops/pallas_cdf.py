@@ -85,10 +85,12 @@ def _inv4_solve_ch(a, b):
 
 
 def _pcdf_body(pd, ntile_ref, bcell, length, finish, *,
-               group: int, cell_width: float, nc: int):
+               group: int, cell_width: float, nc: int,
+               wsh=(6, 6, 6), wpad: int = WPAD):
+    wvol = wsh[0] * wsh[1] * wsh[2]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
     valid_f = (lanes < length).astype(jnp.float32)
-    w = _window_w(pd, bcell, cell_width, valid_f)           # [WPAD, G]
+    w = _window_w(pd, bcell, cell_width, valid_f, wsh, wpad)  # [WPAD, G]
 
     # Exact 3^3 stencil support (unions include zero-weight stencil nodes,
     # matching particle_cdf_update's in-bounds criterion).
@@ -96,15 +98,15 @@ def _pcdf_body(pd, ntile_ref, bcell, length, finish, *,
     u = pd[0:3] / h
     base = jnp.floor(u + 0.5).astype(jnp.int32) - 1
     bl = base - bcell[:, None]                               # [3, G]
-    wid = jax.lax.broadcasted_iota(jnp.int32, (WPAD, 1), 0)
-    wx = wid // 36
-    wy = (wid // 6) % 6
-    wz = wid % 6
+    wid = jax.lax.broadcasted_iota(jnp.int32, (wpad, 1), 0)
+    wx = wid // (wsh[1] * wsh[2])
+    wy = (wid // wsh[2]) % wsh[1]
+    wz = wid % wsh[2]
     supp = (
         (wx - bl[0][None, :] >= 0) & (wx - bl[0][None, :] < 3)
         & (wy - bl[1][None, :] >= 0) & (wy - bl[1][None, :] < 3)
         & (wz - bl[2][None, :] >= 0) & (wz - bl[2][None, :] < 3)
-        & (wid < WVOL)
+        & (wid < wvol)
     ) & (valid_f[None, :] > 0)
 
     # node channel order: 0 aff_lo, 1 aff_hi, 2 closest, 3 dist
@@ -172,13 +174,13 @@ def _pcdf_body(pd, ntile_ref, bcell, length, finish, *,
     # where S_* are moments of wk against static node monomials — one
     # [10, G] matmul + channelwise assembly replaces 14 masked [WPAD, G]
     # reduction passes.
-    xw = _window_positions(bcell, cell_width)                 # [WPAD, 3]
+    xw = _window_positions(bcell, cell_width, wsh, wpad)      # [WPAD, 3]
     offs = bcell.astype(jnp.float32) * cell_width             # [3]
     xl = xw - offs[None, :]                                   # [WPAD, 3]
     pl_ = [pd[k] - offs[k] for k in range(3)]                 # [G] each
     mono = jnp.concatenate(
         [
-            jnp.ones((WPAD, 1), jnp.float32), xl,
+            jnp.ones((wpad, 1), jnp.float32), xl,
             xl[:, 0:1] * xl,                 # xx xy xz
             xl[:, 1:2] * xl[:, 1:3],         # yy yz
             xl[:, 2:3] * xl[:, 2:3],         # zz
@@ -261,6 +263,7 @@ def _p2g_cdf_kernel(
     out_mm, out_imp, out_hbm,
     pd_big, res_big, sem, sem_out,
     *, group: int, cell_width: float, nc: int,
+    wsh=(6, 6, 6), wpad: int = WPAD,
 ):
     j = pl.program_id(0)
     start = starts[j]
@@ -277,7 +280,7 @@ def _p2g_cdf_kernel(
 
     @pl.when(jnp.logical_not(live))
     def _():
-        out_mm[0] = jnp.zeros((WPAD, 8), jnp.float32)
+        out_mm[0] = jnp.zeros((wpad, 8), jnp.float32)
 
     @pl.when(live)
     def _():
@@ -290,8 +293,8 @@ def _p2g_cdf_kernel(
 
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
         valid = (lanes < length).astype(jnp.float32)
-        w = _window_w(pd, bcell, cell_width, valid)
-        xw = _window_positions(bcell, cell_width)               # [WPAD, 3]
+        w = _window_w(pd, bcell, cell_width, valid, wsh, wpad)
+        xw = _window_positions(bcell, cell_width, wsh, wpad)    # [WPAD, 3]
 
         mass = pd[PM] * valid
         ap0 = pd[A0 + 0] * pd[PX] + pd[A0 + 1] * pd[PY] + pd[A0 + 2] * pd[PZ]
@@ -354,7 +357,7 @@ def _p2g_cdf_kernel(
                 mm_cols.append(mom)
             mm_cols.append(tile[:, 3:4])
             out_mm[0] = jnp.concatenate(
-                mm_cols + [jnp.zeros((WPAD, 4), jnp.float32)], axis=1
+                mm_cols + [jnp.zeros((wpad, 4), jnp.float32)], axis=1
             )
 
         has_b = jbody[j] > 0
@@ -369,6 +372,7 @@ def _p2g_cdf_kernel(
             aff_out, sd, normal = _pcdf_body(
                 pd, ntile_ref, bcell, length, finish,
                 group=group, cell_width=cell_width, nc=nc,
+                wsh=wsh, wpad=wpad,
             )
             naff = (
                 ntile_ref[0][:, 1:2].astype(jnp.int32) << 16
@@ -416,14 +420,18 @@ def _p2g_cdf_kernel(
 
 
 def p2g_cdf_tiles(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
-                  group: int, npad: int, nc: int, jbody):
+                  group: int, npad: int, nc: int, jbody, by: int = 4):
     """Fused particle-CDF + P2G (nc > 0 only).
 
     Returns (mm [MAXJ, WPAD, 8], imp [MAXJ, 8, 128],
     pcdf rows [8, NPAD + G + 128]: aff (bitcast), sd, normal xyz)."""
+    from wgsparkl_tpu.ops.pallas_transfer import window_geom
+
+    wsh, _, wpad = window_geom(by)
     maxj = jobs["start"].shape[0]
     kernel = functools.partial(
-        _p2g_cdf_kernel, group=group, cell_width=cfg.cell_width, nc=nc
+        _p2g_cdf_kernel, group=group, cell_width=cfg.cell_width, nc=nc,
+        wsh=wsh, wpad=wpad,
     )
     gl = group + 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -431,13 +439,13 @@ def p2g_cdf_tiles(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, WPAD, 4), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, wpad, 4), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, wpad, 8), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda j, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -454,7 +462,7 @@ def p2g_cdf_tiles(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((maxj, WPAD, 8), jnp.float32),
+            jax.ShapeDtypeStruct((maxj, wpad, 8), jnp.float32),
             jax.ShapeDtypeStruct((1, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((8, npad + group + 128), jnp.float32),
         ),

@@ -63,8 +63,19 @@ PCHAN = 56          # padded to a multiple of 8 sublanes
 DP_KEYS = ("h0", "h1", "h2", "h3", "lam", "mu")
 DPS_KEYS = ("det", "hardening", "log_vol_gain")
 
-WVOL = 216   # 6^3 window
+WVOL = 216   # 6^3 window (the isotropic by=4 default)
 WPAD = 224   # sublane-padded window rows (multiple of 8)
+
+
+def window_geom(by: int = 4):
+    """(wsh, wvol, wpad) for anisotropic 4 x by x 4 blocks (ops/blocked.py
+    block_shape): window = block + 2-node halo per axis.  by > 4 packs more
+    particles per job (a full block at 8/cell holds 128*by), halving the
+    job count at by=8 — kernel lanes fill and per-job overheads amortize."""
+    wsh = (6, by + 2, 6)
+    wvol = wsh[0] * wsh[1] * wsh[2]
+    wpad = -(-wvol // 8) * 8
+    return wsh, wvol, wpad
 
 
 def _interpret() -> bool:
@@ -147,9 +158,9 @@ def unpack_state_rows(rows, particles, models):
     return new_p, new_m
 
 
-def _axis_w(xf, bl):
+def _axis_w(xf, bl, nrows: int = 8):
     g = xf.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (8, g), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nrows, g), 0)
     rel = rows - bl[None, :]
     w0 = 0.5 * (1.5 - xf) ** 2
     w1 = 0.75 - (xf - 1.0) ** 2
@@ -160,26 +171,31 @@ def _axis_w(xf, bl):
     return w
 
 
-def _window_w(pd, bcell, h, valid):
-    """W [WPAD, G] window weights from particle positions."""
+def _window_w(pd, bcell, h, valid, wsh=(6, 6, 6), wpad: int = WPAD):
+    """W [wpad, G] window weights from particle positions."""
     g = pd.shape[-1]
     u = pd[0:3] / h
     base = jnp.floor(u + 0.5).astype(jnp.int32) - 1
     xf = u - base.astype(jnp.float32)
     bl = base - bcell[:, None]
-    wx = _axis_w(xf[0], bl[0])[:6]
-    wy = _axis_w(xf[1], bl[1])[:6]
-    wz = _axis_w(xf[2], bl[2])[:6]
-    w = (wx[:, None, :] * wy[None, :, :]).reshape(36, 1, g) * wz[None, :, :]
-    w = w.reshape(WVOL, g) * valid[None, :]
-    return jnp.pad(w, ((0, WPAD - WVOL), (0, 0)))
+    wvol = wsh[0] * wsh[1] * wsh[2]
+    wx = _axis_w(xf[0], bl[0], -(-wsh[0] // 8) * 8)[: wsh[0]]
+    wy = _axis_w(xf[1], bl[1], -(-wsh[1] // 8) * 8)[: wsh[1]]
+    wz = _axis_w(xf[2], bl[2], -(-wsh[2] // 8) * 8)[: wsh[2]]
+    w = (
+        (wx[:, None, :] * wy[None, :, :]).reshape(wsh[0] * wsh[1], 1, g)
+        * wz[None, :, :]
+    )
+    w = w.reshape(wvol, g) * valid[None, :]
+    return jnp.pad(w, ((0, wpad - wvol), (0, 0)))
 
 
-def _window_positions(bcell, cell_width):
-    """[WPAD, 3] world positions of window nodes (computed via iota)."""
-    wid = jax.lax.broadcasted_iota(jnp.int32, (WPAD, 1), 0)
+def _window_positions(bcell, cell_width, wsh=(6, 6, 6), wpad: int = WPAD):
+    """[wpad, 3] world positions of window nodes (computed via iota)."""
+    wid = jax.lax.broadcasted_iota(jnp.int32, (wpad, 1), 0)
     offs = jnp.concatenate(
-        [wid // 36, (wid // 6) % 6, wid % 6], axis=1
+        [wid // (wsh[1] * wsh[2]), (wid // wsh[2]) % wsh[1], wid % wsh[2]],
+        axis=1,
     ).astype(jnp.float32)
     return (offs + bcell.astype(jnp.float32)[None, :]) * cell_width
 
@@ -296,6 +312,7 @@ def _p2g_kernel(
     out_ref, imp_ref,
     pd_big, sem,
     *, group: int, cell_width: float, nc: int,
+    wsh=(6, 6, 6), wpad: int = WPAD,
 ):
     j = pl.program_id(0)
     length = lens[j]
@@ -311,7 +328,7 @@ def _p2g_kernel(
 
     @pl.when(jnp.logical_not(live))
     def _():
-        out_ref[0] = jnp.zeros((WPAD, 8), jnp.float32)
+        out_ref[0] = jnp.zeros((wpad, 8), jnp.float32)
 
     @pl.when(live)
     def _():
@@ -320,7 +337,7 @@ def _p2g_kernel(
 
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
         valid = (lanes < length).astype(jnp.float32)
-        w = _window_w(pd, bcell, cell_width, valid)
+        w = _window_w(pd, bcell, cell_width, valid, wsh, wpad)
 
         mass = pd[PM] * valid
         ap0 = pd[A0 + 0] * pd[PX] + pd[A0 + 1] * pd[PY] + pd[A0 + 2] * pd[PZ]
@@ -333,7 +350,7 @@ def _p2g_kernel(
             mass,
         ] + [pd[A0 + k] * valid for k in range(9)] + [jnp.zeros_like(mass)] * 3
         feats = jnp.stack(rows, axis=0)                             # [16, G]
-        xw = _window_positions(bcell, cell_width)                   # [WPAD,3]
+        xw = _window_positions(bcell, cell_width, wsh, wpad)        # [WPAD,3]
 
         def write_mm(w_c):
             tile = jax.lax.dot_general(
@@ -354,7 +371,7 @@ def _p2g_kernel(
                 mm_cols.append(mom)
             mm_cols.append(tile[:, 3:4])
             out_ref[0] = jnp.concatenate(
-                mm_cols + [jnp.zeros((WPAD, 4), jnp.float32)], axis=1
+                mm_cols + [jnp.zeros((wpad, 4), jnp.float32)], axis=1
             )                                                       # [WPAD, 8]
 
         if nc > 0:
@@ -420,7 +437,7 @@ def _p2g_kernel(
 
 
 def p2g_tiles(pdata, itiles, btable, jobs, bcells, cfg: GridConfig,
-              group: int, nc: int, jbody=None):
+              group: int, nc: int, jbody=None, by: int = 4):
     """Per-job P2G outputs.
 
     Returns (mm [MAXJ, WPAD, 8], imp [MAXJ, 8, 128]):
@@ -432,24 +449,26 @@ def p2g_tiles(pdata, itiles, btable, jobs, bcells, cfg: GridConfig,
     jbody: [MAXJ] int32, nonzero for jobs whose window holds collider nodes
     (gates the per-pair CPIC work; pass None for all-on).
     """
+    wsh, _, wpad = window_geom(by)
     maxj = jobs["start"].shape[0]
     if jbody is None:
         jbody = jnp.ones((maxj,), jnp.int32)
     kernel = functools.partial(
-        _p2g_kernel, group=group, cell_width=cfg.cell_width, nc=nc
+        _p2g_kernel, group=group, cell_width=cfg.cell_width, nc=nc,
+        wsh=wsh, wpad=wpad,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, WPAD, 4), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, wpad, 4), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, WPAD, 8), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, wpad, 8), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda j, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -463,7 +482,7 @@ def p2g_tiles(pdata, itiles, btable, jobs, bcells, cfg: GridConfig,
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((maxj, WPAD, 8), jnp.float32),
+            jax.ShapeDtypeStruct((maxj, wpad, 8), jnp.float32),
             jax.ShapeDtypeStruct((1, 8, 128), jnp.float32),
         ),
         interpret=_interpret(),
@@ -477,6 +496,7 @@ def _g2p_kernel(
     out_hbm,
     pd_big, res_big, sem, sem_out,
     *, group: int, cell_width: float, nc: int,
+    wsh=(6, 6, 6), wpad: int = WPAD,
 ):
     j = pl.program_id(0)
     start = starts[j]
@@ -498,9 +518,9 @@ def _g2p_kernel(
 
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
         valid = (lanes < length).astype(jnp.float32)
-        w = _window_w(pd, bcell, cell_width, valid)
+        w = _window_w(pd, bcell, cell_width, valid, wsh, wpad)
 
-        xw = _window_positions(bcell, cell_width)                   # [WPAD,3]
+        xw = _window_positions(bcell, cell_width, wsh, wpad)        # [WPAD,3]
         v = ftile_ref[0][:, 0:3]
         # v (x) x_node, column-wise (Mosaic rejects [W,3,3]->[W,9] casts).
         vx_cols = [
@@ -509,7 +529,7 @@ def _g2p_kernel(
             for k in range(3)
         ]
         nfeat = jnp.concatenate(
-            [v] + vx_cols + [jnp.zeros((WPAD, 4), jnp.float32)], axis=1
+            [v] + vx_cols + [jnp.zeros((wpad, 4), jnp.float32)], axis=1
         )                                                            # [WPAD,16]
 
         def finish(out):
@@ -596,7 +616,7 @@ def _g2p_kernel(
                 # (consistent with the plain path, which already computes
                 # the moments via nfeat on the MXU).
                 m1 = jnp.concatenate(
-                    [jnp.ones((WPAD, 1), jnp.float32), xw], axis=1
+                    [jnp.ones((wpad, 1), jnp.float32), xw], axis=1
                 )                                                    # [WPAD,4]
                 adds = [
                     jax.lax.dot_general(
@@ -617,15 +637,17 @@ def _g2p_kernel(
 
 
 def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
-             group: int, npad: int, nc: int, jbody=None):
+             group: int, npad: int, nc: int, jbody=None, by: int = 4):
     """Per-particle G2P result [16, NPAD + G + 128], channel-major, sorted
     particle order.  Rows 0:3 = PIC velocity, 3:12 = velocity moment
     (sum w v_eff x^T)."""
+    wsh, _, wpad = window_geom(by)
     maxj = jobs["start"].shape[0]
     if jbody is None:
         jbody = jnp.ones((maxj,), jnp.int32)
     kernel = functools.partial(
-        _g2p_kernel, group=group, cell_width=cfg.cell_width, nc=nc
+        _g2p_kernel, group=group, cell_width=cfg.cell_width, nc=nc,
+        wsh=wsh, wpad=wpad,
     )
     gl = group + 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -633,9 +655,9 @@ def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, WPAD, 4), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, wpad, 4), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WPAD, 4), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, wpad, 4), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -82,6 +82,13 @@ class MpmConfig:
     # exceeding chunks fall back to the full one-hot matmul at runtime.
     band: int = 2048
     band_chunk: int = 128
+    # Gravity-axis block height (ops/blocked.py block_shape): 3D pallas
+    # bounded-grid blocks are 4 x by x 4 nodes.  by=8 doubles the particles
+    # a full block holds (1024 at 8/cell), halving the job count so
+    # group-lane kernels run full and per-job overheads amortize; y-block
+    # crossings (the re-sort trigger) also halve.  4 = the reference's
+    # isotropic blocks (grid.wgsl:43).
+    by: int = 4
     # Sparse/unbounded domain (pallas 3D): blocks live anywhere within
     # +-511 blocks (+-4088 cells) of grid.origin_cell; grid storage is a
     # fixed-capacity active-block table (kmax occupied / amax active slots)
@@ -195,7 +202,7 @@ def _node_cdf_static(bodies, cfg: MpmConfig, block_major: bool = False):
     from wgsparkl_tpu.collision import cdf_channel
 
     grid = cfg.grid
-    pos_ch = (bk.block_major_node_positions_ch(grid) if block_major
+    pos_ch = (bk.block_major_node_positions_ch(grid, cfg.by) if block_major
               else grid.node_position_channels())
     return cdf_channel.node_cdf_channels(
         cfg.collider_types, bodies.shape_params, bodies.rot, bodies.pos,
@@ -225,8 +232,11 @@ def _node_cdf_full(state: SimState, bodies, cfg: MpmConfig,
     from wgsparkl_tpu.collision import cdf_channel
 
     grid = cfg.grid
-    pos_ch = (bk.block_major_node_positions_ch(grid) if block_major
+    pos_ch = (bk.block_major_node_positions_ch(grid, cfg.by) if block_major
               else grid.node_position_channels())
+    if cfg.mesh_cids and block_major:
+        # The mesh node-CDF pass emits isotropic 4^3 block-major keys.
+        assert cfg.by == 4, "mesh colliders require by=4 (isotropic blocks)"
     only = None
     if static_part is not None:
         only = frozenset(
@@ -596,7 +606,8 @@ def _mask_jobs(jobs, npad: int, group: int):
     return covered_end, starts
 
 
-def _cdf_chan_grid(node_dist, node_aff, node_closest, nrows: int, d: int):
+def _cdf_chan_grid(node_dist, node_aff, node_closest, nrows: int, d: int,
+                   by: int = 4):
     """Node CDF channels -> flat channel-merged grid rows [nrows+1, bsd*4].
 
     The uint32 affinity word splits into two exact <=16-bit f32 channels;
@@ -605,11 +616,10 @@ def _cdf_chan_grid(node_dist, node_aff, node_closest, nrows: int, d: int):
     = NONE) that dead jobs and window overflow read."""
     from wgsparkl_tpu.ops import blocked as bk
 
-    bs = bk.block_size(d)
-    bsd = bs**d
+    bsd = int(np.prod(bk.block_shape(d, by)))
     aff_lo = (node_aff & jnp.uint32(0xFFFF)).astype(jnp.float32)
     aff_hi = (node_aff >> 16).astype(jnp.float32)
-    cm4 = jnp.asarray(bk._chan_merge_mat_np(d, 4))
+    cm4 = jnp.asarray(bk._chan_merge_mat_np(d, 4, by))
     chs = [aff_lo, aff_hi, node_closest.astype(jnp.float32), node_dist]
     chan_flat = bk.sel3_dot(
         jnp.concatenate([x.reshape(nrows, bsd) for x in chs], axis=1),
@@ -739,7 +749,8 @@ def _migrate_x(rows_all, sorted_ids, lo_key, hi_key, live_key, npad: int,
 
 
 def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
-                         bcells, grid, group: int, npad: int, nc: int):
+                         bcells, grid, group: int, npad: int, nc: int,
+                         by: int = 4):
     """Gather node-CDF window tiles, compute the per-job CPIC gate, and run
     the fused particle-CDF + P2G kernel (shares the particle DMA and
     consumes the fresh affinity/normals in-kernel); patches the affinity +
@@ -747,10 +758,12 @@ def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
     from wgsparkl_tpu.ops import pallas_cdf
     from wgsparkl_tpu.ops import pallas_transfer as ptf
 
-    ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4), c=4)
-    jbody = _jbody_gate(ntiles, ptf.WVOL)
+    _, wvol, wpad = ptf.window_geom(by)
+    ntiles = gather_tiles(chan_grid, out=(wpad, 4), c=4)
+    jbody = _jbody_gate(ntiles, wvol)
     mm_out, imp_out, krows = pallas_cdf.p2g_cdf_tiles(
-        pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc, jbody
+        pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc, jbody,
+        by=by,
     )
     pdata = jax.lax.dynamic_update_slice(
         pdata,
@@ -781,9 +794,11 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     nc = cfg.num_colliders
     grid = cfg.grid
     d = 3
-    nb = bk.num_blocks(grid)
+    by = cfg.by
+    nb = bk.num_blocks(grid, by)
     nb_total = int(np.prod(nb))
-    bs = bk.block_size(d)
+    bsh = bk.block_shape(d, by)
+    _, _, wpad = ptf.window_geom(by)
     group = cfg.group
     npad = rows_all.shape[1]
     if diag is None:
@@ -798,7 +813,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     def keys_of(rows):
         # Gravity-fastest sort keys (bijection of block ids; see
         # particle_sort_keys_ch) — job block ids convert back below.
-        k = bk.particle_sort_keys_ch([rows[0], rows[1], rows[2]], grid)
+        k = bk.particle_sort_keys_ch([rows[0], rows[1], rows[2]], grid, by)
         if spatial:
             # migrated-out / padding lanes carry mass 0 -> sort-to-tail key.
             return jnp.where(rows[ptf.PM] > 0.0, k, nb_total + 1)
@@ -834,7 +849,8 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     covered_end, starts = _mask_jobs(jobs, npad, group)
     jobs = {"start": starts, "len": jobs["len"], "block": jobs["block"]}
     blk_coords = bk.block_coords_of(jobs["block"], nb)
-    bcells = blk_coords * bs + jnp.asarray(grid.origin_cell, jnp.int32)
+    bcells = (blk_coords * jnp.asarray(bsh, jnp.int32)
+              + jnp.asarray(grid.origin_cell, jnp.int32))
     nbr = jnp.asarray(bk.neighbor_block_table(nb))
     band_lo, bands_ok = bk.band_info(
         jobs["block"], nb_total, cfg.band, cfg.band_chunk
@@ -843,7 +859,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     def gather_tiles(grid_arr, out=None, c=None):
         return bk.gather_tiles_auto(
             grid_arr, jobs["block"], band_lo, bands_ok, nbr, nb, d,
-            cfg.band, cfg.band_chunk, out=out, c=c,
+            cfg.band, cfg.band_chunk, out=out, c=c, by=by,
         )
 
     # Particle channels = rows 0..NCHAN-1 of the sorted state (prev affinity
@@ -864,27 +880,28 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         # per gated job — three dense [M]-node channels and their per-body
         # select loop would cost more than all gated jobs combined.
         chan_grid = _cdf_chan_grid(node_dist, node_aff, node_closest,
-                                   nb_total, d)
+                                   nb_total, d, by)
         btable = _body_table(bodies)
         ntiles, jbody, mm_out, imp_out, pcdf_rows, pdata = (
             _cdf_kernel_phase_3d(
                 pdata, chan_grid, gather_tiles, btable, jobs, bcells, grid,
-                group, npad, nc,
+                group, npad, nc, by=by,
             )
         )
     else:
         maxj = cfg.max_jobs
-        ntiles = jnp.zeros((maxj, ptf.WPAD, 4), jnp.float32)
+        ntiles = jnp.zeros((maxj, wpad, 4), jnp.float32)
         jbody = None
         pcdf_rows = jnp.zeros((8, npad), jnp.float32)
         btable = _body_table(bodies)
         mm_out, imp_out = ptf.p2g_tiles(
-            pdata, ntiles, btable, jobs, bcells, grid, group, nc, jbody
+            pdata, ntiles, btable, jobs, bcells, grid, group, nc, jbody,
+            by=by,
         )
-    grid_mm = jnp.zeros((nb_total + 1,) + (bs,) * d + (d + 1,), jnp.float32)
+    grid_mm = jnp.zeros((nb_total + 1,) + bsh + (d + 1,), jnp.float32)
     grid_mm = bk.scatter_tiles_auto(
         grid_mm, mm_out, jobs["block"], band_lo, bands_ok, nbr, nb, d,
-        cfg.band, cfg.band_chunk, win=True,
+        cfg.band, cfg.band_chunk, win=True, by=by,
     )
 
     # CPIC impulses: per-job, per-collider totals already reduced in-kernel.
@@ -904,10 +921,10 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     vel_b = _grid_velocity(grid_mm, params, grid, d)
 
     # --- G2P ---
-    f_tiles = gather_tiles(vel_b, out=(ptf.WPAD, 4))
+    f_tiles = gather_tiles(vel_b, out=(wpad, 4))
     krows = ptf.g2p_rows(
         pdata, f_tiles, ntiles, btable, jobs, bcells, grid, group, npad, nc,
-        jbody,
+        jbody, by=by,
     )
 
     # --- fused particle update + row rebuild: ONE Pallas pass (see
@@ -944,6 +961,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
     from wgsparkl_tpu.ops import pallas_transfer as ptf
     from wgsparkl_tpu.ops.kernel import inv_d as inv_d_fn
 
+    assert cfg.by == 4, "anisotropic blocks are bounded-path only"
     nc = cfg.num_colliders
     grid = cfg.grid
     d = 3
@@ -1196,6 +1214,7 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
     from wgsparkl_tpu.ops import pallas_transfer2d as ptf
     from wgsparkl_tpu.ops.kernel import inv_d as inv_d_fn
 
+    assert cfg.by == 4, "anisotropic blocks are 3D-bounded-path only"
     nc = cfg.num_colliders
     grid = cfg.grid
     d = 2
@@ -1608,6 +1627,7 @@ class MpmData:
         sparse: bool = False,
         kmax: int = 0,
         amax: int = 0,
+        by: int = 4,
     ):
         """coupling: per-body COUPLING_ONE_WAY / COUPLING_TWO_WAY list
         (with_select_coupling parity, pipeline.rs:130-168); default = all
@@ -1621,6 +1641,18 @@ class MpmData:
                 pos = np.asarray(particles.pos)
                 lo, hi = pos.min(0) - 8 * cell_width, pos.max(0) + 8 * cell_width
             grid = GridConfig.from_bounds(lo, hi, cell_width)
+        if by != 4:
+            # Anisotropic 4 x by x 4 blocks (MpmConfig.by): 3D bounded
+            # pallas path only; round the y node extent up to whole blocks.
+            assert dim == 3 and transfer == "pallas" and not sparse, (
+                "by != 4 requires the 3D bounded pallas path"
+            )
+            if grid.shape[1] % by:
+                pad = by - grid.shape[1] % by
+                grid = dataclasses.replace(
+                    grid, shape=(grid.shape[0], grid.shape[1] + pad,
+                                 grid.shape[2]),
+                )
         self.params = params
         self.bodies_desc = tuple(bodies)
         collider_types = tuple(b.collider.shape_type for b in bodies)
@@ -1742,7 +1774,10 @@ class MpmData:
             sparse=sparse,
             kmax=kmax,
             amax=amax,
+            by=by,
         )
+        if by != 4:
+            assert not mesh_slots, "by != 4 does not support mesh colliders"
         self.state = SimState(
             particles=particles,
             models=models,
