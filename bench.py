@@ -45,18 +45,24 @@ def main():
     # (BASELINE config 5's "sparse/blocked grid"; node CDF on active
     # blocks only).
     sparse = bool(int(os.environ.get("BENCH_SPARSE", 0)))
+    # Anisotropic 4 x by x 4 blocks: by=8 fills the 1024-lane kernels
+    # (4^3 blocks cap at 512 particles at 8/cell -> half-empty jobs) and
+    # halves the job count.  The sparse domain is isotropic-only.
+    by = int(os.environ.get("BENCH_BY", 4 if sparse else 8))
     # Job-table capacity must cover the OCCUPIED BLOCK count, not just
-    # n/group: blocks cap at 8 particles/cell so a 4-node gravity axis
-    # holds <= 512/block and the t=0 lattice needs ~n/455 jobs (measured
-    # 2200 at 1M vs the old n/group*1.5 formula's 1664 — silent overflow
-    # froze the sorted tail).  BENCH_MAXJOBS overrides.
+    # n/group: blocks cap at 8 particles/cell so a by-node gravity axis
+    # holds <= 128*by per block and the t=0 lattice needs ~n/(114*by)
+    # jobs (measured 2200 at 1M with by=4 vs the old n/group*1.5
+    # formula's 1664 — silent overflow froze the sorted tail).
+    # BENCH_MAXJOBS overrides.
     max_jobs = int(os.environ.get("BENCH_MAXJOBS", 0)) or int(
-        (n // 400 + 256) // 128 * 128
+        (n // (100 * by) + 256) // 128 * 128
     )
     data = MpmData(
         base.params, base.state.particles, base.state.models,
         base.bodies_desc, 1.0, grid=base.config.grid,
         transfer="pallas", group=group, max_jobs=max_jobs, sparse=sparse,
+        by=by,
     )
     print(
         f"bench scene: {n} particles, grid {data.config.grid.shape}, "

@@ -360,15 +360,7 @@ def _p2g_cdf_kernel(
                 mm_cols + [jnp.zeros((wpad, 4), jnp.float32)], axis=1
             )
 
-        has_b = jbody[j] > 0
-
-        @pl.when(jnp.logical_not(has_b))
-        def _():
-            finish(jnp.zeros((8, group), jnp.float32))
-            write_mm(w)
-
-        @pl.when(has_b)
-        def _():
+        def pcdf_and_mm():
             aff_out, sd, normal = _pcdf_body(
                 pd, ntile_ref, bcell, length, finish,
                 group=group, cell_width=cell_width, nc=nc,
@@ -382,7 +374,26 @@ def _p2g_cdf_kernel(
             paff = aff_out[None, :]                             # [1, G] uint32
             compat = _compat(naff_u, paff)
             write_mm(jnp.where(compat, w, 0.0))
+            return normal, closest, compat
 
+        lvl = jbody[j]
+
+        @pl.when(lvl == 0)
+        def _():
+            finish(jnp.zeros((8, group), jnp.float32))
+            write_mm(w)
+
+        @pl.when(lvl == 1)
+        def _():
+            # Static-collider window (_jbody_gate level 1): the particle
+            # CDF + compat-masked P2G still run, but CPIC impulses land
+            # only on the (static) closest bodies, which discard them —
+            # the whole [WPAD, G] pairwise ghost/impulse chain is skipped.
+            pcdf_and_mm()
+
+        @pl.when(lvl >= 2)
+        def _():
+            normal, closest, compat = pcdf_and_mm()
             has_body = closest >= 0
             w_i = jnp.where(compat | ~has_body, 0.0, w) * mass[None, :]
             bv = _node_body_velocity(closest, xw, btable_ref, nc)

@@ -230,6 +230,27 @@ def _ghost_velocity(pd, bv, friction=DEFAULT_FRICTION, nrm=None):
     return [bv[i] + rel[i] for i in range(3)]
 
 
+def _ghost_static(pd, friction=DEFAULT_FRICTION, nrm=None):
+    """CPIC ghost chain for jobs whose closest bodies are all STATIC
+    (zero velocity, _jbody_gate level 1): with bv = 0 every pair quantity
+    collapses to a per-particle [1, G] row — the [WPAD, G] pairwise planes
+    of _ghost_velocity (p2g.wgsl:200-231) cost ~WPAD x more for the same
+    answer.  Returns (ghost rel_k, slip s_k = vp_k - rel_k)."""
+    u = [pd[VX][None, :], pd[VY][None, :], pd[VZ][None, :]]
+    if nrm is None:
+        nrm = [pd[NX][None, :], pd[NY][None, :], pd[NZ][None, :]]
+    nv = u[0] * nrm[0] + u[1] * nrm[1] + u[2] * nrm[2]
+    tang = [u[i] - nrm[i] * nv for i in range(3)]
+    tl2 = tang[0] ** 2 + tang[1] ** 2 + tang[2] ** 2
+    tl = jnp.sqrt(tl2)
+    inv_tl = jnp.where(tl > 1e-8, 1.0 / jnp.maximum(tl, 1e-30), 0.0)
+    scale = jnp.maximum(0.0, tl + friction * nv) * inv_tl
+    sliding = nv < 0.0
+    rel = [jnp.where(sliding, tang[i] * scale, u[i]) for i in range(3)]
+    s = [u[i] - rel[i] for i in range(3)]
+    return rel, s
+
+
 
 def _load_pdata_db(pdata_ref, pd_big, sem, starts, lens, j, group, maxj):
     """Double-buffered particle-channel load: program j waits on a DMA that
@@ -452,7 +473,7 @@ def p2g_tiles(pdata, itiles, btable, jobs, bcells, cfg: GridConfig,
     wsh, _, wpad = window_geom(by)
     maxj = jobs["start"].shape[0]
     if jbody is None:
-        jbody = jnp.ones((maxj,), jnp.int32)
+        jbody = jnp.full((maxj,), 2, jnp.int32)
     kernel = functools.partial(
         _p2g_kernel, group=group, cell_width=cfg.cell_width, nc=nc,
         wsh=wsh, wpad=wpad,
@@ -579,28 +600,66 @@ def _g2p_kernel(
                 preferred_element_type=jnp.float32,
             )
 
-        if nc > 0:
-            has_b = jbody[j] > 0
+        def finish_extra(adds):
+            extra = jnp.concatenate(
+                [adds[0][0:1], adds[1][0:1], adds[2][0:1]]
+                + [adds[i][1:4] for i in range(3)]
+                + [jnp.zeros((4, group), jnp.float32)],
+                axis=0,
+            )                                                        # [16, G]
+            return extra
 
-            @pl.when(jnp.logical_not(has_b))
+        def compat_w():
+            naff_i = (
+                itile_ref[0][:, 1:2].astype(jnp.int32) << 16
+            ) | itile_ref[0][:, 0:1].astype(jnp.int32)
+            naff = pltpu.bitcast(naff_i, jnp.uint32)
+            closest = itile_ref[0][:, 2:3]
+            paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
+            compat = _compat(naff, paff)
+            w_c = jnp.where(compat, w, 0.0)
+            out = jax.lax.dot_general(
+                nfeat, w_c, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                        # [16, G]
+            return closest, w - w_c, out
+
+        if nc > 0:
+            lvl = jbody[j]
+
+            @pl.when(lvl == 0)
             def _():
                 finish(plain_out())
 
-            @pl.when(has_b)
+            @pl.when(lvl == 1)
             def _():
-                naff_i = (
-                    itile_ref[0][:, 1:2].astype(jnp.int32) << 16
-                ) | itile_ref[0][:, 0:1].astype(jnp.int32)
-                naff = pltpu.bitcast(naff_i, jnp.uint32)
-                closest = itile_ref[0][:, 2:3]
-                paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
-                compat = _compat(naff, paff)
-                w_c = jnp.where(compat, w, 0.0)
-                w_i = w - w_c
-                out = jax.lax.dot_general(
-                    nfeat, w_c, (((0,), (0,)), ((), ())),
+                # Static-collider window (_jbody_gate level 1): ghost
+                # velocities are per-particle rows, so the pairwise
+                # w_i * ghost contractions factor into TWO window-axis
+                # matmuls (has-body / no-body split) scaled columnwise.
+                closest, w_i, out = compat_w()
+                hb = (closest >= 0).astype(jnp.float32)              # [WPAD,1]
+                wib = w_i * hb
+                win = w_i - wib
+                m1 = jnp.concatenate(
+                    [jnp.ones((wpad, 1), jnp.float32), xw], axis=1
+                )
+                dib = jax.lax.dot_general(
+                    m1, wib, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )                                                    # [16, G]
+                )                                                    # [4, G]
+                din = jax.lax.dot_general(
+                    m1, win, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                                    # [4, G]
+                rel, _ = _ghost_static(pd)
+                vp = [pd[VX][None, :], pd[VY][None, :], pd[VZ][None, :]]
+                adds = [dib * rel[i] + din * vp[i] for i in range(3)]
+                finish(out + finish_extra(adds))
+
+            @pl.when(lvl >= 2)
+            def _():
+                closest, w_i, out = compat_w()
                 # Incompatible cells substitute the ghost velocity
                 # (g2p.wgsl:184-207).
                 has_body = closest >= 0
@@ -625,13 +684,7 @@ def _g2p_kernel(
                     )
                     for i in range(3)
                 ]                                                    # [4, G] x3
-                extra = jnp.concatenate(
-                    [adds[0][0:1], adds[1][0:1], adds[2][0:1]]
-                    + [adds[i][1:4] for i in range(3)]
-                    + [jnp.zeros((4, group), jnp.float32)],
-                    axis=0,
-                )                                                    # [16, G]
-                finish(out + extra)
+                finish(out + finish_extra(adds))
         else:
             finish(plain_out())
 
@@ -644,7 +697,7 @@ def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
     wsh, _, wpad = window_geom(by)
     maxj = jobs["start"].shape[0]
     if jbody is None:
-        jbody = jnp.ones((maxj,), jnp.int32)
+        jbody = jnp.full((maxj,), 2, jnp.int32)
     kernel = functools.partial(
         _g2p_kernel, group=group, cell_width=cfg.cell_width, nc=nc,
         wsh=wsh, wpad=wpad,

@@ -630,16 +630,28 @@ def _cdf_chan_grid(node_dist, node_aff, node_closest, nrows: int, d: int,
     return jnp.concatenate([chan_flat, jnp.asarray(ghost_np)], axis=0)
 
 
-def _jbody_gate(ntiles, wvol: int):
-    """Per-job CPIC gate: any collider-touched node in the job window
-    (affinity bits or a closest body) — jobs away from all colliders skip
-    the pairwise CPIC work inside the kernels.  Pad rows carry closest == 0,
-    so the reduction is masked to the real window."""
+def _jbody_gate(ntiles, wvol: int, static_slots=None):
+    """Per-job CPIC gate LEVEL: 0 = no collider-touched node in the window
+    (skip all pairwise CPIC work), 1 = collider nodes present but every
+    node's closest body is in static_slots (zero velocity always — the
+    kernels run the cheap per-particle ghost chain and skip impulses, which
+    static bodies discard), 2 = some node's closest body can move (full
+    pairwise path).  Pad rows carry closest == 0, so reductions are masked
+    to the real window.  static_slots=None reports 0/2 (no static path)."""
     wmask = (jnp.arange(ntiles.shape[1]) < wvol)[None, :]
-    return jnp.any(
-        ((ntiles[..., 0] + ntiles[..., 1] > 0.0)
-         | (ntiles[..., 2] >= 0.0)) & wmask,
+    closest = ntiles[..., 2]
+    any_c = jnp.any(
+        ((ntiles[..., 0] + ntiles[..., 1] > 0.0) | (closest >= 0.0)) & wmask,
         axis=1,
+    )
+    if static_slots is None:
+        return any_c.astype(jnp.int32) * 2
+    is_static = jnp.zeros(closest.shape, bool)
+    for s in static_slots:
+        is_static = is_static | (closest == float(s))
+    moving = jnp.any((closest >= 0.0) & ~is_static & wmask, axis=1)
+    return jnp.where(
+        moving, 2, jnp.where(any_c, 1, 0)
     ).astype(jnp.int32)
 
 
@@ -750,7 +762,7 @@ def _migrate_x(rows_all, sorted_ids, lo_key, hi_key, live_key, npad: int,
 
 def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
                          bcells, grid, group: int, npad: int, nc: int,
-                         by: int = 4):
+                         by: int = 4, static_slots=None):
     """Gather node-CDF window tiles, compute the per-job CPIC gate, and run
     the fused particle-CDF + P2G kernel (shares the particle DMA and
     consumes the fresh affinity/normals in-kernel); patches the affinity +
@@ -760,7 +772,7 @@ def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
 
     _, wvol, wpad = ptf.window_geom(by)
     ntiles = gather_tiles(chan_grid, out=(wpad, 4), c=4)
-    jbody = _jbody_gate(ntiles, wvol)
+    jbody = _jbody_gate(ntiles, wvol, static_slots)
     mm_out, imp_out, krows = pallas_cdf.p2g_cdf_tiles(
         pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc, jbody,
         by=by,
@@ -885,7 +897,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         ntiles, jbody, mm_out, imp_out, pcdf_rows, pdata = (
             _cdf_kernel_phase_3d(
                 pdata, chan_grid, gather_tiles, btable, jobs, bcells, grid,
-                group, npad, nc, by=by,
+                group, npad, nc, by=by, static_slots=cfg.static_slots,
             )
         )
     else:
@@ -1093,7 +1105,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         ntiles, jbody, mm_out, imp_out, pcdf_rows, pdata = (
             _cdf_kernel_phase_3d(
                 pdata, chan_grid, gather_tiles, btable, jobs, bcells, grid,
-                group, npad, nc,
+                group, npad, nc, static_slots=cfg.static_slots,
             )
         )
     else:
@@ -1628,6 +1640,7 @@ class MpmData:
         kmax: int = 0,
         amax: int = 0,
         by: int = 4,
+        band_arg: int = 0,
     ):
         """coupling: per-body COUPLING_ONE_WAY / COUPLING_TWO_WAY list
         (with_select_coupling parity, pipeline.rs:130-168); default = all
@@ -1684,6 +1697,21 @@ class MpmData:
             max_jobs += bc - max_jobs % bc
             if max_jobs % job_chunk:
                 max_jobs += job_chunk - max_jobs % job_chunk
+
+        # Banded tile moves: a chunk of 128 block-sorted jobs (keys iterate
+        # x, z, y; row-major flat ids jump nb[1]*nb[2] per x-plane) spans at
+        # most ~2 x-planes of flat ids when occupancy is dense, so the slab
+        # band can be far tighter than the 2048 default — the banded matmul
+        # cost is linear in it.  Chunks that ever exceed it fall back to the
+        # exact full one-hot matmuls for that substep (bands_ok).
+        band = 2048
+        if band_arg:
+            band = band_arg
+        elif transfer == "pallas" and dim == 3 and not sparse:
+            from wgsparkl_tpu.ops import blocked as _bk
+
+            nbx = _bk.num_blocks(grid, by)
+            band = min(2048, -(-(2 * nbx[1] * nbx[2] + 2 * bc) // 8) * 8)
 
         # Rigid-particle mesh colliders (p2g_cdf path).
         from wgsparkl_tpu.collision import shapes as shp
@@ -1775,6 +1803,7 @@ class MpmData:
             kmax=kmax,
             amax=amax,
             by=by,
+            band=band,
         )
         if by != 4:
             assert not mesh_slots, "by != 4 does not support mesh colliders"
