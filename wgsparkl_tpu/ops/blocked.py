@@ -84,6 +84,21 @@ def _octant_slices(dim: int, by: int = 4) -> Tuple:
     return tuple(out)
 
 
+def storage_strides(nb: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Per-axis strides of the flat block id.
+
+    3D storage enumerates blocks in (x, z, y) order — y (the gravity axis
+    in every scene) FASTEST — so the flat id IS the gravity-fastest sort
+    key (particle_sort_keys_ch): key_to_block is the identity and
+    consecutive jobs touch consecutive storage slots, which keeps the
+    banded tile-move slabs (gather/scatter_tiles_banded) as narrow as the
+    occupied-key span instead of a whole y-column fan-out.  2D storage is
+    row-major (x, y), already gravity-fastest."""
+    if len(nb) == 2:
+        return (nb[1], 1)
+    return (nb[1] * nb[2], 1, nb[1])
+
+
 def num_blocks(cfg: GridConfig, by: int = 4) -> Tuple[int, ...]:
     bsh = block_shape(cfg.dim, by)
     assert all(s % b == 0 for s, b in zip(cfg.shape, bsh)), (
@@ -107,9 +122,8 @@ def particle_block_ids(pos, cfg: GridConfig, by: int = 4):
     # in-bounds on each axis handled by masking, but the home block itself
     # must be in range for the scatter.
     ok = jnp.all((blk >= 0) & (blk < jnp.asarray(nb, jnp.int32)), axis=-1)
-    flat = blk[..., 0]
-    for a in range(1, d):
-        flat = flat * nb[a] + blk[..., a]
+    st = storage_strides(nb)
+    flat = sum(blk[..., a] * st[a] for a in range(d))
     nb_total = int(np.prod(nb))
     return jnp.where(ok, flat, nb_total), blk
 
@@ -121,6 +135,7 @@ def particle_block_ids_ch(pch, cfg: GridConfig, by: int = 4):
     d = len(pch)
     bsh = block_shape(d, by)
     nb = num_blocks(cfg, by)
+    st = storage_strides(nb)
     flat = None
     ok = None
     for a in range(d):
@@ -128,53 +143,29 @@ def particle_block_ids_ch(pch, cfg: GridConfig, by: int = 4):
         blk = jnp.floor_divide(base - int(cfg.origin_cell[a]), bsh[a])
         oka = (blk >= 0) & (blk < nb[a])
         ok = oka if ok is None else (ok & oka)
-        flat = blk if flat is None else flat * nb[a] + blk
+        flat = blk * st[a] if flat is None else flat + blk * st[a]
     return jnp.where(ok, flat, int(np.prod(nb)))
 
 
 def particle_sort_keys_ch(pch, cfg: GridConfig, by: int = 4):
-    """Gravity-fastest block SORT KEY (a bijection of the flat block id).
+    """Gravity-fastest block SORT KEY == the flat storage block id.
 
-    3D keys enumerate blocks in (x, z, y) order — y (the gravity axis in
-    every scene) fastest — so the dominant vertical motion displaces sorted
-    ranks by ~one block extent instead of a whole z-row (the banded lane
-    permutation in ops/permute.py then captures nearly all movers in-band;
-    with the storage (x, y, z) order, mass settling/falling pushed >5% of
-    particles past any reasonable band every substep).  2D storage order is
-    already gravity-fastest.  Out-of-grid lanes get nb_total, as in
-    particle_block_ids_ch.  Convert job keys back with key_to_block.
-    """
-    d = len(pch)
-    bsh = block_shape(d, by)
-    nb = num_blocks(cfg, by)
-    nb_total = int(np.prod(nb))
-    blks, ok = [], None
-    for a in range(d):
-        base = jnp.round(pch[a] / cfg.cell_width).astype(jnp.int32) - 1
-        blk = jnp.floor_divide(base - int(cfg.origin_cell[a]), bsh[a])
-        oka = (blk >= 0) & (blk < nb[a])
-        ok = oka if ok is None else (ok & oka)
-        blks.append(blk)
-    if d == 3:
-        key = (blks[0] * nb[2] + blks[2]) * nb[1] + blks[1]
-    else:
-        key = blks[0] * nb[1] + blks[1]
-    return jnp.where(ok, key, nb_total)
+    3D ids enumerate blocks in (x, z, y) order — y (the gravity axis in
+    every scene) fastest (storage_strides) — so the dominant vertical
+    motion displaces sorted ranks by ~one block extent instead of a whole
+    z-row (the banded lane permutation in ops/permute.py then captures
+    nearly all movers in-band; with an (x, y, z) order, mass
+    settling/falling pushed >5% of particles past any reasonable band
+    every substep).  Out-of-grid lanes get nb_total, as in
+    particle_block_ids_ch (which this now aliases)."""
+    return particle_block_ids_ch(pch, cfg, by)
 
 
 def key_to_block(key, nb: Tuple[int, ...], dim: int):
-    """Sort key (particle_sort_keys_ch order) -> storage flat block id.
-
-    Values >= nb_total (overflow/dead) are fixed points."""
-    nb_total = int(np.prod(nb))
-    if dim != 3:
-        return key
-    y = key % nb[1]
-    xz = key // nb[1]
-    z = xz % nb[2]
-    x = xz // nb[2]
-    flat = (x * nb[1] + y) * nb[2] + z
-    return jnp.where(key < nb_total, flat, key)
+    """Sort key -> storage flat block id: the IDENTITY since the storage
+    order was aligned with the gravity-fastest keys (storage_strides).
+    Kept as the seam where the two orders convert."""
+    return key
 
 
 # ------------------------------------------------------------ sparse domain
@@ -633,15 +624,40 @@ def build_jobs(sorted_ids, nb_total: int, group: int, max_jobs: int):
     # boundaries and explodes the last occupied block's count over the
     # dead region (ghost jobs).
     pad_key = nb_total + 2
-    bkey, brank = jax.lax.sort(
-        (
-            jnp.where(is_first, jnp.minimum(sorted_ids, pad_key - 1), pad_key),
-            jnp.where(is_first, lane, n),
-        ),
-        num_keys=1,
-    )
     kmax = min(nb_total + 3, n)
-    bkey, brank = bkey[:kmax], brank[:kmax]
+    # Fast path: chunked flagged-lane compaction (ops/compact.py) — the
+    # boundaries are already in key order, so no full [n] sort is needed
+    # (~1.5 ms at 1M).  Falls back to the sort when some 2048-lane chunk
+    # holds > 128 boundaries (pathologically sparse occupancy).
+    from wgsparkl_tpu.ops.compact import compact_flagged
+
+    if max(pad_key, n) < 2 ** 24:   # f32-exact key/rank range
+        cvals, cok = compact_flagged(
+            jnp.minimum(sorted_ids, pad_key - 1).astype(jnp.float32)[None, :],
+            is_first, kmax,
+        )
+    else:
+        cvals = jnp.zeros((2, kmax), jnp.float32)
+        cok = jnp.bool_(False)
+
+    def _from_compact(_):
+        bk = jnp.minimum(cvals[0], float(pad_key)).astype(jnp.int32)
+        br = jnp.minimum(cvals[1], float(n)).astype(jnp.int32)
+        return bk, br
+
+    def _from_sort(_):
+        bkey_s, brank_s = jax.lax.sort(
+            (
+                jnp.where(
+                    is_first, jnp.minimum(sorted_ids, pad_key - 1), pad_key
+                ),
+                jnp.where(is_first, lane, n),
+            ),
+            num_keys=1,
+        )
+        return bkey_s[:kmax], brank_s[:kmax]
+
+    bkey, brank = jax.lax.cond(cok, _from_compact, _from_sort, None)
     edges = brank[
         jnp.searchsorted(
             bkey, jnp.arange(nb_total + 1, dtype=bkey.dtype),
@@ -751,16 +767,17 @@ def neighbor_block_table(nb: Tuple[int, ...]):
     neighbors map to NB_total (a zero-padded ghost block slot).
     """
     d = len(nb)
-    coords = np.stack(
+    st = storage_strides(nb)
+    mesh = np.stack(
         np.meshgrid(*[np.arange(s) for s in nb], indexing="ij"), -1
     ).reshape(-1, d)
+    order = np.argsort(sum(mesh[:, a] * st[a] for a in range(d)))
+    coords = mesh[order]                    # coords[flat_id] = (x, y[, z])
     out = []
     for e, _, _ in _octant_slices(d):
         nbr = coords + np.asarray(e)
         ok = np.all(nbr < np.asarray(nb), axis=-1)
-        flat = nbr[..., 0]
-        for a in range(1, d):
-            flat = flat * nb[a] + nbr[..., a]
+        flat = sum(nbr[..., a] * st[a] for a in range(d))
         out.append(np.where(ok, flat, np.prod(nb)))
     table = np.stack(out, axis=-1).astype(np.int32)      # [NB, 2^d]
     pad = np.full((1, table.shape[1]), np.prod(nb), np.int32)
@@ -1026,9 +1043,9 @@ def gather_tiles_mm(grid_blocks, job_block, nbr_table, dim: int,
 
 
 def octant_flat_offsets(nb: Tuple[int, ...]) -> Tuple[int, ...]:
-    """Static flat-id offset of each {0,1}^d neighbor (row-major layout)."""
+    """Static flat-id offset of each {0,1}^d neighbor (storage layout)."""
     d = len(nb)
-    strides = [int(np.prod(nb[a + 1 :])) for a in range(d)]
+    strides = storage_strides(nb)
     return tuple(
         int(sum(e[a] * strides[a] for a in range(d)))
         for e, _, _ in _octant_slices(d)
@@ -1066,7 +1083,7 @@ def _octant_targets(jb, nb: Tuple[int, ...], nb_total: int, oi: int,
     """
     d = len(nb)
     e = _octant_slices(d)[oi][0]
-    strides = [int(np.prod(nb[a + 1 :])) for a in range(d)]
+    strides = storage_strides(nb)
     ok = jb < nb_total
     for a in range(d):
         if e[a]:
@@ -1284,12 +1301,12 @@ def block_major_node_positions_ch(cfg: GridConfig, by: int = 4):
     i = jnp.arange(m, dtype=jnp.int32)
     inner = i % bsd
     b = i // bsd
+    st = storage_strides(nb)
     out = []
     for a in range(d):
         inner_stride = int(np.prod(bsh[a + 1 :]))
-        blk_stride = int(np.prod(nb[a + 1 :]))
         cell = (
-            (b // blk_stride) % nb[a] * bsh[a]
+            (b // st[a]) % nb[a] * bsh[a]
             + (inner // inner_stride) % bsh[a]
             + int(cfg.origin_cell[a])
         )
@@ -1308,12 +1325,8 @@ def window_node_positions(blk_coords, cfg: GridConfig, by: int = 4):
 
 
 def block_coords_of(flat, nb: Tuple[int, ...]):
-    """Flat block id [-> d coords] (clamped to valid range)."""
+    """Flat block id -> d coords (overflow ids wrap; callers mask them)."""
     d = len(nb)
-    coords = []
-    rem = flat
-    for a in reversed(range(d)):
-        coords.append(rem % nb[a])
-        rem = rem // nb[a]
-    return jnp.stack(list(reversed(coords)), axis=-1)
+    st = storage_strides(nb)
+    return jnp.stack([(flat // st[a]) % nb[a] for a in range(d)], axis=-1)
 

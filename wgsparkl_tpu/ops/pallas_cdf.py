@@ -26,6 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from wgsparkl_tpu.grid import GridConfig
+from wgsparkl_tpu.ops import pallas_transfer as ptf
 from wgsparkl_tpu.ops.pallas_transfer import (
     AFF,
     NCHAN,
@@ -300,13 +301,7 @@ def _p2g_cdf_kernel(
         ap0 = pd[A0 + 0] * pd[PX] + pd[A0 + 1] * pd[PY] + pd[A0 + 2] * pd[PZ]
         ap1 = pd[A0 + 3] * pd[PX] + pd[A0 + 4] * pd[PY] + pd[A0 + 5] * pd[PZ]
         ap2 = pd[A0 + 6] * pd[PX] + pd[A0 + 7] * pd[PY] + pd[A0 + 8] * pd[PZ]
-        rows = [
-            mass * pd[VX] - ap0 * valid,
-            mass * pd[VY] - ap1 * valid,
-            mass * pd[VZ] - ap2 * valid,
-            mass,
-        ] + [pd[A0 + k] * valid for k in range(9)] + [jnp.zeros_like(mass)] * 3
-        feats = jnp.stack(rows, axis=0)                         # [16, G]
+        feats = ptf._p2g_feats32(pd, mass, valid, ap0, ap1, ap2)  # [32, G]
 
         def finish(res):
             # VMEM handoff instead of an HBM read-modify-write — see
@@ -342,23 +337,7 @@ def _p2g_cdf_kernel(
                 ).wait()
 
         def write_mm(w_c):
-            tile = jax.lax.dot_general(
-                w_c, feats, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            mm_cols = []
-            for i in range(3):
-                mom = tile[:, i : i + 1]
-                for k in range(3):
-                    mom = mom + (
-                        tile[:, 4 + 3 * i + k : 5 + 3 * i + k]
-                        * xw[:, k : k + 1]
-                    )
-                mm_cols.append(mom)
-            mm_cols.append(tile[:, 3:4])
-            out_mm[0] = jnp.concatenate(
-                mm_cols + [jnp.zeros((wpad, 4), jnp.float32)], axis=1
-            )
+            out_mm[0] = ptf._mm_from_feats32(w_c, feats, xw)
 
         def pcdf_and_mm():
             aff_out, sd, normal = _pcdf_body(

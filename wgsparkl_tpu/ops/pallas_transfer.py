@@ -46,6 +46,7 @@ PX, PY, PZ, VX, VY, VZ, PM = 0, 1, 2, 3, 4, 5, 6
 A0 = 7       # A00..A22 in rows 7..15
 AFF = 16     # uint32 affinity bits, bitcast to f32
 NX, NY, NZ = 17, 18, 19  # particle CDF normal
+AFF_SPARE = 20  # zero pad row; scratch for the split-affinity permute
 NCHAN = 24
 
 # Extended packed-state rows (sorted as ONE [N, PCHAN] row gather; rows
@@ -304,6 +305,45 @@ def _load_pdata_db(pdata_ref, pd_big, sem, starts, lens, j, group, maxj):
     return pltpu.roll(buf, gl - off, axis=1)[:, :group]
 
 
+def _p2g_feats32(pd, mass, valid, ap0, ap1, ap2):
+    """[32, G] P2G feature rows in xw-recombination block layout.
+
+    Columns of w @ feats^T: block 0 = [f_mv0..2, mass, 0 x4]; block k+1
+    (scaled by window-node coordinate xw_k) = [A[0,k], A[1,k], A[2,k],
+    0 x5].  The momentum recombination mom_i = f_mv_i + Σ_k (Σ w A[i,k])
+    x_k then becomes three 8-lane FMAs on the dot output instead of nine
+    1-lane concats (p2g.wgsl:163-171 affine momentum) — the widened RHS
+    still fits one 128-lane MXU tile, so the extra columns are free."""
+    z = jnp.zeros_like(mass)
+    rows = [
+        mass * pd[VX] - ap0 * valid,
+        mass * pd[VY] - ap1 * valid,
+        mass * pd[VZ] - ap2 * valid,
+        mass, z, z, z, z,
+    ]
+    for k in range(3):
+        rows += [
+            pd[A0 + 0 + k] * valid, pd[A0 + 3 + k] * valid,
+            pd[A0 + 6 + k] * valid, z, z, z, z, z,
+        ]
+    return jnp.stack(rows, axis=0)                                  # [32, G]
+
+
+def _mm_from_feats32(w_c, feats, xw):
+    """mm tile [WPAD, 8] = (w_c @ feats^T) recombined with window-node
+    coordinates: cols 0-2 momentum, 3 mass, 4-7 zero."""
+    out8 = jax.lax.dot_general(
+        w_c, feats, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                               # [WPAD,32]
+    return (
+        out8[:, 0:8]
+        + xw[:, 0:1] * out8[:, 8:16]
+        + xw[:, 1:2] * out8[:, 16:24]
+        + xw[:, 2:3] * out8[:, 24:32]
+    )
+
+
 def _node_body_velocity(closest, xw, btable_ref, nc: int):
     """Per-window-node velocity of the node's closest body, [WPAD, 1] x 3.
 
@@ -364,36 +404,11 @@ def _p2g_kernel(
         ap0 = pd[A0 + 0] * pd[PX] + pd[A0 + 1] * pd[PY] + pd[A0 + 2] * pd[PZ]
         ap1 = pd[A0 + 3] * pd[PX] + pd[A0 + 4] * pd[PY] + pd[A0 + 5] * pd[PZ]
         ap2 = pd[A0 + 6] * pd[PX] + pd[A0 + 7] * pd[PY] + pd[A0 + 8] * pd[PZ]
-        rows = [
-            mass * pd[VX] - ap0 * valid,
-            mass * pd[VY] - ap1 * valid,
-            mass * pd[VZ] - ap2 * valid,
-            mass,
-        ] + [pd[A0 + k] * valid for k in range(9)] + [jnp.zeros_like(mass)] * 3
-        feats = jnp.stack(rows, axis=0)                             # [16, G]
+        feats = _p2g_feats32(pd, mass, valid, ap0, ap1, ap2)        # [32, G]
         xw = _window_positions(bcell, cell_width, wsh, wpad)        # [WPAD,3]
 
         def write_mm(w_c):
-            tile = jax.lax.dot_general(
-                w_c, feats, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                       # [WPAD,16]
-            # In-kernel momentum recombination:
-            # mom_i = f_mv_i + (Σ w A) @ x_node (keeps [J, 216, C]
-            # lane-starved elementwise out of XLA).
-            mm_cols = []
-            for i in range(3):
-                mom = tile[:, i : i + 1]
-                for k in range(3):
-                    mom = mom + (
-                        tile[:, 4 + 3 * i + k : 5 + 3 * i + k]
-                        * xw[:, k : k + 1]
-                    )
-                mm_cols.append(mom)
-            mm_cols.append(tile[:, 3:4])
-            out_ref[0] = jnp.concatenate(
-                mm_cols + [jnp.zeros((wpad, 4), jnp.float32)], axis=1
-            )                                                       # [WPAD, 8]
+            out_ref[0] = _mm_from_feats32(w_c, feats, xw)           # [WPAD, 8]
 
         if nc > 0:
             # Per-job CPIC gate: jobs whose window holds no collider node
@@ -543,14 +558,13 @@ def _g2p_kernel(
 
         xw = _window_positions(bcell, cell_width, wsh, wpad)        # [WPAD,3]
         v = ftile_ref[0][:, 0:3]
-        # v (x) x_node, column-wise (Mosaic rejects [W,3,3]->[W,9] casts).
-        vx_cols = [
-            v[:, i : i + 1] * xw[:, k : k + 1]
-            for i in range(3)
-            for k in range(3)
-        ]
+        # v (x) x_node, in three 3-lane blocks (row i of the moment =
+        # v_i * xw broadcast) instead of nine 1-lane column products —
+        # lane-concat relayouts dominate over the multiplies here (Mosaic
+        # rejects [W,3,3]->[W,9] casts, so columns are built explicitly).
+        vx_blocks = [v[:, i : i + 1] * xw for i in range(3)]
         nfeat = jnp.concatenate(
-            [v] + vx_cols + [jnp.zeros((wpad, 4), jnp.float32)], axis=1
+            [v] + vx_blocks + [jnp.zeros((wpad, 4), jnp.float32)], axis=1
         )                                                            # [WPAD,16]
 
         def finish(out):

@@ -32,6 +32,7 @@ PX, PY, VX, VY, PM = 0, 1, 2, 3, 4
 A0 = 5       # A00 A01 A10 A11 in rows 5..8
 AFF = 9      # uint32 affinity bits, bitcast to f32
 NX, NY = 10, 11
+AFF_SPARE = 12  # zero pad row; scratch for the split-affinity permute
 NCHAN = 16
 
 # Extended packed-state rows.

@@ -45,6 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from wgsparkl_tpu.ops.blocked import sel3_dot
+from wgsparkl_tpu.ops.compact import compact_flagged
 
 
 def _interpret() -> bool:
@@ -57,11 +58,15 @@ WMULT = 3    # slab chunks: covers source ranks [(g-1)C, (g+2)C).  WMULT=2
              # disp in (C, 2C) are common mid-frame and overflow the
              # exception levels; the wider slab is cheaper than their take.
 EXCW = 512   # exception slab width (>= 128-align slack + 256 max/chunk)
+NARROW = 384  # narrow-slab width: chunks whose sources all fit a NARROW
+              # window from a 128-aligned start (81%+ at the settled 1M
+              # bench are pure shifts, a strict subset) DMA and contract
+              # half the slab — both costs are linear in slab width.
 
 
-def _permute_kernel(lo_ref, slablo_ref, perm_ref, einv_ref, rows_hbm,
-                    exccols_hbm, out_ref, slab_db, sem, ecol_buf, esem,
-                    *, npad: int, c0: int, cap: int):
+def _permute_kernel(lo_ref, slablo_ref, nw_ref, perm_ref, einv_ref, rows_hbm,
+                    exccols_hbm, out_ref, slab_db, sem, nslab_db, nsem,
+                    ecol_buf, esem, *, npad: int, c0: int, cap: int):
     """Program g writes out[:, g*C:(g+1)*C] = rows[:, perm[g*C:(g+1)*C]].
 
     In-band entries ride the slab matmul; far movers ride the exception
@@ -77,17 +82,41 @@ def _permute_kernel(lo_ref, slablo_ref, perm_ref, einv_ref, rows_hbm,
     permutation (mass settling compacts ranks cumulatively across the whole
     array) stays in-band and only genuine far movers pay the exception
     path.
+
+    nw_ref[g] = 1 marks a NARROW chunk (every source rank within
+    [slab_lo, slab_lo + NARROW), no exceptions — 81%+ of chunks at the
+    settled 1M bench are pure local shifts, a strict subset): it DMAs and
+    contracts a NARROW-wide slab instead of the full WMULT*C one; both
+    the HBM traffic and the one-hot matmul are linear in slab width.
     """
     g = pl.program_id(0)
     ng = pl.num_programs(0)
     c = CHUNK
     w = min(WMULT * c, npad)
+    nw = min(NARROW, npad)
 
-    def dma_for(gg, slot):
+    def dma_wide(gg, slot):
         s = pl.multiple_of(slablo_ref[jnp.minimum(gg, ng - 1)], 128)
         return pltpu.make_async_copy(
             rows_hbm.at[:, pl.ds(s, w)], slab_db.at[slot], sem.at[slot]
         )
+
+    def dma_narrow(gg, slot):
+        s = pl.multiple_of(slablo_ref[jnp.minimum(gg, ng - 1)], 128)
+        return pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(s, nw)], nslab_db.at[slot], nsem.at[slot]
+        )
+
+    def start_for(gg, slot):
+        narrow = nw_ref[jnp.minimum(gg, ng - 1)] > 0
+
+        @pl.when(narrow)
+        def _():
+            dma_narrow(gg, slot).start()
+
+        @pl.when(jnp.logical_not(narrow))
+        def _():
+            dma_wide(gg, slot).start()
 
     slot = jax.lax.rem(g, 2)
     nslot = jax.lax.rem(g + 1, 2)
@@ -105,43 +134,56 @@ def _permute_kernel(lo_ref, slablo_ref, perm_ref, einv_ref, rows_hbm,
 
     @pl.when(g == 0)
     def _():
-        dma_for(g, slot).start()
+        start_for(g, slot)
 
     @pl.when(g + 1 < ng)
     def _():
-        dma_for(g + 1, nslot).start()
-
-    dma_for(g, slot).wait()
+        start_for(g + 1, nslot)
 
     s = pl.multiple_of(slablo_ref[g], 128)
     rel = perm_ref[0][None, :] - s                                # [1, C]
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (w, c), 0)
-    onehot = (rel == k_iota).astype(jnp.float32)                  # [W, C]
-    acc = sel3_dot(
-        slab_db[slot], onehot, (((1,), (0,)), ((), ())), "a"
-    )
+    narrow_g = nw_ref[g] > 0
 
-    # Most chunks have zero far movers — the exception matmul (3 bf16
-    # passes over [C, EXCW] x [EXCW, C]) only runs when this chunk's
-    # exception segment is nonempty (~40% of the permute FLOPs at 1M).
-    @pl.when(has_exc)
+    @pl.when(narrow_g)
     def _():
-        ecopy.wait()
-        # onehot2[e, i] = (lane i's exception rank == base + e); in-band
-        # lanes carry rank -1 and never match.
-        rel2 = einv_ref[0][None, :] - base                        # [1, C]
-        k2 = jax.lax.broadcasted_iota(jnp.int32, (EXCW, c), 0)
-        onehot2 = (rel2 == k2).astype(jnp.float32)                # [EXCW, C]
-        out_ref[:, :] = acc + sel3_dot(
-            ecol_buf[...], onehot2, (((1,), (0,)), ((), ())), "a"
+        dma_narrow(g, slot).wait()
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (nw, c), 0)
+        onehot = (rel == k_iota).astype(jnp.float32)              # [NW, C]
+        out_ref[:, :] = sel3_dot(
+            nslab_db[slot], onehot, (((1,), (0,)), ((), ())), "a"
         )
 
-    @pl.when(jnp.logical_not(has_exc))
+    @pl.when(jnp.logical_not(narrow_g))
     def _():
-        out_ref[:, :] = acc
+        dma_wide(g, slot).wait()
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (w, c), 0)
+        onehot = (rel == k_iota).astype(jnp.float32)              # [W, C]
+        acc = sel3_dot(
+            slab_db[slot], onehot, (((1,), (0,)), ((), ())), "a"
+        )
+
+        # Most chunks have zero far movers — the exception matmul (3 bf16
+        # passes over [C, EXCW] x [EXCW, C]) only runs when this chunk's
+        # exception segment is nonempty (~40% of the permute FLOPs at 1M).
+        @pl.when(has_exc)
+        def _():
+            ecopy.wait()
+            # onehot2[e, i] = (lane i's exception rank == base + e);
+            # in-band lanes carry rank -1 and never match.
+            rel2 = einv_ref[0][None, :] - base                    # [1, C]
+            k2 = jax.lax.broadcasted_iota(jnp.int32, (EXCW, c), 0)
+            onehot2 = (rel2 == k2).astype(jnp.float32)            # [EXCW, C]
+            out_ref[:, :] = acc + sel3_dot(
+                ecol_buf[...], onehot2, (((1,), (0,)), ((), ())), "a"
+            )
+
+        @pl.when(jnp.logical_not(has_exc))
+        def _():
+            out_ref[:, :] = acc
 
 
-def _permute_banded(rows, perm_p, exc_lo, slab_lo, einv, exc_cols, npad: int):
+def _permute_banded(rows, perm_p, exc_lo, slab_lo, nw_flags, einv, exc_cols,
+                    npad: int):
     c0 = rows.shape[0]
     cap = exc_cols.shape[1]
     if cap < EXCW:   # the kernel DMAs fixed EXCW-wide exception slabs
@@ -152,20 +194,23 @@ def _permute_banded(rows, perm_p, exc_lo, slab_lo, einv, exc_cols, npad: int):
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(ng,),
             in_specs=[
-                pl.BlockSpec((1, CHUNK), lambda g, lo, slo: (0, g),
+                pl.BlockSpec((1, CHUNK), lambda g, lo, slo, nwf: (0, g),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CHUNK), lambda g, lo, slo: (0, g),
+                pl.BlockSpec((1, CHUNK), lambda g, lo, slo, nwf: (0, g),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.HBM),
                 pl.BlockSpec(memory_space=pltpu.HBM),
             ],
-            out_specs=pl.BlockSpec((c0, CHUNK), lambda g, lo, slo: (0, g),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (c0, CHUNK), lambda g, lo, slo, nwf: (0, g),
+                memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, c0, min(WMULT * CHUNK, npad)), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, c0, min(NARROW, npad)), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((c0, EXCW), jnp.float32),
                 pltpu.SemaphoreType.DMA,
@@ -173,8 +218,8 @@ def _permute_banded(rows, perm_p, exc_lo, slab_lo, einv, exc_cols, npad: int):
         ),
         out_shape=jax.ShapeDtypeStruct((c0, npad), jnp.float32),
         interpret=_interpret(),
-    )(exc_lo, slab_lo, perm_p.reshape(1, npad), einv.reshape(1, npad), rows,
-      exc_cols)
+    )(exc_lo, slab_lo, nw_flags, perm_p.reshape(1, npad),
+      einv.reshape(1, npad), rows, exc_cols)
 
 
 EMAX_LEVELS = (2048, 8192, 16384, 65536, 262144)
@@ -211,6 +256,20 @@ def permute_lanes(rows, perm, emax: int = 262144):
     slab_lo = jnp.clip(
         ((med_src - w // 2) // 128) * 128, 0, npad - w
     ).astype(jnp.int32)
+    # NARROW chunks: every source rank fits a NARROW-wide window from a
+    # 128-aligned start (81%+ at the settled 1M bench — mostly pure local
+    # shifts).  The kernel then DMAs/contracts half the slab.  Their
+    # slab_lo is the aligned min (also inside the wide window, so the
+    # exception flags below stay false for them by construction).
+    nwid = min(NARROW, npad)
+    pch = perm.reshape(ng, CHUNK)
+    pmin = jnp.min(pch, axis=1)
+    pmax = jnp.max(pch, axis=1)
+    nstart = jnp.clip((pmin // 128) * 128, 0, npad - nwid).astype(jnp.int32)
+    nw_flags = (
+        (pmin >= nstart) & (pmax < nstart + nwid)
+    ).astype(jnp.int32)
+    slab_lo = jnp.where(nw_flags > 0, nstart, slab_lo)
     # EXACT out-of-slab test against the same windows: the exception patch
     # is additive, so it must fire exactly once per out-of-band lane.
     sstart = jnp.repeat(slab_lo, CHUNK)
@@ -229,16 +288,42 @@ def permute_lanes(rows, perm, emax: int = 262144):
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)]
         ).astype(jnp.int32)
 
+        # Exception sources in rank order, via chunked compaction instead
+        # of a full [npad] sort when the count is small and unclustered
+        # (ops/compact.py; ~1 ms at 1M).  Clustered displacements (a moved
+        # run concentrating > 128 exceptions in one 2048-lane chunk) and
+        # big counts fall back to the sort.
+        ccap = min(8192, npad)
+        if npad < 2 ** 24:
+            csrc, cok = compact_flagged(
+                perm.astype(jnp.float32)[None, :], flag, ccap
+            )
+        else:
+            csrc = jnp.zeros((2, ccap), jnp.float32)
+            cok = jnp.bool_(False)
+
         def level_fn(cap):
-            def br(rows):
-                # Source column of each exception rank, compacted: the
-                # positions sorted ascending are exactly the flagged lanes
+            def _src_sort(_):
+                # Positions sorted ascending are exactly the flagged lanes
                 # in rank order.
                 exc_pos = jax.lax.sort(jnp.where(flag, iota, npad))[:cap]
-                src = perm[jnp.where(exc_pos < npad, exc_pos, 0)]
+                return perm[jnp.where(exc_pos < npad, exc_pos, 0)]
+
+            def br(rows):
+                if cap <= ccap:
+                    def _src_compact(_):
+                        v = csrc[0][:cap]
+                        return jnp.where(
+                            v < npad, v, 0.0
+                        ).astype(jnp.int32)
+
+                    src = jax.lax.cond(cok, _src_compact, _src_sort, None)
+                else:
+                    src = _src_sort(None)
                 exc_cols = jnp.take(rows, src, axis=1)          # [C, cap]
                 return _permute_banded(
-                    rows, perm, exc_lo, slab_lo, einv, exc_cols, npad
+                    rows, perm, exc_lo, slab_lo, nw_flags, einv, exc_cols,
+                    npad
                 )
 
             return br

@@ -340,7 +340,8 @@ def blocks_to_flat(blocked_arr, cfg: GridConfig):
     if d == 2:
         a = a.reshape(nb[0], nb[1], bs, bs, c).transpose(0, 2, 1, 3, 4)
     else:
-        a = a.reshape(nb[0], nb[1], nb[2], bs, bs, bs, c).transpose(
-            0, 3, 1, 4, 2, 5, 6
+        # Storage block order is (x, z, y) — see blocked.storage_strides.
+        a = a.reshape(nb[0], nb[2], nb[1], bs, bs, bs, c).transpose(
+            0, 3, 2, 4, 1, 5, 6
         )
     return a.reshape(-1, c)

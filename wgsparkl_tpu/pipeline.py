@@ -282,10 +282,12 @@ def _to_blocks(arr_flat, grid_cfg, ghost_value):
         a = a.reshape(shp[0] // bs, bs, shp[1] // bs, bs, c)
         a = a.transpose(0, 2, 1, 3, 4).reshape(-1, bs, bs, c)
     else:
+        # Block order (x, z, y) — gravity fastest, matching the flat
+        # block ids / sort keys (ops/blocked.py storage_strides).
         a = a.reshape(
             shp[0] // bs, bs, shp[1] // bs, bs, shp[2] // bs, bs, c
         )
-        a = a.transpose(0, 2, 4, 1, 3, 5, 6).reshape(-1, bs, bs, bs, c)
+        a = a.transpose(0, 4, 2, 1, 3, 5, 6).reshape(-1, bs, bs, bs, c)
     ghost = jnp.full((1,) + a.shape[1:], ghost_value, a.dtype)
     return jnp.concatenate([a, ghost], axis=0)
 
@@ -570,11 +572,18 @@ class StepDiag:
 
 
 # ------------------------------------------------- shared pallas-core phases
-def _lazy_sort(rows_all, keys, npad: int):
+def _lazy_sort(rows_all, keys, npad: int, aff: tuple = None):
     """Lazy re-sort: when the block keys are still nondecreasing the current
     order IS a valid sort — skip the permutation entirely (the reference
     re-sorts unconditionally every substep, grid.rs:30-206).  Otherwise the
-    WHOLE state moves as one banded lane permutation (ops/permute.py)."""
+    WHOLE state moves as one banded lane permutation (ops/permute.py).
+
+    aff = (aff_row, spare_row): the bitcast-uint32 affinity row can hold a
+    NaN bit pattern (all sign bits 23-30 set, possible at >= 15 colliders)
+    which would poison the permute's one-hot matmuls (NaN * 0 = NaN).  It
+    is split into two 16-bit integer-valued f32 halves around the permute
+    (exact in the 3-pass bf16 selections); spare_row must be a zero pad row
+    of the layout (restored to 0 after)."""
     from wgsparkl_tpu.ops.permute import permute_lanes
 
     lane = jnp.arange(npad, dtype=jnp.int32)
@@ -586,7 +595,24 @@ def _lazy_sort(rows_all, keys, npad: int):
     def resort(args):
         rows, kk = args
         sids, perm = jax.lax.sort((kk, lane), num_keys=1)
-        return permute_lanes(rows, perm), sids
+        if aff is not None:
+            ar, sr = aff
+            au = jax.lax.bitcast_convert_type(
+                rows[ar], jnp.uint32
+            ).astype(jnp.int32)
+            lo = (au & 0xFFFF).astype(jnp.float32)
+            hi = ((au >> 16) & 0xFFFF).astype(jnp.float32)
+            rows = rows.at[ar].set(lo).at[sr].set(hi)
+        out = permute_lanes(rows, perm)
+        if aff is not None:
+            ar, sr = aff
+            au2 = out[ar].astype(jnp.int32) | (
+                out[sr].astype(jnp.int32) << 16
+            )
+            out = out.at[ar].set(
+                jax.lax.bitcast_convert_type(au2, jnp.float32)
+            ).at[sr].set(0.0)
+        return out, sids
 
     return jax.lax.cond(still, keep, resort, (rows_all, keys))
 
@@ -832,7 +858,9 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         return jnp.where(lane < n, k, nb_total + 1)
 
     def sort_rows(rows):
-        return _lazy_sort(rows, keys_of(rows), npad)
+        return _lazy_sort(
+            rows, keys_of(rows), npad, aff=(ptf.AFF, ptf.AFF_SPARE)
+        )
 
     rows_all, sorted_ids = sort_rows(rows_all)
 
@@ -1000,7 +1028,9 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         return jnp.where(lane < n, k, sent + 1)
 
     def sort_rows(rows):
-        return _lazy_sort(rows, keys_of(rows), npad)
+        return _lazy_sort(
+            rows, keys_of(rows), npad, aff=(ptf.AFF, ptf.AFF_SPARE)
+        )
 
     rows_all, sorted_ids = sort_rows(rows_all)
 
@@ -1252,7 +1282,9 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         return jnp.where(lane < n, k, nb_total + 1)
 
     def sort_rows(rows):
-        return _lazy_sort(rows, keys_of(rows), npad)
+        return _lazy_sort(
+            rows, keys_of(rows), npad, aff=(ptf.AFF, ptf.AFF_SPARE)
+        )
 
     rows_all, sorted_ids = sort_rows(rows_all)
 
