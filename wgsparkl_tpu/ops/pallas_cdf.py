@@ -22,10 +22,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from wgsparkl_tpu.grid import GridConfig
+from wgsparkl_tpu.ops.blocked import sel3_dot
 from wgsparkl_tpu.ops import pallas_transfer as ptf
 from wgsparkl_tpu.ops.pallas_transfer import (
     AFF,
@@ -85,30 +87,56 @@ def _inv4_solve_ch(a, b):
     return x, det
 
 
-def _pcdf_body(pd, ntile_ref, bcell, length, finish, *,
+@functools.lru_cache(maxsize=None)
+def _box27_np(wsh, wpad: int):
+    """Static 27-box window matrix B [wpad, wpad] (numpy, cached).
+
+    B[n, m] = 1 iff window node m = n + (ox, oy, oz), o in {0,1,2}^3, with
+    all coordinates in window bounds.  (B @ has)[n, c] then counts the
+    collider-c nodes in the 3^3 stencil rooted at n — the per-particle
+    stencil support union (g2p_cdf.wgsl:157-188's in-bounds criterion)
+    becomes one exact DEFAULT-precision dot against the particle's base-
+    node one-hot instead of a ~12-pass [WPAD, G] VPU support plane."""
+    wvol = wsh[0] * wsh[1] * wsh[2]
+    n = np.arange(wvol)
+    nx = n // (wsh[1] * wsh[2])
+    ny = (n // wsh[2]) % wsh[1]
+    nz = n % wsh[2]
+    mat = np.zeros((wpad, wpad), np.float32)
+    for ox in range(3):
+        for oy in range(3):
+            for oz in range(3):
+                ok = (
+                    (nx + ox < wsh[0]) & (ny + oy < wsh[1])
+                    & (nz + oz < wsh[2])
+                )
+                m = (
+                    (nx + ox) * (wsh[1] * wsh[2])
+                    + (ny + oy) * wsh[2] + (nz + oz)
+                )
+                mat[n[ok], m[ok]] = 1.0
+    return mat
+
+
+def _pcdf_body(pd, ntile_ref, boxmat_ref, bcell, length, finish, *,
                group: int, cell_width: float, nc: int,
                wsh=(6, 6, 6), wpad: int = WPAD):
-    wvol = wsh[0] * wsh[1] * wsh[2]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
     valid_f = (lanes < length).astype(jnp.float32)
     w = _window_w(pd, bcell, cell_width, valid_f, wsh, wpad)  # [WPAD, G]
 
     # Exact 3^3 stencil support (unions include zero-weight stencil nodes,
-    # matching particle_cdf_update's in-bounds criterion).
+    # matching particle_cdf_update's in-bounds criterion), encoded as the
+    # particle's base-node one-hot: the box sums ride _box27_np below.
     h = cell_width
     u = pd[0:3] / h
     base = jnp.floor(u + 0.5).astype(jnp.int32) - 1
     bl = base - bcell[:, None]                               # [3, G]
     wid = jax.lax.broadcasted_iota(jnp.int32, (wpad, 1), 0)
-    wx = wid // (wsh[1] * wsh[2])
-    wy = (wid // wsh[2]) % wsh[1]
-    wz = wid % wsh[2]
-    supp = (
-        (wx - bl[0][None, :] >= 0) & (wx - bl[0][None, :] < 3)
-        & (wy - bl[1][None, :] >= 0) & (wy - bl[1][None, :] < 3)
-        & (wz - bl[2][None, :] >= 0) & (wz - bl[2][None, :] < 3)
-        & (wid < wvol)
-    ) & (valid_f[None, :] > 0)
+    flat_base = bl[0] * (wsh[1] * wsh[2]) + bl[1] * wsh[2] + bl[2]
+    onehot = jnp.where(
+        (wid == flat_base[None, :]) & (valid_f[None, :] > 0), 1.0, 0.0
+    )                                                        # [WPAD, G]
 
     # node channel order: 0 aff_lo, 1 aff_hi, 2 closest, 3 dist
     aff_lo = ntile_ref[0][:, 0:1]
@@ -125,23 +153,32 @@ def _pcdf_body(pd, ntile_ref, bcell, length, finish, *,
     # columns, so ONE [nc-row] matmul each replaces nc masked [WPAD, G]
     # reduction passes on the VPU (the kernels are VPU-bound, not
     # DMA-bound, at 1M particles).
-    supp_f = supp.astype(jnp.float32)                         # [WPAD, G]
     has_cols = []
-    vote_cols = []
+    hsgn_cols = []
     for c in range(nc):
         has_c = (((naff_u >> c) & 1) != 0).astype(jnp.float32)   # [WPAD, 1]
         sgn_c = jnp.where(((naff_u >> (16 + c)) & 1) != 0, -1.0, 1.0)
         has_cols.append(has_c)
-        vote_cols.append(has_c * sgn_c * ndist)
+        hsgn_cols.append(has_c * sgn_c)
     has_m = jnp.concatenate(has_cols, axis=1)                 # [WPAD, nc]
-    vote_m = jnp.concatenate(vote_cols, axis=1)               # [WPAD, nc]
+    hsgn_m = jnp.concatenate(hsgn_cols, axis=1)               # [WPAD, nc]
+    # presents[c, p] = (B @ has)[base(p), c]: integer 0/1 and <=27-count
+    # operands are bf16-exact, so both dots are EXACT at one DEFAULT pass.
+    box = jax.lax.dot_general(
+        boxmat_ref[...], has_m, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )                                                         # [WPAD, nc]
     presents = jax.lax.dot_general(
-        has_m, supp_f, (((0,), (0,)), ((), ())),
+        box, onehot, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )                                                         # [nc, G]
-    votes = jax.lax.dot_general(
-        vote_m, w, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    # votes against the +-1 selector: ndist folds into the payload side so
+    # the 3-pass exact selection dot applies (2x fewer MXU passes than
+    # HIGHEST; f32-roundoff-class like any scatter-add).
+    votes = sel3_dot(
+        hsgn_m, ndist * w, (((0,), (0,)), ((), ())), "b"
     )                                                         # [nc, G]
     p_aff_bits = jnp.zeros((1, group), jnp.uint32)
     sign_word = jnp.zeros((1, group), jnp.uint32)
@@ -188,13 +225,9 @@ def _pcdf_body(pd, ntile_ref, bcell, length, finish, *,
         ],
         axis=1,
     )                                                         # [WPAD, 10]
-    smom = jax.lax.dot_general(
-        mono, wk, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                         # [10, G]
-    tmom = jax.lax.dot_general(
-        mono[:, :4], wk * sdist, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    smom = ptf.phys_dot(mono, wk, (((0,), (0,)), ((), ())))   # [10, G]
+    tmom = ptf.phys_dot(
+        mono[:, :4], wk * sdist, (((0,), (0,)), ((), ()))
     )                                                         # [4, G]
     pair = {(0, 0): 4, (0, 1): 5, (0, 2): 6, (1, 1): 7, (1, 2): 8, (2, 2): 9}
     a = {}
@@ -260,7 +293,7 @@ from wgsparkl_tpu.ops.pallas_transfer import (  # noqa: E402
 
 def _p2g_cdf_kernel(
     starts, lens, bcx, bcy, bcz, jbody,
-    pdata_ref, ntile_ref, btable_ref,
+    pdata_ref, ntile_ref, btable_ref, boxmat_ref,
     out_mm, out_imp, out_hbm,
     pd_big, res_big, sem, sem_out,
     *, group: int, cell_width: float, nc: int,
@@ -341,7 +374,7 @@ def _p2g_cdf_kernel(
 
         def pcdf_and_mm():
             aff_out, sd, normal = _pcdf_body(
-                pd, ntile_ref, bcell, length, finish,
+                pd, ntile_ref, boxmat_ref, bcell, length, finish,
                 group=group, cell_width=cell_width, nc=nc,
                 wsh=wsh, wpad=wpad,
             )
@@ -433,6 +466,8 @@ def p2g_cdf_tiles(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((wpad, wpad), lambda j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, wpad, 8), lambda j, *_: (j, 0, 0),
@@ -459,4 +494,5 @@ def p2g_cdf_tiles(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
     )(jobs["start"], jobs["len"], bcells[:, 0], bcells[:, 1],
-      bcells[:, 2], jbody, pdata, ntiles, btable)
+      bcells[:, 2], jbody, pdata, ntiles, btable,
+      jnp.asarray(_box27_np(tuple(wsh), wpad)))

@@ -305,6 +305,39 @@ def _load_pdata_db(pdata_ref, pd_big, sem, starts, lens, j, group, maxj):
     return pltpu.roll(buf, gl - off, axis=1)[:, :group]
 
 
+import os as _os
+
+# Physics-matmul MXU pass count for the big [WPAD, G] transfer dots.
+# "highest" (default) = XLA's 6-bf16-pass f32 emulation; "x4" = hand-rolled
+# 4-pass cross split (~2^-23 relative, f32-class); "x3" drops the lo*lo
+# term (~2^-16 relative, fp16-class — measurably cheaper, physically
+# smooth-weight error only; NEVER used for selection/integer dots, which
+# stay on sel3_dot/DEFAULT-exact paths).  Env knob so bench A/Bs without
+# a code edit; tests run the default.
+_PHYS_DOT = _os.environ.get("WGSPARKL_PHYS_DOT", "highest")
+
+
+def phys_dot(a, b, dims):
+    """dot_general for smooth physics operands (weights x features)."""
+    if _PHYS_DOT not in ("x3", "x4"):
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32
+        )
+    ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+    al = a - ah
+    bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+    bl = b - bh
+    d = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    out = d(ah, bh) + d(ah, bl) + d(al, bh)
+    if _PHYS_DOT == "x4":
+        out = out + d(al, bl)
+    return out
+
+
 def _p2g_feats32(pd, mass, valid, ap0, ap1, ap2):
     """[32, G] P2G feature rows in xw-recombination block layout.
 
@@ -332,10 +365,7 @@ def _p2g_feats32(pd, mass, valid, ap0, ap1, ap2):
 def _mm_from_feats32(w_c, feats, xw):
     """mm tile [WPAD, 8] = (w_c @ feats^T) recombined with window-node
     coordinates: cols 0-2 momentum, 3 mass, 4-7 zero."""
-    out8 = jax.lax.dot_general(
-        w_c, feats, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                               # [WPAD,32]
+    out8 = phys_dot(w_c, feats, (((1,), (1,)), ((), ())))           # [WPAD,32]
     return (
         out8[:, 0:8]
         + xw[:, 0:1] * out8[:, 8:16]
@@ -609,10 +639,7 @@ def _g2p_kernel(
 
         def plain_out():
             # [16, G] result: rows 0:3 PIC velocity, 3:12 velocity moment.
-            return jax.lax.dot_general(
-                nfeat, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            return phys_dot(nfeat, w, (((0,), (0,)), ((), ())))
 
         def finish_extra(adds):
             extra = jnp.concatenate(
@@ -632,10 +659,7 @@ def _g2p_kernel(
             paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
             compat = _compat(naff, paff)
             w_c = jnp.where(compat, w, 0.0)
-            out = jax.lax.dot_general(
-                nfeat, w_c, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                        # [16, G]
+            out = phys_dot(nfeat, w_c, (((0,), (0,)), ((), ())))     # [16, G]
             return closest, w - w_c, out
 
         if nc > 0:
@@ -658,14 +682,8 @@ def _g2p_kernel(
                 m1 = jnp.concatenate(
                     [jnp.ones((wpad, 1), jnp.float32), xw], axis=1
                 )
-                dib = jax.lax.dot_general(
-                    m1, wib, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                                    # [4, G]
-                din = jax.lax.dot_general(
-                    m1, win, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                                    # [4, G]
+                dib = phys_dot(m1, wib, (((0,), (0,)), ((), ())))    # [4, G]
+                din = phys_dot(m1, win, (((0,), (0,)), ((), ())))    # [4, G]
                 rel, _ = _ghost_static(pd)
                 vp = [pd[VX][None, :], pd[VY][None, :], pd[VZ][None, :]]
                 adds = [dib * rel[i] + din * vp[i] for i in range(3)]
@@ -692,10 +710,7 @@ def _g2p_kernel(
                     [jnp.ones((wpad, 1), jnp.float32), xw], axis=1
                 )                                                    # [WPAD,4]
                 adds = [
-                    jax.lax.dot_general(
-                        m1, w_i * ghost[i], (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                    phys_dot(m1, w_i * ghost[i], (((0,), (0,)), ((), ())))
                     for i in range(3)
                 ]                                                    # [4, G] x3
                 finish(out + finish_extra(adds))

@@ -24,6 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from wgsparkl_tpu.grid import GridConfig
+from wgsparkl_tpu.ops import pallas_transfer as ptf
 from wgsparkl_tpu.ops.pallas_transfer import _compat, _interpret, _load_pdata_db
 from wgsparkl_tpu.ops.transfer import DEFAULT_FRICTION
 
@@ -218,9 +219,8 @@ def _p2g_kernel(
         xw = _window_positions(bcell, cell_width)                # [WPAD, 2]
 
         def write_mm(w_c):
-            tile = jax.lax.dot_general(
-                w_c, feats, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            tile = ptf.phys_dot(
+                w_c, feats, (((1,), (1,)), ((), ()))
             )                                                    # [WPAD, 8]
             mm_cols = []
             for i in range(2):
@@ -383,9 +383,8 @@ def _g2p_kernel(
             dma_out.wait()
 
         def plain_out():
-            return jax.lax.dot_general(
-                nfeat, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            return ptf.phys_dot(
+                nfeat, w, (((0,), (0,)), ((), ()))
             )                                                    # [8, G]
 
         if nc > 0:
@@ -403,10 +402,7 @@ def _g2p_kernel(
                 compat = _compat(naff, paff)
                 w_c = jnp.where(compat, w, 0.0)
                 w_i = w - w_c
-                out = jax.lax.dot_general(
-                    nfeat, w_c, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                out = ptf.phys_dot(nfeat, w_c, (((0,), (0,)), ((), ())))
                 has_body = closest >= 0
                 bv = _node_body_velocity(closest, xw, btable_ref, nc)
                 ghost_b = _ghost_velocity(pd, bv)
