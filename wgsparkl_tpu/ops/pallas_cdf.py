@@ -118,7 +118,7 @@ def _box27_np(wsh, wpad: int):
     return mat
 
 
-def _pcdf_body(pd, ntile_ref, boxmat_ref, bcell, length, finish, *,
+def _pcdf_body(pd, naff_u, ndist, boxmat_ref, bcell, length, finish, *,
                group: int, cell_width: float, nc: int,
                wsh=(6, 6, 6), wpad: int = WPAD):
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
@@ -138,14 +138,8 @@ def _pcdf_body(pd, ntile_ref, boxmat_ref, bcell, length, finish, *,
         (wid == flat_base[None, :]) & (valid_f[None, :] > 0), 1.0, 0.0
     )                                                        # [WPAD, G]
 
-    # node channel order: 0 aff_lo, 1 aff_hi, 2 closest, 3 dist
-    aff_lo = ntile_ref[0][:, 0:1]
-    aff_hi = ntile_ref[0][:, 1:2]
-    ndist = ntile_ref[0][:, 3:4]
-    naff = (
-        aff_hi.astype(jnp.int32) << 16
-    ) | aff_lo.astype(jnp.int32)                             # [WPAD, 1]
-    naff_u = pltpu.bitcast(naff, jnp.uint32)
+    # naff_u / ndist: merged window node CDF [WPAD, 1] (gathered static
+    # channels, plus the in-kernel moving-collider CDF at gate level >= 2).
     prev_aff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)  # [1, G]
 
     # Per-collider union + sign votes, MXU-formulated: presence and vote
@@ -297,7 +291,7 @@ def _p2g_cdf_kernel(
     out_mm, out_imp, out_hbm,
     pd_big, res_big, sem, sem_out,
     *, group: int, cell_width: float, nc: int,
-    wsh=(6, 6, 6), wpad: int = WPAD,
+    wsh=(6, 6, 6), wpad: int = WPAD, moving=(),
 ):
     j = pl.program_id(0)
     start = starts[j]
@@ -372,17 +366,16 @@ def _p2g_cdf_kernel(
         def write_mm(w_c):
             out_mm[0] = ptf._mm_from_feats32(w_c, feats, xw)
 
-        def pcdf_and_mm():
+        def pcdf_and_mm(merged):
+            # merged: (naff_u, closest, ndist) window CDF — gathered static
+            # channels at level 1, static + in-kernel moving CDF at level 2
+            # (ptf._merge_ntile_cdf; moving never touches HBM channels).
+            naff_u, closest, ndist = merged
             aff_out, sd, normal = _pcdf_body(
-                pd, ntile_ref, boxmat_ref, bcell, length, finish,
+                pd, naff_u, ndist, boxmat_ref, bcell, length, finish,
                 group=group, cell_width=cell_width, nc=nc,
                 wsh=wsh, wpad=wpad,
             )
-            naff = (
-                ntile_ref[0][:, 1:2].astype(jnp.int32) << 16
-            ) | ntile_ref[0][:, 0:1].astype(jnp.int32)
-            naff_u = pltpu.bitcast(naff, jnp.uint32)            # [WPAD, 1]
-            closest = ntile_ref[0][:, 2:3]                      # [WPAD, 1]
             paff = aff_out[None, :]                             # [1, G] uint32
             compat = _compat(naff_u, paff)
             write_mm(jnp.where(compat, w, 0.0))
@@ -401,11 +394,13 @@ def _p2g_cdf_kernel(
             # CDF + compat-masked P2G still run, but CPIC impulses land
             # only on the (static) closest bodies, which discard them —
             # the whole [WPAD, G] pairwise ghost/impulse chain is skipped.
-            pcdf_and_mm()
+            pcdf_and_mm(ptf._static_ntile_cdf(ntile_ref[0]))
 
         @pl.when(lvl >= 2)
         def _():
-            normal, closest, compat = pcdf_and_mm()
+            normal, closest, compat = pcdf_and_mm(ptf._merge_ntile_cdf(
+                ntile_ref[0], xw, btable_ref, moving, cell_width
+            ))
             has_body = closest >= 0
             w_i = jnp.where(compat | ~has_body, 0.0, w) * mass[None, :]
             bv = _node_body_velocity(closest, xw, btable_ref, nc)
@@ -443,18 +438,24 @@ def _p2g_cdf_kernel(
 
 
 def p2g_cdf_tiles(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
-                  group: int, npad: int, nc: int, jbody, by: int = 4):
+                  group: int, npad: int, nc: int, jbody, by: int = 4,
+                  moving=()):
     """Fused particle-CDF + P2G (nc > 0 only).
 
     Returns (mm [MAXJ, WPAD, 8], imp [MAXJ, 8, 128],
-    pcdf rows [8, NPAD + G + 128]: aff (bitcast), sd, normal xyz)."""
+    pcdf rows [8, NPAD + G + 128]: aff (bitcast), sd, normal xyz).
+
+    moving: static ((slot, shape_type), ...) — these colliders' node CDF is
+    evaluated in-kernel at the window nodes (ptf._moving_node_cdf) and
+    merged with the gathered static channels; ntiles then carry only the
+    frame-hoisted static subset."""
     from wgsparkl_tpu.ops.pallas_transfer import window_geom
 
     wsh, _, wpad = window_geom(by)
     maxj = jobs["start"].shape[0]
     kernel = functools.partial(
         _p2g_cdf_kernel, group=group, cell_width=cfg.cell_width, nc=nc,
-        wsh=wsh, wpad=wpad,
+        wsh=wsh, wpad=wpad, moving=tuple(moving),
     )
     gl = group + 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -464,7 +465,7 @@ def p2g_cdf_tiles(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, wpad, 4), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 128), lambda j, *_: (0, 0),
+            pl.BlockSpec((32, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((wpad, wpad), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -374,6 +374,96 @@ def _mm_from_feats32(w_c, feats, xw):
     )
 
 
+def _moving_node_cdf(xw, btable_ref, moving, cell_width):
+    """Analytic node CDF of the MOVING colliders at the window nodes,
+    evaluated IN-KERNEL (grid_update_cdf/collide.wgsl role for the non-
+    static subset; the static subset is frame-hoisted into the gathered
+    window channels).  Mirrors collision/cdf_channel.node_cdf_channels on
+    [WPAD, 1] channels — same helper functions, so the f32 op sequence
+    (and results) match the dense path exactly.
+
+    xw: [WPAD, 3] world node positions; moving: STATIC tuple of
+    (slot, shape_type); btable rows 9-12 quat wxyz, 13-15 translation,
+    16-23 shape params (pipeline._body_table).
+    Returns (dist [WPAD,1] f32, BIG where none; aff [WPAD,1] uint32;
+    closest [WPAD,1] f32, -1 where none)."""
+    from wgsparkl_tpu.collision import cdf_channel as cch
+    from wgsparkl_tpu.collision import shapes as shp
+
+    wpad = xw.shape[0]
+    pos = [xw[:, a : a + 1] for a in range(3)]
+    dist = jnp.full((wpad, 1), cch.BIG, jnp.float32)
+    aff = jnp.zeros((wpad, 1), jnp.uint32)
+    closest = jnp.full((wpad, 1), -1.0, jnp.float32)
+    cap = 1.5 * cell_width
+    for slot, st in moving:
+        ri = [btable_ref[9 + k, slot] for k in range(4)]
+        ti = [btable_ref[13 + k, slot] for k in range(3)]
+        q = cch._to_local(ri, ti, pos)
+        if st == shp.SHAPE_CUBOID:
+            he = [btable_ref[16 + a, slot] for a in range(3)]
+            proj, inside = cch._proj_cuboid(he, q)
+        elif st == shp.SHAPE_BALL:
+            proj, inside = cch._proj_ball(btable_ref[16, slot], q)
+        elif st == shp.SHAPE_CAPSULE:
+            proj, inside = cch._proj_capsule(
+                btable_ref[16, slot], btable_ref[17, slot], q
+            )
+        else:
+            proj, inside = cch._proj_halfspace(q)
+        dl = [proj[a] - q[a] for a in range(3)]
+        dw = cch._to_world_vec(ri, dl)
+        box = jnp.abs(dw[0]) <= cap
+        for a in range(1, 3):
+            box = box & (jnp.abs(dw[a]) <= cap)
+        within = inside | box
+        di = jnp.sqrt(sum(x * x for x in dw))
+        closer = within & (di < dist)
+        closest = jnp.where(closer, jnp.float32(slot), closest)
+        dist = jnp.where(closer, di, dist)
+        bits = jnp.where(
+            inside, jnp.uint32(0x00010001 << slot),
+            jnp.uint32(0x00000001 << slot),
+        )
+        aff = aff | jnp.where(within, bits, jnp.uint32(0))
+    return dist, aff, closest
+
+
+def _static_ntile_cdf(ntile):
+    """Unpack the gathered window CDF channels [WPAD, 4] ->
+    (naff_u uint32, closest f32, ndist f32), each [WPAD, 1]."""
+    naff_i = (
+        ntile[:, 1:2].astype(jnp.int32) << 16
+    ) | ntile[:, 0:1].astype(jnp.int32)
+    return pltpu.bitcast(naff_i, jnp.uint32), ntile[:, 2:3], ntile[:, 3:4]
+
+
+def _merge_ntile_cdf(ntile, xw, btable_ref, moving, cell_width):
+    """Gathered (frame-static) window CDF channels merged with the
+    in-kernel moving-collider CDF (cdf_channel.merge_node_cdf semantics:
+    strictly-smaller distance wins, lowest collider index on exact ties,
+    affinity words OR).  Ghost/pad rows carry closest -1 with dist 0 and
+    must lose to any real hit -> their distance reads as BIG."""
+    from wgsparkl_tpu.collision import cdf_channel as cch
+
+    naff_u, s_closest, s_dist = _static_ntile_cdf(ntile)
+    if not moving:
+        return naff_u, s_closest, s_dist
+    d_dist, d_aff, d_closest = _moving_node_cdf(
+        xw, btable_ref, moving, cell_width
+    )
+    da = jnp.where(s_closest >= 0.0, s_dist, cch.BIG)
+    b_wins = (d_closest >= 0.0) & (
+        (d_dist < da)
+        | ((d_dist == da) & ((s_closest < 0.0) | (d_closest < s_closest)))
+    )
+    return (
+        naff_u | d_aff,
+        jnp.where(b_wins, d_closest, s_closest),
+        jnp.where(b_wins, d_dist, da),
+    )
+
+
 def _node_body_velocity(closest, xw, btable_ref, nc: int):
     """Per-window-node velocity of the node's closest body, [WPAD, 1] x 3.
 
@@ -530,7 +620,7 @@ def p2g_tiles(pdata, itiles, btable, jobs, bcells, cfg: GridConfig,
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, wpad, 4), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 128), lambda j, *_: (0, 0),
+            pl.BlockSpec((32, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -562,7 +652,7 @@ def _g2p_kernel(
     out_hbm,
     pd_big, res_big, sem, sem_out,
     *, group: int, cell_width: float, nc: int,
-    wsh=(6, 6, 6), wpad: int = WPAD,
+    wsh=(6, 6, 6), wpad: int = WPAD, moving=(),
 ):
     j = pl.program_id(0)
     start = starts[j]
@@ -650,12 +740,11 @@ def _g2p_kernel(
             )                                                        # [16, G]
             return extra
 
-        def compat_w():
-            naff_i = (
-                itile_ref[0][:, 1:2].astype(jnp.int32) << 16
-            ) | itile_ref[0][:, 0:1].astype(jnp.int32)
-            naff = pltpu.bitcast(naff_i, jnp.uint32)
-            closest = itile_ref[0][:, 2:3]
+        def compat_w(merged):
+            # merged: (naff_u, closest, _) window CDF — gathered static
+            # channels at level 1, static + in-kernel moving CDF at level 2
+            # (_merge_ntile_cdf; the moving subset never reaches HBM).
+            naff, closest = merged[0], merged[1]
             paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
             compat = _compat(naff, paff)
             w_c = jnp.where(compat, w, 0.0)
@@ -675,7 +764,7 @@ def _g2p_kernel(
                 # velocities are per-particle rows, so the pairwise
                 # w_i * ghost contractions factor into TWO window-axis
                 # matmuls (has-body / no-body split) scaled columnwise.
-                closest, w_i, out = compat_w()
+                closest, w_i, out = compat_w(_static_ntile_cdf(itile_ref[0]))
                 hb = (closest >= 0).astype(jnp.float32)              # [WPAD,1]
                 wib = w_i * hb
                 win = w_i - wib
@@ -691,7 +780,9 @@ def _g2p_kernel(
 
             @pl.when(lvl >= 2)
             def _():
-                closest, w_i, out = compat_w()
+                closest, w_i, out = compat_w(_merge_ntile_cdf(
+                    itile_ref[0], xw, btable_ref, moving, cell_width
+                ))
                 # Incompatible cells substitute the ghost velocity
                 # (g2p.wgsl:184-207).
                 has_body = closest >= 0
@@ -719,17 +810,22 @@ def _g2p_kernel(
 
 
 def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
-             group: int, npad: int, nc: int, jbody=None, by: int = 4):
+             group: int, npad: int, nc: int, jbody=None, by: int = 4,
+             moving=()):
     """Per-particle G2P result [16, NPAD + G + 128], channel-major, sorted
     particle order.  Rows 0:3 = PIC velocity, 3:12 = velocity moment
-    (sum w v_eff x^T)."""
+    (sum w v_eff x^T).
+
+    moving: static ((slot, shape_type), ...) of colliders whose node CDF is
+    evaluated IN-KERNEL at the window nodes and merged with the gathered
+    (frame-static) channels — itiles then carry only the static subset."""
     wsh, _, wpad = window_geom(by)
     maxj = jobs["start"].shape[0]
     if jbody is None:
         jbody = jnp.full((maxj,), 2, jnp.int32)
     kernel = functools.partial(
         _g2p_kernel, group=group, cell_width=cfg.cell_width, nc=nc,
-        wsh=wsh, wpad=wpad,
+        wsh=wsh, wpad=wpad, moving=tuple(moving),
     )
     gl = group + 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -741,7 +837,7 @@ def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, wpad, 4), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 128), lambda j, *_: (0, 0),
+            pl.BlockSpec((32, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),

@@ -174,7 +174,7 @@ def update_rows(rows_all, krows, pcdf, sorted_ids, covered_end, btable,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, LBLK), lambda g, ce: (0, g),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((16, 128), lambda g, ce: (0, 0),
+                pl.BlockSpec((32, 128), lambda g, ce: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((pchan, LBLK), lambda g, ce: (0, g),

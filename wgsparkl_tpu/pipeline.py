@@ -468,14 +468,24 @@ def step_pallas(
     # core evaluates CDF on dynamic active-node positions and cannot
     # consume a precomputed full-grid buffer.
     static_cdf = None
+    static_chan = None
     if (cfg.static_slots and cfg.num_colliders > 0 and not cfg.sparse):
         static_cdf = _node_cdf_static(state.bodies, cfg, block_major=True)
+        if state.particles.dim == 3 and not cfg.mesh_cids:
+            # 3D bounded core: pre-pack the static channel grid ONCE per
+            # frame; moving colliders are then evaluated IN-KERNEL at the
+            # window nodes (ptf._moving_node_cdf) — no per-substep dense
+            # node-CDF eval/merge/pack at all.
+            from wgsparkl_tpu.ops import blocked as bk
+
+            nb_total = int(np.prod(bk.num_blocks(cfg.grid, cfg.by)))
+            static_chan = _cdf_chan_grid(*static_cdf, nb_total, 3, cfg.by)
 
     def body(carry, _):
         rows, bodies, dg = carry
         rows, bodies, dg = core(
             rows, bodies, state.meshes, params, cfg, n, axis_name, dg,
-            static_cdf=static_cdf,
+            static_cdf=static_cdf, static_chan=static_chan,
         )
         return (rows, bodies, dg), None
 
@@ -519,12 +529,20 @@ def step_with_diag(
 
 
 def _body_table(bodies):
-    """[16, 128] body table for in-kernel node body velocities + impulse
-    lever arms: rows 0-2 world COM, 3-5 linvel, 6-8 angvel; lanes = slots."""
-    btable = jnp.zeros((16, 128), jnp.float32)
-    btable = btable.at[0:3, : bodies.count].set(bodies.world_com.T)
-    btable = btable.at[3:6, : bodies.count].set(bodies.linvel.T)
-    btable = btable.at[6:9, : bodies.count].set(bodies.angvel.T)
+    """[32, 128] body table for in-kernel node body velocities, impulse
+    lever arms, and moving-collider window CDF: rows 0-2 world COM,
+    3-5 linvel, 6-8 angvel, 9+ rotation (quat wxyz 3D / cos-sin 2D),
+    13+ translation, 16-23 shape params; lanes = slots."""
+    nb = bodies.count
+    btable = jnp.zeros((32, 128), jnp.float32)
+    btable = btable.at[0:3, :nb].set(bodies.world_com.T)
+    btable = btable.at[3:6, :nb].set(bodies.linvel.T)
+    btable = btable.at[6:9, :nb].set(bodies.angvel.T)
+    btable = btable.at[9 : 9 + bodies.rot.shape[1], :nb].set(bodies.rot.T)
+    btable = btable.at[13 : 13 + bodies.dim, :nb].set(bodies.pos.T)
+    btable = btable.at[16 : 16 + bodies.shape_params.shape[1], :nb].set(
+        bodies.shape_params.T
+    )
     return btable
 
 
@@ -681,6 +699,46 @@ def _jbody_gate(ntiles, wvol: int, static_slots=None):
     ).astype(jnp.int32)
 
 
+def _moving_reach_gate(bcells, bodies, moving, wsh, h):
+    """[MAXJ] bool: job window POSSIBLY within node-CDF reach (1.5 cells)
+    of a moving collider.  Conservative — window-center surface distance
+    vs cap + window half-diagonal (triangle inequality: any node within
+    cap of the surface puts the center within this threshold) — so false
+    positives only promote the job's gate level (extra pairwise work),
+    never miss physics; the in-kernel merge is exact."""
+    from wgsparkl_tpu.collision import cdf_channel as cch
+    from wgsparkl_tpu.collision import shapes as shp
+
+    d = bcells.shape[1]
+    ctr = [
+        (bcells[:, a].astype(jnp.float32) + (wsh[a] - 1) * 0.5) * h
+        for a in range(d)
+    ]
+    half_diag = 0.5 * h * float(np.sqrt(sum((s - 1) ** 2 for s in wsh)))
+    thresh = 1.5 * h + half_diag
+    hit = jnp.zeros((bcells.shape[0],), bool)
+    for slot, st in moving:
+        ri = [bodies.rot[slot, k] for k in range(bodies.rot.shape[1])]
+        ti = [bodies.pos[slot, k] for k in range(d)]
+        q = cch._to_local(ri, ti, ctr)
+        if st == shp.SHAPE_CUBOID:
+            he = [bodies.shape_params[slot, a] for a in range(d)]
+            proj, inside = cch._proj_cuboid(he, q)
+        elif st == shp.SHAPE_BALL:
+            proj, inside = cch._proj_ball(bodies.shape_params[slot, 0], q)
+        elif st == shp.SHAPE_CAPSULE:
+            proj, inside = cch._proj_capsule(
+                bodies.shape_params[slot, 0], bodies.shape_params[slot, 1], q
+            )
+        else:
+            proj, inside = cch._proj_halfspace(q)
+        # rotation preserves norms: the local-frame gap length IS the
+        # world-frame surface distance.
+        di = jnp.sqrt(sum((proj[a] - q[a]) ** 2 for a in range(d)))
+        hit = hit | inside | (di <= thresh)
+    return hit
+
+
 def _grid_velocity(grid_mm, params, grid, d: int):
     """Momentum -> velocity + gravity + 1-cell/step clamp, elementwise on
     block rows (grid_update.wgsl:44-65; ghost slot stays zero)."""
@@ -788,20 +846,28 @@ def _migrate_x(rows_all, sorted_ids, lo_key, hi_key, live_key, npad: int,
 
 def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
                          bcells, grid, group: int, npad: int, nc: int,
-                         by: int = 4, static_slots=None):
+                         by: int = 4, static_slots=None, moving=(),
+                         moving_gate=None):
     """Gather node-CDF window tiles, compute the per-job CPIC gate, and run
     the fused particle-CDF + P2G kernel (shares the particle DMA and
     consumes the fresh affinity/normals in-kernel); patches the affinity +
-    normal channel rows for G2P."""
+    normal channel rows for G2P.
+
+    moving/moving_gate: when the chan grid holds only the frame-static
+    colliders, `moving` lists the in-kernel-evaluated rest and moving_gate
+    [MAXJ] conservatively marks jobs possibly in their reach (forced to
+    gate level 2 so the kernels run the merge + full pairwise path)."""
     from wgsparkl_tpu.ops import pallas_cdf
     from wgsparkl_tpu.ops import pallas_transfer as ptf
 
     _, wvol, wpad = ptf.window_geom(by)
     ntiles = gather_tiles(chan_grid, out=(wpad, 4), c=4)
     jbody = _jbody_gate(ntiles, wvol, static_slots)
+    if moving_gate is not None:
+        jbody = jnp.maximum(jbody, jnp.where(moving_gate, 2, 0))
     mm_out, imp_out, krows = pallas_cdf.p2g_cdf_tiles(
         pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc, jbody,
-        by=by,
+        by=by, moving=moving,
     )
     pdata = jax.lax.dynamic_update_slice(
         pdata,
@@ -813,7 +879,8 @@ def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
 
 def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
                          n: int, axis_name: Optional[str] = None,
-                         diag: Optional[StepDiag] = None, static_cdf=None):
+                         diag: Optional[StepDiag] = None, static_cdf=None,
+                         static_chan=None):
     """Channel-major substep core: ([PCHAN, NPAD] rows, bodies) -> same.
 
     Same physics as substep/substep_blocked; the P2G/G2P/pCDF passes run as
@@ -907,25 +974,47 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     pdata = rows_all[: ptf.NCHAN]
 
     # --- CDF phase ---
+    moving = ()
     if nc > 0:
-        state_view = SimState(particles=None, models=None, bodies=bodies,
-                              meshes=meshes)
-        node_dist, node_aff, node_closest = _node_cdf_full(
-            state_view, bodies, cfg, block_major=True, static_part=static_cdf
-        )
-        # Node-side channels for the kernels, gathered per job window with
-        # one-hot matmuls.  Integers ride as exact <=16-bit f32 channels:
-        # [aff_lo, aff_hi, closest, dist].  Node body velocities are NOT
-        # carried: the kernels rebuild them from the body table (btable)
-        # per gated job — three dense [M]-node channels and their per-body
-        # select loop would cost more than all gated jobs combined.
-        chan_grid = _cdf_chan_grid(node_dist, node_aff, node_closest,
-                                   nb_total, d, by)
+        moving_gate = None
+        if static_chan is not None:
+            # Frame-hoisted static channel grid + IN-KERNEL moving-collider
+            # window CDF: no per-substep dense node-CDF eval/merge/pack.
+            # The gate gets a conservative per-job reach test for the
+            # moving set (false positives only cost gate level, never
+            # physics — the in-kernel merge is exact).
+            chan_grid = static_chan
+            moving = tuple(
+                (i, cfg.collider_types[i])
+                for i in range(nc) if i not in cfg.static_slots
+            )
+            if moving:
+                moving_gate = _moving_reach_gate(
+                    bcells, bodies, moving, ptf.window_geom(by)[0],
+                    grid.cell_width,
+                )
+        else:
+            state_view = SimState(particles=None, models=None,
+                                  bodies=bodies, meshes=meshes)
+            node_dist, node_aff, node_closest = _node_cdf_full(
+                state_view, bodies, cfg, block_major=True,
+                static_part=static_cdf
+            )
+            # Node-side channels for the kernels, gathered per job window
+            # with one-hot matmuls.  Integers ride as exact <=16-bit f32
+            # channels: [aff_lo, aff_hi, closest, dist].  Node body
+            # velocities are NOT carried: the kernels rebuild them from the
+            # body table (btable) per gated job — three dense [M]-node
+            # channels and their per-body select loop would cost more than
+            # all gated jobs combined.
+            chan_grid = _cdf_chan_grid(node_dist, node_aff, node_closest,
+                                       nb_total, d, by)
         btable = _body_table(bodies)
         ntiles, jbody, mm_out, imp_out, pcdf_rows, pdata = (
             _cdf_kernel_phase_3d(
                 pdata, chan_grid, gather_tiles, btable, jobs, bcells, grid,
                 group, npad, nc, by=by, static_slots=cfg.static_slots,
+                moving=moving, moving_gate=moving_gate,
             )
         )
     else:
@@ -964,7 +1053,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     f_tiles = gather_tiles(vel_b, out=(wpad, 4))
     krows = ptf.g2p_rows(
         pdata, f_tiles, ntiles, btable, jobs, bcells, grid, group, npad, nc,
-        jbody, by=by,
+        jbody, by=by, moving=moving,
     )
 
     # --- fused particle update + row rebuild: ONE Pallas pass (see
@@ -983,7 +1072,8 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
 def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
                                 cfg: MpmConfig, n: int,
                                 axis_name: Optional[str] = None,
-                                diag: Optional[StepDiag] = None, static_cdf=None):
+                                diag: Optional[StepDiag] = None,
+                                static_cdf=None, static_chan=None):
     """Sparse/unbounded-domain 3D substep core (see _substep_pallas_rows).
 
     The reference's GPU-hashmap sparse grid (grid.wgsl:98-164) rebuilt the
@@ -1249,7 +1339,8 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
 
 def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
                             n: int, axis_name: Optional[str] = None,
-                            diag: Optional[StepDiag] = None, static_cdf=None):
+                            diag: Optional[StepDiag] = None, static_cdf=None,
+                            static_chan=None):
     """2D channel-major substep core (see _substep_pallas_rows; 2D kernel
     family in ops/pallas_transfer2d.py: 8x8 blocks, 10^2 windows)."""
     from wgsparkl_tpu.ops import blocked as bk
