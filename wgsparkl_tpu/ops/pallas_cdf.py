@@ -291,7 +291,8 @@ def _p2g_cdf_kernel(
     out_mm, out_imp, out_hbm,
     pd_big, res_big, sem, sem_out,
     *, group: int, cell_width: float, nc: int,
-    wsh=(6, 6, 6), wpad: int = WPAD, moving=(),
+    wsh=(6, 6, 6), wpad: int = WPAD, moving=(), static_desc=(),
+    chan_free: bool = False,
 ):
     j = pl.program_id(0)
     start = starts[j]
@@ -381,6 +382,25 @@ def _p2g_cdf_kernel(
             write_mm(jnp.where(compat, w, 0.0))
             return normal, closest, compat
 
+        def lvl1_cdf():
+            if chan_free:
+                dd, aa, cc = ptf._moving_node_cdf(
+                    xw, btable_ref, static_desc, cell_width
+                )
+                return aa, cc, dd
+            return ptf._static_ntile_cdf(ntile_ref[0])
+
+        def lvl2_cdf():
+            if chan_free:
+                dd, aa, cc = ptf._moving_node_cdf(
+                    xw, btable_ref, tuple(sorted(static_desc + moving)),
+                    cell_width,
+                )
+                return aa, cc, dd
+            return ptf._merge_ntile_cdf(
+                ntile_ref[0], xw, btable_ref, moving, cell_width
+            )
+
         lvl = jbody[j]
 
         @pl.when(lvl == 0)
@@ -394,13 +414,11 @@ def _p2g_cdf_kernel(
             # CDF + compat-masked P2G still run, but CPIC impulses land
             # only on the (static) closest bodies, which discard them —
             # the whole [WPAD, G] pairwise ghost/impulse chain is skipped.
-            pcdf_and_mm(ptf._static_ntile_cdf(ntile_ref[0]))
+            pcdf_and_mm(lvl1_cdf())
 
         @pl.when(lvl >= 2)
         def _():
-            normal, closest, compat = pcdf_and_mm(ptf._merge_ntile_cdf(
-                ntile_ref[0], xw, btable_ref, moving, cell_width
-            ))
+            normal, closest, compat = pcdf_and_mm(lvl2_cdf())
             has_body = closest >= 0
             w_i = jnp.where(compat | ~has_body, 0.0, w) * mass[None, :]
             bv = _node_body_velocity(closest, xw, btable_ref, nc)
@@ -439,16 +457,17 @@ def _p2g_cdf_kernel(
 
 def p2g_cdf_tiles(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
                   group: int, npad: int, nc: int, jbody, by: int = 4,
-                  moving=()):
+                  moving=(), static_desc=(), chan_free: bool = False):
     """Fused particle-CDF + P2G (nc > 0 only).
 
     Returns (mm [MAXJ, WPAD, 8], imp [MAXJ, 8, 128],
     pcdf rows [8, NPAD + G + 128]: aff (bitcast), sd, normal xyz).
 
-    moving: static ((slot, shape_type), ...) — these colliders' node CDF is
-    evaluated in-kernel at the window nodes (ptf._moving_node_cdf) and
-    merged with the gathered static channels; ntiles then carry only the
-    frame-hoisted static subset."""
+    chan_free: ALL analytic collider CDF is evaluated in-kernel at the
+    window nodes (ptf._moving_node_cdf; static_desc at gate level 1,
+    static_desc + moving at level 2); ntiles is then a resident
+    [1, WPAD, 4] dummy.  Otherwise ntiles carry gathered node channels
+    (the mesh-collider path) and `moving` is merged in-kernel on top."""
     from wgsparkl_tpu.ops.pallas_transfer import window_geom
 
     wsh, _, wpad = window_geom(by)
@@ -456,14 +475,19 @@ def p2g_cdf_tiles(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
     kernel = functools.partial(
         _p2g_cdf_kernel, group=group, cell_width=cfg.cell_width, nc=nc,
         wsh=wsh, wpad=wpad, moving=tuple(moving),
+        static_desc=tuple(static_desc), chan_free=chan_free,
     )
     gl = group + 128
+    itile_map = (
+        (lambda j, *_: (0, 0, 0)) if chan_free
+        else (lambda j, *_: (j, 0, 0))
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, wpad, 4), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, wpad, 4), itile_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((32, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),

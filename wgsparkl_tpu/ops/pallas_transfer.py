@@ -652,7 +652,8 @@ def _g2p_kernel(
     out_hbm,
     pd_big, res_big, sem, sem_out,
     *, group: int, cell_width: float, nc: int,
-    wsh=(6, 6, 6), wpad: int = WPAD, moving=(),
+    wsh=(6, 6, 6), wpad: int = WPAD, moving=(), static_desc=(),
+    chan_free: bool = False, fold_vel: bool = False,
 ):
     j = pl.program_id(0)
     start = starts[j]
@@ -677,7 +678,30 @@ def _g2p_kernel(
         w = _window_w(pd, bcell, cell_width, valid, wsh, wpad)
 
         xw = _window_positions(bcell, cell_width, wsh, wpad)        # [WPAD,3]
-        v = ftile_ref[0][:, 0:3]
+        if fold_vel:
+            # In-kernel grid update (grid_update.wgsl:44-65): ftiles carry
+            # raw node momentum + mass; velocity = (mom + m g dt)/m with
+            # the 1-cell/step clamp, on [WPAD, 1] columns — the dense
+            # whole-grid _grid_velocity pass disappears (work scales with
+            # gathered windows, not grid volume).
+            mass_n = ftile_ref[0][:, 3:4]
+            inv_m = jnp.where(
+                mass_n > 0.0, 1.0 / jnp.maximum(mass_n, 1e-30), 0.0
+            )
+            vlim = btable_ref[24, 3]
+            v = jnp.concatenate(
+                [
+                    jnp.clip(
+                        (ftile_ref[0][:, k : k + 1]
+                         + mass_n * btable_ref[24, k]) * inv_m,
+                        -vlim, vlim,
+                    )
+                    for k in range(3)
+                ],
+                axis=1,
+            )
+        else:
+            v = ftile_ref[0][:, 0:3]
         # v (x) x_node, in three 3-lane blocks (row i of the moment =
         # v_i * xw broadcast) instead of nine 1-lane column products —
         # lane-concat relayouts dominate over the multiplies here (Mosaic
@@ -758,13 +782,32 @@ def _g2p_kernel(
             def _():
                 finish(plain_out())
 
+            def lvl1_cdf():
+                if chan_free:
+                    dd, aa, cc = _moving_node_cdf(
+                        xw, btable_ref, static_desc, cell_width
+                    )
+                    return aa, cc, dd
+                return _static_ntile_cdf(itile_ref[0])
+
+            def lvl2_cdf():
+                if chan_free:
+                    dd, aa, cc = _moving_node_cdf(
+                        xw, btable_ref,
+                        tuple(sorted(static_desc + moving)), cell_width,
+                    )
+                    return aa, cc, dd
+                return _merge_ntile_cdf(
+                    itile_ref[0], xw, btable_ref, moving, cell_width
+                )
+
             @pl.when(lvl == 1)
             def _():
                 # Static-collider window (_jbody_gate level 1): ghost
                 # velocities are per-particle rows, so the pairwise
                 # w_i * ghost contractions factor into TWO window-axis
                 # matmuls (has-body / no-body split) scaled columnwise.
-                closest, w_i, out = compat_w(_static_ntile_cdf(itile_ref[0]))
+                closest, w_i, out = compat_w(lvl1_cdf())
                 hb = (closest >= 0).astype(jnp.float32)              # [WPAD,1]
                 wib = w_i * hb
                 win = w_i - wib
@@ -780,9 +823,7 @@ def _g2p_kernel(
 
             @pl.when(lvl >= 2)
             def _():
-                closest, w_i, out = compat_w(_merge_ntile_cdf(
-                    itile_ref[0], xw, btable_ref, moving, cell_width
-                ))
+                closest, w_i, out = compat_w(lvl2_cdf())
                 # Incompatible cells substitute the ghost velocity
                 # (g2p.wgsl:184-207).
                 has_body = closest >= 0
@@ -811,14 +852,17 @@ def _g2p_kernel(
 
 def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
              group: int, npad: int, nc: int, jbody=None, by: int = 4,
-             moving=()):
+             moving=(), static_desc=(), chan_free: bool = False,
+             fold_vel: bool = False):
     """Per-particle G2P result [16, NPAD + G + 128], channel-major, sorted
     particle order.  Rows 0:3 = PIC velocity, 3:12 = velocity moment
     (sum w v_eff x^T).
 
-    moving: static ((slot, shape_type), ...) of colliders whose node CDF is
-    evaluated IN-KERNEL at the window nodes and merged with the gathered
-    (frame-static) channels — itiles then carry only the static subset."""
+    chan_free: ALL analytic collider CDF is evaluated IN-KERNEL at the
+    window nodes (static_desc at gate level 1, static_desc + moving at
+    level 2, ((slot, shape_type), ...) each); itiles is then a resident
+    [1, WPAD, 4] dummy (no per-job node-channel DMA).  Otherwise itiles
+    carry gathered channels and `moving` is merged in-kernel on top."""
     wsh, _, wpad = window_geom(by)
     maxj = jobs["start"].shape[0]
     if jbody is None:
@@ -826,8 +870,14 @@ def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
     kernel = functools.partial(
         _g2p_kernel, group=group, cell_width=cfg.cell_width, nc=nc,
         wsh=wsh, wpad=wpad, moving=tuple(moving),
+        static_desc=tuple(static_desc), chan_free=chan_free,
+        fold_vel=fold_vel,
     )
     gl = group + 128
+    itile_map = (
+        (lambda j, *_: (0, 0, 0)) if chan_free
+        else (lambda j, *_: (j, 0, 0))
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(maxj,),
@@ -835,7 +885,7 @@ def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, wpad, 4), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wpad, 4), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, wpad, 4), itile_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((32, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -467,25 +467,20 @@ def step_pallas(
     # the moving colliders' per-substep CDF inside the core.  The sparse
     # core evaluates CDF on dynamic active-node positions and cannot
     # consume a precomputed full-grid buffer.
+    # (The 3D pallas cores need no static hoist at all for analytic
+    # colliders — chan-free mode evaluates every analytic collider
+    # IN-KERNEL at the window nodes, see _cdf_mode.  The hoist still pays
+    # for the mesh-collider fallback and the 2D core.)
     static_cdf = None
-    static_chan = None
-    if (cfg.static_slots and cfg.num_colliders > 0 and not cfg.sparse):
+    if (cfg.static_slots and cfg.num_colliders > 0 and not cfg.sparse
+            and (cfg.mesh_cids or state.particles.dim == 2)):
         static_cdf = _node_cdf_static(state.bodies, cfg, block_major=True)
-        if state.particles.dim == 3 and not cfg.mesh_cids:
-            # 3D bounded core: pre-pack the static channel grid ONCE per
-            # frame; moving colliders are then evaluated IN-KERNEL at the
-            # window nodes (ptf._moving_node_cdf) — no per-substep dense
-            # node-CDF eval/merge/pack at all.
-            from wgsparkl_tpu.ops import blocked as bk
-
-            nb_total = int(np.prod(bk.num_blocks(cfg.grid, cfg.by)))
-            static_chan = _cdf_chan_grid(*static_cdf, nb_total, 3, cfg.by)
 
     def body(carry, _):
         rows, bodies, dg = carry
         rows, bodies, dg = core(
             rows, bodies, state.meshes, params, cfg, n, axis_name, dg,
-            static_cdf=static_cdf, static_chan=static_chan,
+            static_cdf=static_cdf,
         )
         return (rows, bodies, dg), None
 
@@ -528,11 +523,13 @@ def step_with_diag(
 
 
 
-def _body_table(bodies):
+def _body_table(bodies, params=None, grid=None):
     """[32, 128] body table for in-kernel node body velocities, impulse
     lever arms, and moving-collider window CDF: rows 0-2 world COM,
     3-5 linvel, 6-8 angvel, 9+ rotation (quat wxyz 3D / cos-sin 2D),
-    13+ translation, 16-23 shape params; lanes = slots."""
+    13+ translation, 16-23 shape params; lanes = slots.  With params/grid,
+    row 24 lanes 0-2 carry gravity*dt and lane 3 the 1-cell/step velocity
+    clamp for the in-kernel grid update (g2p_rows fold_vel)."""
     nb = bodies.count
     btable = jnp.zeros((32, 128), jnp.float32)
     btable = btable.at[0:3, :nb].set(bodies.world_com.T)
@@ -543,6 +540,10 @@ def _body_table(bodies):
     btable = btable.at[16 : 16 + bodies.shape_params.shape[1], :nb].set(
         bodies.shape_params.T
     )
+    if params is not None:
+        d = bodies.dim
+        btable = btable.at[24, :d].set(params.gravity * params.dt)
+        btable = btable.at[24, 3].set(grid.cell_width / params.dt)
     return btable
 
 
@@ -844,30 +845,68 @@ def _migrate_x(rows_all, sorted_ids, lo_key, hi_key, live_key, npad: int,
     return rows_all, sorted_ids, diag
 
 
+def _cdf_mode(cfg):
+    """(chan_free, static_desc, moving) for the 3D pallas cores.
+
+    chan_free: every analytic collider's node CDF is evaluated IN-KERNEL
+    at the window nodes ([WPAD, 1] channels, ptf._moving_node_cdf — same
+    op sequence as the dense cdf_channel path, bit-exact) so the
+    per-substep dense node-CDF eval / merge / channel pack AND the per-job
+    node-channel gather disappear entirely.  Mesh colliders need gathered
+    grid channels, so they keep the dense path (chan_free=False)."""
+    nc = cfg.num_colliders
+    if nc == 0 or cfg.mesh_cids:
+        return False, (), ()
+    ss = frozenset(cfg.static_slots)
+    return (
+        True,
+        tuple((i, cfg.collider_types[i]) for i in range(nc) if i in ss),
+        tuple((i, cfg.collider_types[i]) for i in range(nc) if i not in ss),
+    )
+
+
 def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
                          bcells, grid, group: int, npad: int, nc: int,
-                         by: int = 4, static_slots=None, moving=(),
-                         moving_gate=None):
-    """Gather node-CDF window tiles, compute the per-job CPIC gate, and run
-    the fused particle-CDF + P2G kernel (shares the particle DMA and
-    consumes the fresh affinity/normals in-kernel); patches the affinity +
-    normal channel rows for G2P.
+                         by: int = 4, static_slots=None, bodies=None,
+                         mode=(False, (), ())):
+    """Node-CDF window channels + per-job CPIC gate + the fused
+    particle-CDF + P2G kernel (shares the particle DMA and consumes the
+    fresh affinity/normals in-kernel); patches the affinity + normal
+    channel rows for G2P.
 
-    moving/moving_gate: when the chan grid holds only the frame-static
-    colliders, `moving` lists the in-kernel-evaluated rest and moving_gate
-    [MAXJ] conservatively marks jobs possibly in their reach (forced to
-    gate level 2 so the kernels run the merge + full pairwise path)."""
+    mode = (chan_free, static_desc, moving) from _cdf_mode.  chan_free:
+    no gather at all — the gate comes from conservative per-job reach
+    tests (_moving_reach_gate; false positives only promote the gate
+    level, the in-kernel CDF merge is exact) and ntiles is a resident
+    dummy.  Otherwise: gather the (mesh-merged) channel grid and gate from
+    the actual window channels."""
     from wgsparkl_tpu.ops import pallas_cdf
     from wgsparkl_tpu.ops import pallas_transfer as ptf
 
-    _, wvol, wpad = ptf.window_geom(by)
-    ntiles = gather_tiles(chan_grid, out=(wpad, 4), c=4)
-    jbody = _jbody_gate(ntiles, wvol, static_slots)
-    if moving_gate is not None:
-        jbody = jnp.maximum(jbody, jnp.where(moving_gate, 2, 0))
+    chan_free, static_desc, moving = mode
+    wsh, wvol, wpad = ptf.window_geom(by)
+    if chan_free:
+        ntiles = jnp.zeros((1, wpad, 4), jnp.float32)
+        hit_m = (
+            _moving_reach_gate(bcells, bodies, moving, wsh, grid.cell_width)
+            if moving else False
+        )
+        hit_s = (
+            _moving_reach_gate(bcells, bodies, static_desc, wsh,
+                               grid.cell_width)
+            if static_desc else False
+        )
+        jbody = jnp.full((bcells.shape[0],), 0, jnp.int32)
+        if static_desc:
+            jbody = jnp.where(hit_s, 1, jbody)
+        if moving:
+            jbody = jnp.where(hit_m, 2, jbody)
+    else:
+        ntiles = gather_tiles(chan_grid, out=(wpad, 4), c=4)
+        jbody = _jbody_gate(ntiles, wvol, static_slots)
     mm_out, imp_out, krows = pallas_cdf.p2g_cdf_tiles(
         pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc, jbody,
-        by=by, moving=moving,
+        by=by, moving=moving, static_desc=static_desc, chan_free=chan_free,
     )
     pdata = jax.lax.dynamic_update_slice(
         pdata,
@@ -879,8 +918,7 @@ def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
 
 def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
                          n: int, axis_name: Optional[str] = None,
-                         diag: Optional[StepDiag] = None, static_cdf=None,
-                         static_chan=None):
+                         diag: Optional[StepDiag] = None, static_cdf=None):
     """Channel-major substep core: ([PCHAN, NPAD] rows, bodies) -> same.
 
     Same physics as substep/substep_blocked; the P2G/G2P/pCDF passes run as
@@ -974,25 +1012,10 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     pdata = rows_all[: ptf.NCHAN]
 
     # --- CDF phase ---
-    moving = ()
+    mode = _cdf_mode(cfg)
     if nc > 0:
-        moving_gate = None
-        if static_chan is not None:
-            # Frame-hoisted static channel grid + IN-KERNEL moving-collider
-            # window CDF: no per-substep dense node-CDF eval/merge/pack.
-            # The gate gets a conservative per-job reach test for the
-            # moving set (false positives only cost gate level, never
-            # physics — the in-kernel merge is exact).
-            chan_grid = static_chan
-            moving = tuple(
-                (i, cfg.collider_types[i])
-                for i in range(nc) if i not in cfg.static_slots
-            )
-            if moving:
-                moving_gate = _moving_reach_gate(
-                    bcells, bodies, moving, ptf.window_geom(by)[0],
-                    grid.cell_width,
-                )
+        if mode[0]:
+            chan_grid = None   # chan-free: all-analytic in-kernel CDF
         else:
             state_view = SimState(particles=None, models=None,
                                   bodies=bodies, meshes=meshes)
@@ -1009,12 +1032,12 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
             # all gated jobs combined.
             chan_grid = _cdf_chan_grid(node_dist, node_aff, node_closest,
                                        nb_total, d, by)
-        btable = _body_table(bodies)
+        btable = _body_table(bodies, params, grid)
         ntiles, jbody, mm_out, imp_out, pcdf_rows, pdata = (
             _cdf_kernel_phase_3d(
                 pdata, chan_grid, gather_tiles, btable, jobs, bcells, grid,
                 group, npad, nc, by=by, static_slots=cfg.static_slots,
-                moving=moving, moving_gate=moving_gate,
+                bodies=bodies, mode=mode,
             )
         )
     else:
@@ -1022,7 +1045,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         ntiles = jnp.zeros((maxj, wpad, 4), jnp.float32)
         jbody = None
         pcdf_rows = jnp.zeros((8, npad), jnp.float32)
-        btable = _body_table(bodies)
+        btable = _body_table(bodies, params, grid)
         mm_out, imp_out = ptf.p2g_tiles(
             pdata, ntiles, btable, jobs, bcells, grid, group, nc, jbody,
             by=by,
@@ -1046,14 +1069,13 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         lin_imp = jax.lax.psum(lin_imp, axis_name)
         ang_imp = jax.lax.psum(ang_imp, axis_name)
 
-    # --- grid update ---
-    vel_b = _grid_velocity(grid_mm, params, grid, d)
-
-    # --- G2P ---
-    f_tiles = gather_tiles(vel_b, out=(wpad, 4))
+    # --- grid update + G2P (momentum -> velocity folds INTO the kernel:
+    # work scales with gathered windows, not grid volume) ---
+    f_tiles = gather_tiles(grid_mm, out=(wpad, 4))
     krows = ptf.g2p_rows(
         pdata, f_tiles, ntiles, btable, jobs, bcells, grid, group, npad, nc,
-        jbody, by=by, moving=moving,
+        jbody, by=by, moving=mode[2], static_desc=mode[1], chan_free=mode[0],
+        fold_vel=True,
     )
 
     # --- fused particle update + row rebuild: ONE Pallas pass (see
@@ -1073,7 +1095,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
                                 cfg: MpmConfig, n: int,
                                 axis_name: Optional[str] = None,
                                 diag: Optional[StepDiag] = None,
-                                static_cdf=None, static_chan=None):
+                                static_cdf=None):
     """Sparse/unbounded-domain 3D substep core (see _substep_pallas_rows).
 
     The reference's GPU-hashmap sparse grid (grid.wgsl:98-164) rebuilt the
@@ -1184,26 +1206,33 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
 
     pdata = rows_all[: ptf.NCHAN]
 
-    # --- CDF phase: analytic node CDF on ACTIVE nodes only ---
+    # --- CDF phase: chan-free in-kernel analytic CDF (no per-substep
+    # active-node eval/pack/gather); mesh colliders keep the active-slot
+    # channel path ---
+    mode = _cdf_mode(cfg)
     if nc > 0:
-        acoords = bk.sparse_key_coords(act, d)                  # [amax, 3]
-        cell_off = jnp.stack(
-            jnp.meshgrid(*([jnp.arange(bs)] * d), indexing="ij"), -1
-        ).reshape(-1, d)                                        # [64, 3]
-        cells = (
-            acoords[:, None, :] * bs
-            + jnp.asarray(grid.origin_cell, jnp.int32)
-            + cell_off[None, :, :]
-        )                                                        # [amax,64,3]
-        npos = cells.astype(jnp.float32) * grid.cell_width
-        npx = npos[..., 0].reshape(-1)
-        npy = npos[..., 1].reshape(-1)
-        npz = npos[..., 2].reshape(-1)
-        node_dist, node_aff, node_closest = cdf_channel.node_cdf_channels(
-            cfg.collider_types, bodies.shape_params, bodies.rot, bodies.pos,
-            (npx, npy, npz), grid.cell_width,
-        )
-        if cfg.mesh_cids:
+        if mode[0]:
+            chan_grid = None
+        else:
+            acoords = bk.sparse_key_coords(act, d)              # [amax, 3]
+            cell_off = jnp.stack(
+                jnp.meshgrid(*([jnp.arange(bs)] * d), indexing="ij"), -1
+            ).reshape(-1, d)                                    # [64, 3]
+            cells = (
+                acoords[:, None, :] * bs
+                + jnp.asarray(grid.origin_cell, jnp.int32)
+                + cell_off[None, :, :]
+            )                                                    # [amax,64,3]
+            npos = cells.astype(jnp.float32) * grid.cell_width
+            npx = npos[..., 0].reshape(-1)
+            npy = npos[..., 1].reshape(-1)
+            npz = npos[..., 2].reshape(-1)
+            node_dist, node_aff, node_closest = (
+                cdf_channel.node_cdf_channels(
+                    cfg.collider_types, bodies.shape_params, bodies.rot,
+                    bodies.pos, (npx, npy, npz), grid.cell_width,
+                )
+            )
             # Rigid-particle mesh CDF on the active-slot table
             # (p2g_cdf.wgsl role; ops/rigid_cdf.py:mesh_node_cdf_sparse).
             from wgsparkl_tpu.ops import rigid_cdf
@@ -1220,12 +1249,15 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
                     cfg.mesh_cids,
                 )
             )
-        chan_grid = _cdf_chan_grid(node_dist, node_aff, node_closest, amax, d)
-        btable = _body_table(bodies)
+            chan_grid = _cdf_chan_grid(
+                node_dist, node_aff, node_closest, amax, d
+            )
+        btable = _body_table(bodies, params, grid)
         ntiles, jbody, mm_out, imp_out, pcdf_rows, pdata = (
             _cdf_kernel_phase_3d(
                 pdata, chan_grid, gather_tiles, btable, jobs, bcells, grid,
                 group, npad, nc, static_slots=cfg.static_slots,
+                bodies=bodies, mode=mode,
             )
         )
     else:
@@ -1233,7 +1265,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         ntiles = jnp.zeros((maxj, ptf.WPAD, 4), jnp.float32)
         jbody = None
         pcdf_rows = jnp.zeros((8, npad), jnp.float32)
-        btable = _body_table(bodies)
+        btable = _body_table(bodies, params, grid)
         mm_out, imp_out = ptf.p2g_tiles(
             pdata, ntiles, btable, jobs, bcells, grid, group, nc, jbody
         )
@@ -1314,14 +1346,12 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
         lin_imp = jax.lax.psum(lin_imp, axis_name)
         ang_imp = jax.lax.psum(ang_imp, axis_name)
 
-    # --- grid update ---
-    vel_b = _grid_velocity(grid_mm, params, grid, d)
-
-    # --- G2P ---
-    f_tiles = gather_tiles(vel_b, out=(ptf.WPAD, 4))
+    # --- grid update + G2P (momentum -> velocity folds INTO the kernel) ---
+    f_tiles = gather_tiles(grid_mm, out=(ptf.WPAD, 4))
     krows = ptf.g2p_rows(
         pdata, f_tiles, ntiles, btable, jobs, bcells, grid, group, npad, nc,
-        jbody,
+        jbody, moving=mode[2], static_desc=mode[1], chan_free=mode[0],
+        fold_vel=True,
     )
 
     # --- fused particle update + row rebuild: ONE Pallas pass (see
@@ -1339,8 +1369,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
 
 def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
                             n: int, axis_name: Optional[str] = None,
-                            diag: Optional[StepDiag] = None, static_cdf=None,
-                            static_chan=None):
+                            diag: Optional[StepDiag] = None, static_cdf=None):
     """2D channel-major substep core (see _substep_pallas_rows; 2D kernel
     family in ops/pallas_transfer2d.py: 8x8 blocks, 10^2 windows)."""
     from wgsparkl_tpu.ops import blocked as bk
