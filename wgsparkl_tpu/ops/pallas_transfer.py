@@ -613,12 +613,16 @@ def p2g_tiles(pdata, itiles, btable, jobs, bcells, cfg: GridConfig,
         _p2g_kernel, group=group, cell_width=cfg.cell_width, nc=nc,
         wsh=wsh, wpad=wpad,
     )
+    # nc == 0 never reads itiles: keep the dummy resident (no per-job DMA).
+    itile_map = (
+        (lambda j, *_: (0, 0, 0)) if nc == 0 else (lambda j, *_: (j, 0, 0))
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, wpad, 4), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, wpad, 4), itile_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((32, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -1041,8 +1041,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
             )
         )
     else:
-        maxj = cfg.max_jobs
-        ntiles = jnp.zeros((maxj, wpad, 4), jnp.float32)
+        ntiles = jnp.zeros((1, wpad, 4), jnp.float32)
         jbody = None
         pcdf_rows = jnp.zeros((8, npad), jnp.float32)
         btable = _body_table(bodies, params, grid)
@@ -1261,8 +1260,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
             )
         )
     else:
-        maxj = cfg.max_jobs
-        ntiles = jnp.zeros((maxj, ptf.WPAD, 4), jnp.float32)
+        ntiles = jnp.zeros((1, ptf.WPAD, 4), jnp.float32)
         jbody = None
         pcdf_rows = jnp.zeros((8, npad), jnp.float32)
         btable = _body_table(bodies, params, grid)
