@@ -165,6 +165,55 @@ def _ghost_velocity(pd, bv, friction=DEFAULT_FRICTION):
     return [bv[i] + rel[i] for i in range(2)]
 
 
+def _moving_node_cdf_2d(xw, btable_ref, desc, cell_width):
+    """Analytic node CDF of `desc` colliders at the window nodes,
+    IN-KERNEL (2D twin of ptf._moving_node_cdf — same cdf_channel helper
+    sequence as the dense path, so results match bit-exactly).
+
+    btable rows (16-row 2D layout): 0-1 world COM, 2-3 linvel, 4 angvel,
+    5-6 rotation (cos, sin), 7-8 translation, 9-11 shape params.
+    Returns (dist [WPAD,1] f32 BIG-where-none, aff [WPAD,1] uint32,
+    closest [WPAD,1] f32 -1-where-none)."""
+    from wgsparkl_tpu.collision import cdf_channel as cch
+    from wgsparkl_tpu.collision import shapes as shp
+
+    wpad = xw.shape[0]
+    pos = [xw[:, a : a + 1] for a in range(2)]
+    dist = jnp.full((wpad, 1), cch.BIG, jnp.float32)
+    aff = jnp.zeros((wpad, 1), jnp.uint32)
+    closest = jnp.full((wpad, 1), -1.0, jnp.float32)
+    cap = 1.5 * cell_width
+    for slot, st in desc:
+        ri = [btable_ref[5, slot], btable_ref[6, slot]]
+        ti = [btable_ref[7, slot], btable_ref[8, slot]]
+        q = cch._to_local(ri, ti, pos)
+        if st == shp.SHAPE_CUBOID:
+            he = [btable_ref[9 + a, slot] for a in range(2)]
+            proj, inside = cch._proj_cuboid(he, q)
+        elif st == shp.SHAPE_BALL:
+            proj, inside = cch._proj_ball(btable_ref[9, slot], q)
+        elif st == shp.SHAPE_CAPSULE:
+            proj, inside = cch._proj_capsule(
+                btable_ref[9, slot], btable_ref[10, slot], q
+            )
+        else:
+            proj, inside = cch._proj_halfspace(q)
+        dl = [proj[a] - q[a] for a in range(2)]
+        dw = cch._to_world_vec(ri, dl)
+        box = (jnp.abs(dw[0]) <= cap) & (jnp.abs(dw[1]) <= cap)
+        within = inside | box
+        di = jnp.sqrt(dw[0] * dw[0] + dw[1] * dw[1])
+        closer = within & (di < dist)
+        closest = jnp.where(closer, jnp.float32(slot), closest)
+        dist = jnp.where(closer, di, dist)
+        bits = jnp.where(
+            inside, jnp.uint32(0x00010001 << slot),
+            jnp.uint32(0x00000001 << slot),
+        )
+        aff = aff | jnp.where(within, bits, jnp.uint32(0))
+    return dist, aff, closest
+
+
 def _node_body_velocity(closest, xw, btable_ref, nc: int):
     """[WPAD, 1] x 2 body velocity at nodes; btable rows: 0-1 COM,
     2-3 linvel, 4 angvel (scalar)."""
@@ -186,7 +235,8 @@ def _p2g_kernel(
     pdata_ref, itile_ref, btable_ref,
     out_ref, imp_ref,
     pd_big, sem,
-    *, group: int, cell_width: float, nc: int,
+    *, group: int, cell_width: float, nc: int, alldesc=(),
+    chan_free: bool = False,
 ):
     j = pl.program_id(0)
     length = lens[j]
@@ -246,8 +296,13 @@ def _p2g_kernel(
 
             @pl.when(has_b)
             def _():
-                naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)
-                closest = itile_ref[0][:, 1:2]
+                if chan_free:
+                    _, naff, closest = _moving_node_cdf_2d(
+                        xw, btable_ref, alldesc, cell_width
+                    )
+                else:
+                    naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)
+                    closest = itile_ref[0][:, 1:2]
                 paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
                 compat = _compat(naff, paff)
                 write_mm(jnp.where(compat, w, 0.0))
@@ -285,23 +340,33 @@ def _p2g_kernel(
 
 
 def p2g_tiles(pdata, itiles, btable, jobs, bcells, cfg: GridConfig,
-              group: int, nc: int, jbody=None):
+              group: int, nc: int, jbody=None, alldesc=(),
+              chan_free: bool = False):
     """(mm [MAXJ, WPAD, 8] cols 0-1 momentum / 2 mass, imp [MAXJ, 8, 128]
-    rows 0-1 linear / 2 angular impulse)."""
+    rows 0-1 linear / 2 angular impulse).
+
+    chan_free: the colliders in alldesc ((slot, shape_type) ascending) are
+    evaluated IN-KERNEL at the window nodes (_moving_node_cdf_2d); itiles
+    is then a resident [1, WPAD, 2] dummy."""
     maxj = jobs["start"].shape[0]
     if jbody is None:
         jbody = jnp.ones((maxj,), jnp.int32)
     kernel = functools.partial(
-        _p2g_kernel, group=group, cell_width=cfg.cell_width, nc=nc
+        _p2g_kernel, group=group, cell_width=cfg.cell_width, nc=nc,
+        alldesc=tuple(alldesc), chan_free=chan_free,
+    )
+    itile_map = (
+        (lambda j, *_: (0, 0, 0)) if (chan_free or nc == 0)
+        else (lambda j, *_: (j, 0, 0))
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, WPAD, 2), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, WPAD, 2), itile_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda j, *_: (0, 0),
+            pl.BlockSpec((16, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -333,7 +398,8 @@ def _g2p_kernel(
     pdata_ref, ftile_ref, itile_ref, btable_ref,
     out_hbm,
     pd_big, res_big, outbuf, sem, sem_rd, sem_out,
-    *, group: int, cell_width: float, nc: int,
+    *, group: int, cell_width: float, nc: int, alldesc=(),
+    chan_free: bool = False, fold_vel: bool = False,
 ):
     j = pl.program_id(0)
     start = starts[j]
@@ -358,7 +424,27 @@ def _g2p_kernel(
         w = _window_w(pd, bcell, cell_width, valid)
 
         xw = _window_positions(bcell, cell_width)                # [WPAD, 2]
-        v = ftile_ref[0][:, 0:2]
+        if fold_vel:
+            # In-kernel grid update (grid_update.wgsl:44-65); ftiles carry
+            # raw momentum + mass, params ride btable row 13.
+            mass_n = ftile_ref[0][:, 2:3]
+            inv_m = jnp.where(
+                mass_n > 0.0, 1.0 / jnp.maximum(mass_n, 1e-30), 0.0
+            )
+            vlim = btable_ref[13, 2]
+            v = jnp.concatenate(
+                [
+                    jnp.clip(
+                        (ftile_ref[0][:, k : k + 1]
+                         + mass_n * btable_ref[13, k]) * inv_m,
+                        -vlim, vlim,
+                    )
+                    for k in range(2)
+                ],
+                axis=1,
+            )
+        else:
+            v = ftile_ref[0][:, 0:2]
         vx_cols = [
             v[:, i : i + 1] * xw[:, k : k + 1]
             for i in range(2)
@@ -396,8 +482,13 @@ def _g2p_kernel(
 
             @pl.when(has_b)
             def _():
-                naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)
-                closest = itile_ref[0][:, 1:2]
+                if chan_free:
+                    _, naff, closest = _moving_node_cdf_2d(
+                        xw, btable_ref, alldesc, cell_width
+                    )
+                else:
+                    naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)
+                    closest = itile_ref[0][:, 1:2]
                 paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
                 compat = _compat(naff, paff)
                 w_c = jnp.where(compat, w, 0.0)
@@ -431,15 +522,24 @@ def _g2p_kernel(
 
 
 def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
-             group: int, npad: int, nc: int, jbody=None):
-    """[8, NPAD + G + 128]: rows 0-1 PIC velocity, 2-5 velocity moment."""
+             group: int, npad: int, nc: int, jbody=None, alldesc=(),
+             chan_free: bool = False, fold_vel: bool = False):
+    """[8, NPAD + G + 128]: rows 0-1 PIC velocity, 2-5 velocity moment.
+
+    chan_free / fold_vel: see the 3D twins (ops/pallas_transfer.g2p_rows);
+    params for the folded grid update ride btable row 13."""
     maxj = jobs["start"].shape[0]
     if jbody is None:
         jbody = jnp.ones((maxj,), jnp.int32)
     kernel = functools.partial(
-        _g2p_kernel, group=group, cell_width=cfg.cell_width, nc=nc
+        _g2p_kernel, group=group, cell_width=cfg.cell_width, nc=nc,
+        alldesc=tuple(alldesc), chan_free=chan_free, fold_vel=fold_vel,
     )
     gl = group + 128
+    itile_map = (
+        (lambda j, *_: (0, 0, 0)) if (chan_free or nc == 0)
+        else (lambda j, *_: (j, 0, 0))
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(maxj,),
@@ -447,9 +547,9 @@ def g2p_rows(pdata, ftiles, itiles, btable, jobs, bcells, cfg: GridConfig,
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, WPAD, 4), lambda j, *_: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WPAD, 2), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, WPAD, 2), itile_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda j, *_: (0, 0),
+            pl.BlockSpec((16, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -499,10 +599,11 @@ def _inv3_solve_ch(a, b):
 
 def _pcdf_kernel(
     starts, lens, bcx, bcy, jbody,
-    pdata_ref, ntile_ref,
+    pdata_ref, ntile_ref, btable_ref,
     out_hbm,
     pd_big, res_big, outbuf, sem, sem_rd, sem_out,
-    *, group: int, cell_width: float, nc: int,
+    *, group: int, cell_width: float, nc: int, alldesc=(),
+    chan_free: bool = False,
 ):
     j = pl.program_id(0)
     start = starts[j]
@@ -543,13 +644,27 @@ def _pcdf_kernel(
 
         @pl.when(has_b)
         def _():
+            bcell = jnp.stack([bcx[j], bcy[j]])
+            if chan_free:
+                xw = _window_positions(bcell, cell_width)
+                ndist, naff_u, _ = _moving_node_cdf_2d(
+                    xw, btable_ref, alldesc, cell_width
+                )
+            else:
+                aff_lo = ntile_ref[0][:, 0:1]
+                aff_hi = ntile_ref[0][:, 1:2]
+                ndist = ntile_ref[0][:, 3:4]
+                naff_u = pltpu.bitcast(
+                    (aff_hi.astype(jnp.int32) << 16)
+                    | aff_lo.astype(jnp.int32), jnp.uint32,
+                )
             _pcdf_body(
-                pd, ntile_ref, jnp.stack([bcx[j], bcy[j]]), length, finish,
+                pd, naff_u, ndist, bcell, length, finish,
                 group=group, cell_width=cell_width, nc=nc,
             )
 
 
-def _pcdf_body(pd, ntile_ref, bcell, length, finish, *,
+def _pcdf_body(pd, naff_u, ndist, bcell, length, finish, *,
                group: int, cell_width: float, nc: int):
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, group), 1)[0]
     valid_f = (lanes < length).astype(jnp.float32)
@@ -568,13 +683,6 @@ def _pcdf_body(pd, ntile_ref, bcell, length, finish, *,
         & (wid < WVOL)
     ) & (valid_f[None, :] > 0)
 
-    aff_lo = ntile_ref[0][:, 0:1]
-    aff_hi = ntile_ref[0][:, 1:2]
-    ndist = ntile_ref[0][:, 3:4]
-    naff = (
-        aff_hi.astype(jnp.int32) << 16
-    ) | aff_lo.astype(jnp.int32)
-    naff_u = pltpu.bitcast(naff, jnp.uint32)
     prev_aff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
 
     p_aff_bits = jnp.zeros((1, group), jnp.uint32)
@@ -647,22 +755,33 @@ def _pcdf_body(pd, ntile_ref, bcell, length, finish, *,
     finish(res)
 
 
-def pcdf_rows(pdata, ntiles, jobs, bcells, cfg: GridConfig, group: int,
-              npad: int, nc: int, jbody=None):
-    """[8, NPAD + G + 128] rows: aff (bitcast), sd, normal xy."""
+def pcdf_rows(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
+              group: int, npad: int, nc: int, jbody=None, alldesc=(),
+              chan_free: bool = False):
+    """[8, NPAD + G + 128] rows: aff (bitcast), sd, normal xy.
+
+    chan_free: node CDF evaluated in-kernel from btable (alldesc); ntiles
+    is then a resident [1, WPAD, 4] dummy."""
     maxj = jobs["start"].shape[0]
     if jbody is None:
         jbody = jnp.ones((maxj,), jnp.int32)
     kernel = functools.partial(
-        _pcdf_kernel, group=group, cell_width=cfg.cell_width, nc=nc
+        _pcdf_kernel, group=group, cell_width=cfg.cell_width, nc=nc,
+        alldesc=tuple(alldesc), chan_free=chan_free,
     )
     gl = group + 128
+    ntile_map = (
+        (lambda j, *_: (0, 0, 0)) if chan_free
+        else (lambda j, *_: (j, 0, 0))
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(maxj,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, WPAD, 4), lambda j, *_: (j, 0, 0),
+            pl.BlockSpec((1, WPAD, 4), ntile_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 128), lambda j, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -682,4 +801,4 @@ def pcdf_rows(pdata, ntiles, jobs, bcells, cfg: GridConfig, group: int,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
     )(jobs["start"], jobs["len"], bcells[:, 0], bcells[:, 1], jbody,
-      pdata, ntiles)
+      pdata, ntiles, btable)

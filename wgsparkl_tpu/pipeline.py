@@ -113,6 +113,11 @@ class MpmConfig:
     sample_group: int = 128
     sample_chunk: int = 32
     sample_max_jobs: int = 0
+    # Point-to-point (ball) joints between body slots: static tuples
+    # (slot_b, slot_c, local_anchor_b, local_anchor_c) with float-tuple
+    # anchors (rigid/joints.py; rapier's joint role in the reference
+    # testbed, step.rs:201-217).
+    joints: Tuple = ()
     # Body slots whose pose is assumed constant within a frame ('fixed'
     # bodies created with zero velocity — auto-inferred by MpmData).  Their
     # analytic node CDF is computed ONCE per frame by step_pallas instead of
@@ -738,16 +743,6 @@ def _moving_reach_gate(bcells, bodies, moving, wsh, h):
         di = jnp.sqrt(sum((proj[a] - q[a]) ** 2 for a in range(d)))
         hit = hit | inside | (di <= thresh)
     return hit
-
-
-def _grid_velocity(grid_mm, params, grid, d: int):
-    """Momentum -> velocity + gravity + 1-cell/step clamp, elementwise on
-    block rows (grid_update.wgsl:44-65; ghost slot stays zero)."""
-    mass_b = grid_mm[..., d:]
-    inv_mass = jnp.where(mass_b > 0.0, 1.0 / jnp.maximum(mass_b, 1e-30), 0.0)
-    vel_b = (grid_mm[..., :d] + mass_b * params.gravity * params.dt) * inv_mass
-    vel_limit = grid.cell_width / params.dt
-    return jnp.clip(vel_b, -vel_limit, vel_limit)
 
 
 def _split_impulses(imp_out, count: int, d: int):
@@ -1444,20 +1439,46 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
     pdata = rows_all[: ptf.NCHAN]
     wvol = ptf.WVOL
 
-    # --- CDF phase ---
+    # --- CDF phase (chan-free: all-analytic in-kernel window CDF, no
+    # per-substep dense eval / pack / gather — see 3D _cdf_mode) ---
+    mode = _cdf_mode(cfg)
+    alldesc = tuple(sorted(mode[1] + mode[2]))
+    # 2D body table: rows 0-1 world COM, 2-3 linvel, 4 angvel (scalar),
+    # 5-6 rotation (cos, sin), 7-8 translation, 9-11 shape params,
+    # 13 = [g0 dt, g1 dt, vel clamp] for the in-kernel grid update.
+    btable = jnp.zeros((16, 128), jnp.float32)
+    btable = btable.at[0:2, : bodies.count].set(bodies.world_com.T)
+    btable = btable.at[2:4, : bodies.count].set(bodies.linvel.T)
+    btable = btable.at[4:5, : bodies.count].set(bodies.angvel.T)
+    btable = btable.at[5:7, : bodies.count].set(bodies.rot.T)
+    btable = btable.at[7:9, : bodies.count].set(bodies.pos.T)
+    btable = btable.at[9:12, : bodies.count].set(
+        bodies.shape_params[:, :3].T
+    )
+    btable = btable.at[13, :2].set(params.gravity * params.dt)
+    btable = btable.at[13, 2].set(grid.cell_width / params.dt)
     if nc > 0:
-        state_view = SimState(particles=None, models=None, bodies=bodies,
-                              meshes=meshes)
-        node_dist, node_aff, node_closest = _node_cdf_full(
-            state_view, bodies, cfg, block_major=True, static_part=static_cdf
-        )
-        chan_grid = _cdf_chan_grid(node_dist, node_aff, node_closest,
-                                   nb_total, d)
-        ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4), c=4)
-        jbody = _jbody_gate(ntiles, wvol)
+        if mode[0]:
+            wsh2 = (10, 10)
+            hit = _moving_reach_gate(bcells, bodies, alldesc, wsh2,
+                                     grid.cell_width)
+            jbody = hit.astype(jnp.int32)
+            ntiles = jnp.zeros((1, ptf.WPAD, 4), jnp.float32)
+        else:
+            state_view = SimState(particles=None, models=None, bodies=bodies,
+                                  meshes=meshes)
+            node_dist, node_aff, node_closest = _node_cdf_full(
+                state_view, bodies, cfg, block_major=True,
+                static_part=static_cdf
+            )
+            chan_grid = _cdf_chan_grid(node_dist, node_aff, node_closest,
+                                       nb_total, d)
+            ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4), c=4)
+            jbody = _jbody_gate(ntiles, wvol)
 
         krows = ptf.pcdf_rows(
-            pdata, ntiles, jobs, bcells, grid, group, npad, nc, jbody
+            pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc,
+            jbody, alldesc=alldesc, chan_free=mode[0],
         )
         aff_u = jnp.where(
             ig, jax.lax.bitcast_convert_type(krows[0, :npad], jnp.uint32),
@@ -1471,27 +1492,25 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
             (ptf.AFF, 0),
         )
 
-        aff_w = (
-            ntiles[..., 1].astype(jnp.int32) << 16
-        ) | ntiles[..., 0].astype(jnp.int32)
-        closest_w = ntiles[..., 2].astype(jnp.int32)
-        itiles = jnp.stack([aff_w, closest_w], axis=-1)
+        if mode[0]:
+            itiles = jnp.zeros((1, ptf.WPAD, 2), jnp.int32)
+        else:
+            aff_w = (
+                ntiles[..., 1].astype(jnp.int32) << 16
+            ) | ntiles[..., 0].astype(jnp.int32)
+            closest_w = ntiles[..., 2].astype(jnp.int32)
+            itiles = jnp.stack([aff_w, closest_w], axis=-1)
     else:
-        maxj = cfg.max_jobs
-        itiles = jnp.zeros((maxj, ptf.WPAD, 2), jnp.int32)
+        itiles = jnp.zeros((1, ptf.WPAD, 2), jnp.int32)
         jbody = None
         aff_u = jnp.zeros((npad,), jnp.uint32)
         sd_ch = jnp.zeros((npad,), jnp.float32)
         n_ch = [jnp.zeros((npad,), jnp.float32) for _ in range(2)]
 
     # --- P2G ---
-    # 2D body table: rows 0-1 world COM, 2-3 linvel, 4 angvel (scalar).
-    btable = jnp.zeros((8, 128), jnp.float32)
-    btable = btable.at[0:2, : bodies.count].set(bodies.world_com.T)
-    btable = btable.at[2:4, : bodies.count].set(bodies.linvel.T)
-    btable = btable.at[4:5, : bodies.count].set(bodies.angvel.T)
     mm_out, imp_out = ptf.p2g_tiles(
-        pdata, itiles, btable, jobs, bcells, grid, group, nc, jbody
+        pdata, itiles, btable, jobs, bcells, grid, group, nc, jbody,
+        alldesc=alldesc, chan_free=mode[0],
     )
     grid_mm = jnp.zeros((nb_total + 1,) + (bs,) * d + (d + 1,), jnp.float32)
     grid_mm = bk.scatter_tiles_auto(
@@ -1511,14 +1530,11 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         lin_imp = jax.lax.psum(lin_imp, axis_name)
         ang_imp = jax.lax.psum(ang_imp, axis_name)
 
-    # --- grid update ---
-    vel_b = _grid_velocity(grid_mm, params, grid, d)
-
-    # --- G2P ---
-    f_tiles = gather_tiles(vel_b, out=(ptf.WPAD, 4))
+    # --- grid update + G2P (momentum -> velocity folds INTO the kernel) ---
+    f_tiles = gather_tiles(grid_mm, out=(ptf.WPAD, 4))
     krows = ptf.g2p_rows(
         pdata, f_tiles, itiles, btable, jobs, bcells, grid, group, npad, nc,
-        jbody,
+        jbody, alldesc=alldesc, chan_free=mode[0], fold_vel=True,
     )
 
     # --- fused particle update, channel-major ---
@@ -1663,6 +1679,17 @@ def rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg):
             slop=0.05 * grid_cfg.cell_width,
         )
 
+    # Ball joints (rigid/joints.py; rapier's joint role, step.rs:201-217).
+    if isinstance(cfg, MpmConfig) and cfg.joints:
+        from wgsparkl_tpu.rigid import joints as joints_mod
+
+        new_lin, new_ang = joints_mod.resolve_joints(
+            body_mod.update_world_mass_properties(
+                bodies.replace(rot=new_rot, pos=new_pos)
+            ),
+            cfg.joints, new_lin, new_ang, dt,
+        )
+
     return bodies.replace(rot=new_rot, pos=new_pos, linvel=new_lin, angvel=new_ang)
 
 
@@ -1791,6 +1818,7 @@ class MpmData:
         amax: int = 0,
         by: int = 4,
         band_arg: int = 0,
+        joints: Sequence = (),
     ):
         """coupling: per-body COUPLING_ONE_WAY / COUPLING_TWO_WAY list
         (with_select_coupling parity, pipeline.rs:130-168); default = all
@@ -1954,6 +1982,10 @@ class MpmData:
             amax=amax,
             by=by,
             band=band,
+            joints=tuple(
+                (int(b), int(c), tuple(map(float, ab)), tuple(map(float, ac)))
+                for (b, c, ab, ac) in joints
+            ),
         )
         if by != 4:
             assert not mesh_slots, "by != 4 does not support mesh colliders"
