@@ -102,9 +102,28 @@ class Testbed:
                     mode=render.MODES[self.run_state.render_mode],
                     cell_width=self.data.config.grid.cell_width,
                 )
+                # Rigid colliders ride the same cloud at their CURRENT poses
+                # (rigid_graphics.rs / prep_vertex_buffer main_rigid_particles
+                # role), in a fixed gray.
+                bodies = self.data.state.bodies
+                cpts = render.collider_surface_points(
+                    self.data.bodies_desc, np.asarray(bodies.rot),
+                    np.asarray(bodies.pos),
+                    spacing=0.7 * self.data.config.grid.cell_width,
+                )
+                if len(cpts):
+                    inst = {
+                        "position": np.concatenate(
+                            [np.asarray(inst["position"]), cpts]
+                        ),
+                        "color": np.concatenate([
+                            np.asarray(inst["color"]),
+                            np.full((len(cpts), 3), 0.55, np.float32),
+                        ]),
+                    }
                 render.write_ply(
                     f"{dump_dir}/frame_{self.frame:05d}.ply", inst,
-                    max_points=200_000,
+                    max_points=200_000 + len(cpts),
                 )
         return self.stats()
 
