@@ -64,6 +64,13 @@ def main():
         transfer="pallas", group=group, max_jobs=max_jobs, sparse=sparse,
         by=by,
     )
+    if int(os.environ.get("BENCH_EAGER_SORT", 0)):
+        # The paddle keeps this scene from ever settling: the lazy-sort
+        # runtime skip never fires and only costs its whole-state cond
+        # carry.  A/B knob.
+        import dataclasses as _dc
+
+        data.config = _dc.replace(data.config, lazy_sort=False)
     print(
         f"bench scene: {n} particles, grid {data.config.grid.shape}, "
         f"{substeps} substeps/frame, device={jax.devices()[0]}",

@@ -113,6 +113,10 @@ class MpmConfig:
     sample_group: int = 128
     sample_chunk: int = 32
     sample_max_jobs: int = 0
+    # Runtime skip of the re-sort when keys are already nondecreasing
+    # (costs a whole-state lax.cond carry; disable for never-settling
+    # benches).
+    lazy_sort: bool = True
     # Point-to-point (ball) joints between body slots: static tuples
     # (slot_b, slot_c, local_anchor_b, local_anchor_c) with float-tuple
     # anchors (rigid/joints.py; rapier's joint role in the reference
@@ -596,11 +600,15 @@ class StepDiag:
 
 
 # ------------------------------------------------- shared pallas-core phases
-def _lazy_sort(rows_all, keys, npad: int, aff: tuple = None):
+def _lazy_sort(rows_all, keys, npad: int, aff: tuple = None,
+               lazy: bool = True):
     """Lazy re-sort: when the block keys are still nondecreasing the current
     order IS a valid sort — skip the permutation entirely (the reference
     re-sorts unconditionally every substep, grid.rs:30-206).  Otherwise the
     WHOLE state moves as one banded lane permutation (ops/permute.py).
+    lazy=False drops the runtime skip (and its whole-state cond carry) —
+    right for scenes that never settle (WGSPARKL_EAGER_SORT=1 A/B knob in
+    bench.py via MpmConfig.lazy_sort).
 
     aff = (aff_row, spare_row): the bitcast-uint32 affinity row can hold a
     NaN bit pattern (all sign bits 23-30 set, possible at >= 15 colliders)
@@ -638,6 +646,8 @@ def _lazy_sort(rows_all, keys, npad: int, aff: tuple = None):
             ).at[sr].set(0.0)
         return out, sids
 
+    if not lazy:
+        return resort((rows_all, keys))
     return jax.lax.cond(still, keep, resort, (rows_all, keys))
 
 
@@ -959,7 +969,8 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
 
     def sort_rows(rows):
         return _lazy_sort(
-            rows, keys_of(rows), npad, aff=(ptf.AFF, ptf.AFF_SPARE)
+            rows, keys_of(rows), npad, aff=(ptf.AFF, ptf.AFF_SPARE),
+            lazy=cfg.lazy_sort,
         )
 
     rows_all, sorted_ids = sort_rows(rows_all)
@@ -1135,7 +1146,8 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
 
     def sort_rows(rows):
         return _lazy_sort(
-            rows, keys_of(rows), npad, aff=(ptf.AFF, ptf.AFF_SPARE)
+            rows, keys_of(rows), npad, aff=(ptf.AFF, ptf.AFF_SPARE),
+            lazy=cfg.lazy_sort,
         )
 
     rows_all, sorted_ids = sort_rows(rows_all)
@@ -1396,7 +1408,8 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
 
     def sort_rows(rows):
         return _lazy_sort(
-            rows, keys_of(rows), npad, aff=(ptf.AFF, ptf.AFF_SPARE)
+            rows, keys_of(rows), npad, aff=(ptf.AFF, ptf.AFF_SPARE),
+            lazy=cfg.lazy_sort,
         )
 
     rows_all, sorted_ids = sort_rows(rows_all)
