@@ -858,9 +858,14 @@ def _cdf_mode(cfg):
     op sequence as the dense cdf_channel path, bit-exact) so the
     per-substep dense node-CDF eval / merge / channel pack AND the per-job
     node-channel gather disappear entirely.  Mesh colliders need gathered
-    grid channels, so they keep the dense path (chan_free=False)."""
+    grid channels, so they keep the dense path (chan_free=False).
+    WGSPARKL_CHAN_FREE=0 forces the gathered-channel path everywhere
+    (escape hatch while the in-kernel CDF is fresh on real Mosaic)."""
+    import os as _os
+
     nc = cfg.num_colliders
-    if nc == 0 or cfg.mesh_cids:
+    if (nc == 0 or cfg.mesh_cids
+            or _os.environ.get("WGSPARKL_CHAN_FREE", "1") == "0"):
         return False, (), ()
     ss = frozenset(cfg.static_slots)
     return (
