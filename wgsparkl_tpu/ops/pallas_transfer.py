@@ -52,14 +52,20 @@ NCHAN = 24
 # Extended packed-state rows (sorted as ONE [N, PCHAN] row gather; rows
 # 0..NCHAN-1 are the kernel pdata layout above, the rest carry the
 # particle-update / model channels through the per-substep sort).
+# Layout invariant: rows >= PERM_ROWS (sd, rigid contact velocity, pads)
+# are RECOMPUTED by the update kernel after every sort before any read, so
+# the banded lane permutation skips them (ids ride an NCHAN pad slot to
+# keep the live prefix at 48 = a sublane multiple).
+R_IDS = 21          # particle identity (NCHAN pad slot; rides pdata DMA)
 R_LAM, R_MU = 24, 25
 R_DP0 = 26          # h0 h1 h2 h3 lam mu (6 rows)
 R_DPS0 = 32         # det hardening log_vol_gain (3 rows)
 R_PHASE, R_STRETCH = 35, 36
 R_F0 = 37           # F00..F22 (9 rows)
-R_VOL, R_RAD, R_IDS = 46, 47, 48
-R_SD = 49           # particle CDF signed distance
-R_RV0 = 50          # rigid contact velocity (3 rows)
+R_VOL, R_RAD = 46, 47
+PERM_ROWS = 48      # rows [0, PERM_ROWS) move in the re-sort permute
+R_SD = 48           # particle CDF signed distance (fresh every substep)
+R_RV0 = 49          # rigid contact velocity (3 rows, fresh every substep)
 PCHAN = 56          # padded to a multiple of 8 sublanes
 DP_KEYS = ("h0", "h1", "h2", "h3", "lam", "mu")
 DPS_KEYS = ("det", "hardening", "log_vol_gain")
@@ -103,7 +109,9 @@ def pack_state_rows(particles, models):
         jax.lax.bitcast_convert_type(particles.cdf_affinity, jnp.float32),
         particles.cdf_normal[:, 0], particles.cdf_normal[:, 1],
         particles.cdf_normal[:, 2],
-        z, z, z, z,                   # pad to NCHAN
+        z,                                     # AFF_SPARE
+        particles.ids.astype(jnp.float32),     # R_IDS
+        z, z,                                  # pad to NCHAN
         models.lam, models.mu,
     ]
     cols += [models.dp[k] for k in DP_KEYS]
@@ -113,7 +121,6 @@ def pack_state_rows(particles, models):
     cols += [f[:, k] for k in range(9)]
     cols += [
         particles.init_volume, particles.init_radius,
-        particles.ids.astype(jnp.float32),
         particles.cdf_signed_distance,
         particles.cdf_rigid_vel[:, 0], particles.cdf_rigid_vel[:, 1],
         particles.cdf_rigid_vel[:, 2],

@@ -127,14 +127,13 @@ def _update_kernel(ce_ref, pvec_ref, rows_ref, krows_ref, pcdf_ref, sid_ref,
         + [out["affine"][(i, k)] for i in range(3) for k in range(3)]
         + [pltpu.bitcast(aff_u, jnp.float32)]
         + n_ch
-        + [row(rows_ref, r) for r in range(20, 24)]
+        + [row(rows_ref, r) for r in range(20, 24)]   # spare/ids/pads ride
         + [row(rows_ref, ptf.R_LAM), row(rows_ref, ptf.R_MU)]
         + [row(rows_ref, ptf.R_DP0 + i) for i in range(len(ptf.DP_KEYS))]
         + [out["dps"][k] for k in ptf.DPS_KEYS]
         + [out["phase"], row(rows_ref, ptf.R_STRETCH)]
         + [out["F"][(i, k)] for i in range(3) for k in range(3)]
-        + [row(rows_ref, ptf.R_VOL), row(rows_ref, ptf.R_RAD),
-           row(rows_ref, ptf.R_IDS)]
+        + [row(rows_ref, ptf.R_VOL), row(rows_ref, ptf.R_RAD)]
         + [sd_ch]
         + rv_ch
         + [row(rows_ref, r) for r in range(ptf.R_RV0 + 3, ptf.PCHAN)]

@@ -601,7 +601,7 @@ class StepDiag:
 
 # ------------------------------------------------- shared pallas-core phases
 def _lazy_sort(rows_all, keys, npad: int, aff: tuple = None,
-               lazy: bool = True):
+               lazy: bool = True, perm_rows: int = 0):
     """Lazy re-sort: when the block keys are still nondecreasing the current
     order IS a valid sort — skip the permutation entirely (the reference
     re-sorts unconditionally every substep, grid.rs:30-206).  Otherwise the
@@ -609,6 +609,11 @@ def _lazy_sort(rows_all, keys, npad: int, aff: tuple = None,
     lazy=False drops the runtime skip (and its whole-state cond carry) —
     right for scenes that never settle (WGSPARKL_EAGER_SORT=1 A/B knob in
     bench.py via MpmConfig.lazy_sort).
+
+    perm_rows > 0: only rows [0, perm_rows) ride the permutation — rows
+    past it (sd / rigid contact velocity / pads; the ptf.PERM_ROWS layout
+    invariant) are recomputed by the update kernel after every sort before
+    any read, so moving them would be pure waste.
 
     aff = (aff_row, spare_row): the bitcast-uint32 affinity row can hold a
     NaN bit pattern (all sign bits 23-30 set, possible at >= 15 colliders)
@@ -635,7 +640,12 @@ def _lazy_sort(rows_all, keys, npad: int, aff: tuple = None,
             lo = (au & 0xFFFF).astype(jnp.float32)
             hi = ((au >> 16) & 0xFFFF).astype(jnp.float32)
             rows = rows.at[ar].set(lo).at[sr].set(hi)
-        out = permute_lanes(rows, perm)
+        if perm_rows and perm_rows < rows.shape[0]:
+            out = jnp.concatenate(
+                [permute_lanes(rows[:perm_rows], perm), rows[perm_rows:]]
+            )
+        else:
+            out = permute_lanes(rows, perm)
         if aff is not None:
             ar, sr = aff
             au2 = out[ar].astype(jnp.int32) | (
@@ -975,7 +985,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     def sort_rows(rows):
         return _lazy_sort(
             rows, keys_of(rows), npad, aff=(ptf.AFF, ptf.AFF_SPARE),
-            lazy=cfg.lazy_sort,
+            lazy=cfg.lazy_sort, perm_rows=getattr(ptf, "PERM_ROWS", 0),
         )
 
     rows_all, sorted_ids = sort_rows(rows_all)
@@ -1152,7 +1162,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
     def sort_rows(rows):
         return _lazy_sort(
             rows, keys_of(rows), npad, aff=(ptf.AFF, ptf.AFF_SPARE),
-            lazy=cfg.lazy_sort,
+            lazy=cfg.lazy_sort, perm_rows=getattr(ptf, "PERM_ROWS", 0),
         )
 
     rows_all, sorted_ids = sort_rows(rows_all)
@@ -1414,7 +1424,7 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
     def sort_rows(rows):
         return _lazy_sort(
             rows, keys_of(rows), npad, aff=(ptf.AFF, ptf.AFF_SPARE),
-            lazy=cfg.lazy_sort,
+            lazy=cfg.lazy_sort, perm_rows=getattr(ptf, "PERM_ROWS", 0),
         )
 
     rows_all, sorted_ids = sort_rows(rows_all)
