@@ -51,24 +51,30 @@ NCHAN = 24
 
 # Extended packed-state rows (sorted as ONE [N, PCHAN] row gather; rows
 # 0..NCHAN-1 are the kernel pdata layout above, the rest carry the
-# particle-update / model channels through the per-substep sort).
-# Layout invariant: rows >= PERM_ROWS (sd, rigid contact velocity, pads)
-# are RECOMPUTED by the update kernel after every sort before any read, so
-# the banded lane permutation skips them (ids ride an NCHAN pad slot to
-# keep the live prefix at 48 = a sublane multiple).
+# particle-update STATE channels through the per-substep sort.
+# Two layout invariants shrink the moved payload:
+#   * rows >= PERM_ROWS (sd, rigid contact velocity, pads) are RECOMPUTED
+#     by the update kernel after every sort before any read, so the
+#     banded lane permutation skips them;
+#   * immutable per-particle constants (lam, mu, DP params, max_stretch,
+#     init volume/radius) don't ride at all — they collapse into the
+#     [16, 128] material table (Models.mat_table, lanes = material ids,
+#     MTAB_* rows) looked up in-kernel by the R_MID id row.
 R_IDS = 21          # particle identity (NCHAN pad slot; rides pdata DMA)
-R_LAM, R_MU = 24, 25
-R_DP0 = 26          # h0 h1 h2 h3 lam mu (6 rows)
-R_DPS0 = 32         # det hardening log_vol_gain (3 rows)
-R_PHASE, R_STRETCH = 35, 36
-R_F0 = 37           # F00..F22 (9 rows)
-R_VOL, R_RAD = 46, 47
-PERM_ROWS = 48      # rows [0, PERM_ROWS) move in the re-sort permute
-R_SD = 48           # particle CDF signed distance (fresh every substep)
-R_RV0 = 49          # rigid contact velocity (3 rows, fresh every substep)
-PCHAN = 56          # padded to a multiple of 8 sublanes
+R_MID = 22          # material id (NCHAN pad slot)
+R_DPS0 = 24         # det hardening log_vol_gain (3 rows)
+R_PHASE = 27
+R_F0 = 28           # F00..F22 (9 rows)
+PERM_ROWS = 40      # rows [0, PERM_ROWS) move in the re-sort permute
+R_SD = 40           # particle CDF signed distance (fresh every substep)
+R_RV0 = 41          # rigid contact velocity (3 rows, fresh every substep)
+PCHAN = 48          # padded to a multiple of 8 sublanes
 DP_KEYS = ("h0", "h1", "h2", "h3", "lam", "mu")
 DPS_KEYS = ("det", "hardening", "log_vol_gain")
+
+# Material-table rows (Models.mat_table [16, 128]; lanes = material ids).
+MTAB_LAM, MTAB_MU, MTAB_DP0 = 0, 1, 2          # dp h0..h3, lam, mu = 2..7
+MTAB_STRETCH, MTAB_VOL, MTAB_RAD = 8, 9, 10
 
 WVOL = 216   # 6^3 window (the isotropic by=4 default)
 WPAD = 224   # sublane-padded window rows (multiple of 8)
@@ -105,22 +111,26 @@ def pack_state_rows(particles, models):
     ]
     a = particles.affine.reshape(n, 9)
     cols += [a[:, k] for k in range(9)]
+    assert models.mat_id is not None, (
+        "pallas row packing needs the deduplicated material table — "
+        "construct the scene through MpmData (it fills Models.mat_id / "
+        "mat_table), or call solver.attach_material_table(particles, models)"
+    )
     cols += [
         jax.lax.bitcast_convert_type(particles.cdf_affinity, jnp.float32),
         particles.cdf_normal[:, 0], particles.cdf_normal[:, 1],
         particles.cdf_normal[:, 2],
         z,                                     # AFF_SPARE
         particles.ids.astype(jnp.float32),     # R_IDS
-        z, z,                                  # pad to NCHAN
-        models.lam, models.mu,
+        models.mat_id,                         # R_MID
+        z,                                     # pad to NCHAN
     ]
-    cols += [models.dp[k] for k in DP_KEYS]
     cols += [models.dp_state[k] for k in DPS_KEYS]
-    cols += [models.phase, models.max_stretch]
+    cols += [models.phase]
     f = particles.def_grad.reshape(n, 9)
     cols += [f[:, k] for k in range(9)]
+    cols += [z, z, z]                          # pad to PERM_ROWS
     cols += [
-        particles.init_volume, particles.init_radius,
         particles.cdf_signed_distance,
         particles.cdf_rigid_vel[:, 0], particles.cdf_rigid_vel[:, 1],
         particles.cdf_rigid_vel[:, 2],
@@ -140,28 +150,47 @@ def pack_rows_padded(particles, models, npad: int):
     return rows
 
 
-def unpack_state_rows(rows, particles, models):
-    """[PCHAN, N] sorted channel rows -> (particles, models) pytrees."""
+def _mtab_lookup(table, mid, r: int, n_mat: int):
+    """[N] constant from material-table row r by per-particle id (static
+    where-chain over the n_mat materials — exact, no gathers)."""
+    out = jnp.full(mid.shape, table[r, 0])
+    for m in range(1, n_mat):
+        out = jnp.where(mid == m, table[r, m], out)
+    return out
+
+
+def unpack_state_rows(rows, particles, models, n_mat: int = 1):
+    """[PCHAN, N] sorted channel rows -> (particles, models) pytrees.
+
+    n_mat: static material count (MpmConfig.n_materials) for the
+    constant-row reconstruction from Models.mat_table."""
     n = particles.count
     pos = rows[0:3, :].T
     vel = rows[3:6, :].T
     mass = rows[PM]
     affine = rows[A0 : A0 + 9, :].T.reshape(n, 3, 3)
     aff = jax.lax.bitcast_convert_type(rows[AFF], jnp.uint32)
+    mid = rows[R_MID]
+    tab = models.mat_table
     new_p = particles.replace(
         pos=pos, vel=vel, mass=mass, affine=affine, cdf_affinity=aff,
         def_grad=rows[R_F0 : R_F0 + 9, :].T.reshape(n, 3, 3),
-        init_volume=rows[R_VOL], init_radius=rows[R_RAD],
+        init_volume=_mtab_lookup(tab, mid, MTAB_VOL, n_mat),
+        init_radius=_mtab_lookup(tab, mid, MTAB_RAD, n_mat),
         ids=rows[R_IDS].astype(jnp.int32),
         cdf_normal=rows[NX : NX + 3, :].T,
         cdf_signed_distance=rows[R_SD],
         cdf_rigid_vel=rows[R_RV0 : R_RV0 + 3, :].T,
     )
     new_m = models.replace(
-        lam=rows[R_LAM], mu=rows[R_MU],
-        dp={k: rows[R_DP0 + i] for i, k in enumerate(DP_KEYS)},
+        lam=_mtab_lookup(tab, mid, MTAB_LAM, n_mat),
+        mu=_mtab_lookup(tab, mid, MTAB_MU, n_mat),
+        dp={k: _mtab_lookup(tab, mid, MTAB_DP0 + i, n_mat)
+            for i, k in enumerate(DP_KEYS)},
         dp_state={k: rows[R_DPS0 + i] for i, k in enumerate(DPS_KEYS)},
-        phase=rows[R_PHASE], max_stretch=rows[R_STRETCH],
+        phase=rows[R_PHASE],
+        max_stretch=_mtab_lookup(tab, mid, MTAB_STRETCH, n_mat),
+        mat_id=mid,
     )
     return new_p, new_m
 

@@ -92,8 +92,10 @@ def pack_rows_padded(particles, models, npad: int):
     return rows
 
 
-def unpack_state_rows(rows, particles, models):
-    """[PCHAN, N] sorted channel rows -> (particles, models) pytrees."""
+def unpack_state_rows(rows, particles, models, n_mat: int = 1):
+    """[PCHAN, N] sorted channel rows -> (particles, models) pytrees.
+    (n_mat accepted for 3D-twin API compatibility; 2D rows carry the
+    constants inline.)"""
     n = particles.count
     new_p = particles.replace(
         pos=rows[0:2, :].T,

@@ -35,8 +35,9 @@ def _interpret() -> bool:
 
 
 def _update_kernel(ce_ref, pvec_ref, rows_ref, krows_ref, pcdf_ref, sid_ref,
-                   btable_ref, out_ref, *, live_below: int, nc: int,
-                   cell_width: float, elastic_model: str, inv_d_val: float):
+                   btable_ref, mtable_ref, out_ref, *, live_below: int,
+                   nc: int, cell_width: float, elastic_model: str,
+                   inv_d_val: float, n_mat: int):
     g = pl.program_id(0)
     dt = pvec_ref[0, 0]
 
@@ -97,6 +98,16 @@ def _update_kernel(ce_ref, pvec_ref, rows_ref, krows_ref, pcdf_ref, sid_ref,
         ]
         rv_ch = [rv_ch[k] + jnp.where(has, bvb[k], 0.0) for k in range(3)]
 
+    # Immutable constants come from the material table by id (static
+    # where-chain over the scene's n_mat materials; scalar VMEM reads).
+    mid = row(rows_ref, ptf.R_MID)
+
+    def mval(r):
+        out = jnp.full((1, LBLK), mtable_ref[r, 0])
+        for m in range(1, n_mat):
+            out = jnp.where(mid == m, mtable_ref[r, m], out)
+        return out
+
     ch = {
         "pos": pos_ch,
         "vel": v_ch,
@@ -106,11 +117,11 @@ def _update_kernel(ce_ref, pvec_ref, rows_ref, krows_ref, pcdf_ref, sid_ref,
         "normal": n_ch,
         "rigid_vel": rv_ch,
         "mass": row(rows_ref, ptf.PM),
-        "vol0": row(rows_ref, ptf.R_VOL),
-        "lam": row(rows_ref, ptf.R_LAM),
-        "mu": row(rows_ref, ptf.R_MU),
+        "vol0": mval(ptf.MTAB_VOL),
+        "lam": mval(ptf.MTAB_LAM),
+        "mu": mval(ptf.MTAB_MU),
         "dp": {
-            k: row(rows_ref, ptf.R_DP0 + i)
+            k: mval(ptf.MTAB_DP0 + i)
             for i, k in enumerate(ptf.DP_KEYS)
         },
         "dps": {
@@ -118,7 +129,7 @@ def _update_kernel(ce_ref, pvec_ref, rows_ref, krows_ref, pcdf_ref, sid_ref,
             for i, k in enumerate(ptf.DPS_KEYS)
         },
         "phase": row(rows_ref, ptf.R_PHASE),
-        "stretch": row(rows_ref, ptf.R_STRETCH),
+        "stretch": mval(ptf.MTAB_STRETCH),
     }
     out = particle_update_channels(ch, prm, gcfg, elastic_model)
 
@@ -127,13 +138,11 @@ def _update_kernel(ce_ref, pvec_ref, rows_ref, krows_ref, pcdf_ref, sid_ref,
         + [out["affine"][(i, k)] for i in range(3) for k in range(3)]
         + [pltpu.bitcast(aff_u, jnp.float32)]
         + n_ch
-        + [row(rows_ref, r) for r in range(20, 24)]   # spare/ids/pads ride
-        + [row(rows_ref, ptf.R_LAM), row(rows_ref, ptf.R_MU)]
-        + [row(rows_ref, ptf.R_DP0 + i) for i in range(len(ptf.DP_KEYS))]
+        + [row(rows_ref, r) for r in range(20, 24)]   # spare/ids/mid ride
         + [out["dps"][k] for k in ptf.DPS_KEYS]
-        + [out["phase"], row(rows_ref, ptf.R_STRETCH)]
+        + [out["phase"]]
         + [out["F"][(i, k)] for i in range(3) for k in range(3)]
-        + [row(rows_ref, ptf.R_VOL), row(rows_ref, ptf.R_RAD)]
+        + [row(rows_ref, r) for r in range(ptf.R_F0 + 9, ptf.PERM_ROWS)]
         + [sd_ch]
         + rv_ch
         + [row(rows_ref, r) for r in range(ptf.R_RV0 + 3, ptf.PCHAN)]
@@ -142,7 +151,8 @@ def _update_kernel(ce_ref, pvec_ref, rows_ref, krows_ref, pcdf_ref, sid_ref,
 
 
 def update_rows(rows_all, krows, pcdf, sorted_ids, covered_end, btable,
-                params, cfg, nc: int, inv_d_val: float, live_below: int):
+                mtable, params, cfg, nc: int, inv_d_val: float,
+                live_below: int):
     """Next-substep row matrix [PCHAN, NPAD] from the current rows, the G2P
     rows (krows[:, :npad]), the particle-CDF rows (pcdf[:, :npad]; zeros
     when nc == 0) and the sorted block ids (live iff id < live_below and
@@ -153,7 +163,7 @@ def update_rows(rows_all, krows, pcdf, sorted_ids, covered_end, btable,
     kernel = functools.partial(
         _update_kernel, live_below=int(live_below), nc=nc,
         cell_width=cfg.grid.cell_width, elastic_model=cfg.elastic_model,
-        inv_d_val=inv_d_val,
+        inv_d_val=inv_d_val, n_mat=max(int(cfg.n_materials), 1),
     )
     pvec = jnp.zeros((1, 128), jnp.float32).at[0, 0].set(params.dt)
     ce = jnp.asarray([covered_end], jnp.int32)
@@ -175,6 +185,8 @@ def update_rows(rows_all, krows, pcdf, sorted_ids, covered_end, btable,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((32, 128), lambda g, ce: (0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, 128), lambda g, ce: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((pchan, LBLK), lambda g, ce: (0, g),
                                    memory_space=pltpu.VMEM),
@@ -182,4 +194,4 @@ def update_rows(rows_all, krows, pcdf, sorted_ids, covered_end, btable,
         out_shape=jax.ShapeDtypeStruct((pchan, npad), jnp.float32),
         interpret=_interpret(),
     )(ce, pvec, rows_all, krows[:, :npad], pcdf[:, :npad],
-      sorted_ids.reshape(1, npad), btable)
+      sorted_ids.reshape(1, npad), btable, mtable)

@@ -36,9 +36,14 @@ def state_specs(state: SimState, axis: str = "dp") -> SimState:
     def shard_leading(x):
         return P(axis, *([None] * (x.ndim - 1)))
 
+    mspec = jax.tree.map(shard_leading, state.models)
+    if state.models.mat_table is not None:
+        # The material table is a per-scene constant lookup, not
+        # particle-indexed: replicate it.
+        mspec = mspec.replace(mat_table=P())
     return SimState(
         particles=jax.tree.map(shard_leading, state.particles),
-        models=jax.tree.map(shard_leading, state.models),
+        models=mspec,
         bodies=jax.tree.map(lambda x: P(), state.bodies),
         # Mesh-collider buffers (trimesh/polyline samples) are replicated;
         # tree.map over None stays None for scenes without meshes.
@@ -196,7 +201,14 @@ def shard_state_spatial(state: SimState, mesh: Mesh, cfg: MpmConfig,
     particles = particles.replace(
         def_grad=jnp.asarray(dg), ids=jnp.asarray(ids)
     )
-    models = jax.tree.map(rearrange, state.models)
+    mtab = state.models.mat_table
+    models = jax.tree.map(
+        rearrange,
+        state.models.replace(mat_table=None) if mtab is not None
+        else state.models,
+    )
+    if mtab is not None:
+        models = models.replace(mat_table=mtab)   # per-scene constant
     new_state = SimState(
         particles=particles, models=models, bodies=state.bodies,
         meshes=state.meshes,

@@ -113,6 +113,10 @@ class MpmConfig:
     sample_group: int = 128
     sample_chunk: int = 32
     sample_max_jobs: int = 0
+    # Distinct material count (static): lanes 0..n_materials-1 of
+    # Models.mat_table are populated (MpmData dedupes the immutable
+    # per-particle constants; <= 128).
+    n_materials: int = 1
     # Runtime skip of the re-sort when keys are already nondecreasing
     # (costs a whole-state lax.cond carry; disable for never-settling
     # benches).
@@ -432,10 +436,12 @@ def substep_pallas(
     npad = pallas_npad(n + slack, cfg.group)
     rows = ptf.pack_rows_padded(state.particles, state.models, npad)
     rows, bodies, _ = core(
-        rows, state.bodies, state.meshes, params, cfg, n, axis_name
+        rows, state.bodies, state.meshes, params, cfg, n, axis_name,
+        mtable=state.models.mat_table,
     )
     particles, models = ptf.unpack_state_rows(
-        rows[:, :n], state.particles, state.models
+        rows[:, :n], state.particles, state.models,
+        n_mat=max(int(cfg.n_materials), 1),
     )
     return SimState(particles=particles, models=models, bodies=bodies,
                     meshes=state.meshes)
@@ -485,11 +491,13 @@ def step_pallas(
             and (cfg.mesh_cids or state.particles.dim == 2)):
         static_cdf = _node_cdf_static(state.bodies, cfg, block_major=True)
 
+    mtable = state.models.mat_table
+
     def body(carry, _):
         rows, bodies, dg = carry
         rows, bodies, dg = core(
             rows, bodies, state.meshes, params, cfg, n, axis_name, dg,
-            static_cdf=static_cdf,
+            static_cdf=static_cdf, mtable=mtable,
         )
         return (rows, bodies, dg), None
 
@@ -507,7 +515,8 @@ def step_pallas(
             live_lost=jnp.maximum(diag.live_lost, live - n)
         )
     particles, models = ptf.unpack_state_rows(
-        rows[:, :n], state.particles, state.models
+        rows[:, :n], state.particles, state.models,
+        n_mat=max(int(cfg.n_materials), 1),
     )
     out = SimState(particles=particles, models=models, bodies=bodies,
                    meshes=state.meshes)
@@ -938,7 +947,8 @@ def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
 
 def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
                          n: int, axis_name: Optional[str] = None,
-                         diag: Optional[StepDiag] = None, static_cdf=None):
+                         diag: Optional[StepDiag] = None, static_cdf=None,
+                         mtable=None):
     """Channel-major substep core: ([PCHAN, NPAD] rows, bodies) -> same.
 
     Same physics as substep/substep_blocked; the P2G/G2P/pCDF passes run as
@@ -1104,7 +1114,8 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
 
     rows_out = _upd(
         rows_all, krows, pcdf_rows, sorted_ids, covered_end, btable,
-        params, cfg, nc, inv_d_fn(grid.cell_width), live_below=nb_total,
+        mtable, params, cfg, nc, inv_d_fn(grid.cell_width),
+        live_below=nb_total,
     )
 
     bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
@@ -1115,7 +1126,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
                                 cfg: MpmConfig, n: int,
                                 axis_name: Optional[str] = None,
                                 diag: Optional[StepDiag] = None,
-                                static_cdf=None):
+                                static_cdf=None, mtable=None):
     """Sparse/unbounded-domain 3D substep core (see _substep_pallas_rows).
 
     The reference's GPU-hashmap sparse grid (grid.wgsl:98-164) rebuilt the
@@ -1380,7 +1391,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
 
     rows_out = _upd(
         rows_all, krows, pcdf_rows, sorted_ids, covered_end, btable,
-        params, cfg, nc, inv_d_fn(grid.cell_width), live_below=sent,
+        mtable, params, cfg, nc, inv_d_fn(grid.cell_width), live_below=sent,
     )
 
     bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
@@ -1389,7 +1400,8 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
 
 def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
                             n: int, axis_name: Optional[str] = None,
-                            diag: Optional[StepDiag] = None, static_cdf=None):
+                            diag: Optional[StepDiag] = None, static_cdf=None,
+                            mtable=None):
     """2D channel-major substep core (see _substep_pallas_rows; 2D kernel
     family in ops/pallas_transfer2d.py: 8x8 blocks, 10^2 windows)."""
     from wgsparkl_tpu.ops import blocked as bk
@@ -2017,6 +2029,15 @@ class MpmData:
         )
         if by != 4:
             assert not mesh_slots, "by != 4 does not support mesh colliders"
+        if transfer == "pallas" and dim == 3:
+            # Dedupe immutable constants into the material table (the
+            # sorted row matrix then carries ids instead of 11 rows).
+            from wgsparkl_tpu.solver import attach_material_table
+
+            models, n_mat = attach_material_table(particles, models)
+            self.config = dataclasses.replace(
+                self.config, n_materials=n_mat
+            )
         self.state = SimState(
             particles=particles,
             models=models,

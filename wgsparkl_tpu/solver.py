@@ -165,6 +165,13 @@ class Models:
     dp_state: dict    # {det, hardening, log_vol_gain}
     phase: jnp.ndarray        # [N] f32
     max_stretch: jnp.ndarray  # [N] f32 (<=0 disables fracture check)
+    # Deduplicated constants for the pallas fast path (filled by MpmData;
+    # see ops/pallas_transfer.MTAB_* and MpmConfig.n_materials): the
+    # immutable per-particle constants (lam, mu, dp params, max_stretch,
+    # init_volume, init_radius) collapse to a [16, 128] material table +
+    # a per-particle material id, shrinking the sorted row matrix.
+    mat_id: Optional[jnp.ndarray] = None      # [N] f32 integer-valued
+    mat_table: Optional[jnp.ndarray] = None   # [16, 128] f32
 
     @staticmethod
     def from_arrays(
@@ -211,3 +218,42 @@ class Models:
             np.float32,
         )
         return Models.from_arrays(n, lam, mu, dp=dp, phase=phases, max_stretch=stretch)
+
+
+def attach_material_table(particles, models):
+    """Dedupe the immutable per-particle constants into a material table.
+
+    Returns (models', n_materials): models' carries mat_id [N] (f32
+    integer-valued) and mat_table [16, 128] (rows = ops/pallas_transfer
+    MTAB_* layout: lam, mu, dp h0..h3/lam/mu, max_stretch, init_volume,
+    init_radius; lanes = material ids).  The pallas row packing then drops
+    these 11 constant rows from the sorted state (kernels look them up by
+    id).  Host-side (concrete numpy); <= 128 distinct materials.
+    """
+    dpk = ("h0", "h1", "h2", "h3", "lam", "mu")
+    key = np.stack(
+        [np.asarray(models.lam), np.asarray(models.mu)]
+        + [np.asarray(models.dp[k]) for k in dpk]
+        + [
+            np.asarray(models.max_stretch),
+            np.asarray(particles.init_volume),
+            np.asarray(particles.init_radius),
+        ],
+        axis=1,
+    )                                                     # [N, 11]
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    if len(uniq) > 128:
+        raise ValueError(
+            f"pallas path supports <= 128 distinct materials, got "
+            f"{len(uniq)} (use transfer='blocked'/'dense' for per-particle "
+            "continuous material variation)"
+        )
+    table = np.zeros((16, 128), np.float32)
+    table[:11, : len(uniq)] = uniq.T
+    return (
+        models.replace(
+            mat_id=jnp.asarray(inv, jnp.float32),
+            mat_table=jnp.asarray(table),
+        ),
+        len(uniq),
+    )
