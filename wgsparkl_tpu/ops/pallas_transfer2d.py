@@ -36,16 +36,18 @@ NX, NY = 10, 11
 AFF_SPARE = 12  # zero pad row; scratch for the split-affinity permute
 NCHAN = 16
 
-# Extended packed-state rows.
-R_LAM, R_MU = 16, 17
-R_DP0 = 18          # h0 h1 h2 h3 lam mu
-R_DPS0 = 24         # det hardening log_vol_gain
-R_PHASE, R_STRETCH = 27, 28
-R_F0 = 29           # F00 F01 F10 F11
-R_VOL, R_RAD, R_IDS = 33, 34, 35
-R_SD = 36
-R_RV0 = 37          # rigid contact velocity (2 rows)
-PCHAN = 40
+# Extended packed-state rows (same two layout invariants as the 3D twin:
+# rows >= PERM_ROWS are recomputed after every sort; immutable constants
+# live in Models.mat_table, looked up by the R_MID id row).
+R_IDS = 13          # particle identity (NCHAN pad slot)
+R_MID = 14          # material id (NCHAN pad slot)
+R_DPS0 = 16         # det hardening log_vol_gain
+R_PHASE = 19
+R_F0 = 20           # F00 F01 F10 F11
+PERM_ROWS = 24      # rows [0, PERM_ROWS) move in the re-sort permute
+R_SD = 24
+R_RV0 = 25          # rigid contact velocity (2 rows)
+PCHAN = 32
 DP_KEYS = ("h0", "h1", "h2", "h3", "lam", "mu")
 DPS_KEYS = ("det", "hardening", "log_vol_gain")
 
@@ -56,6 +58,11 @@ WPAD = 104   # sublane-padded window rows
 def pack_state_rows(particles, models):
     """Full 2D per-particle state -> [PCHAN, N] channel-major row matrix."""
     n = particles.count
+    assert models.mat_id is not None, (
+        "pallas row packing needs the deduplicated material table — "
+        "construct the scene through MpmData or call "
+        "solver.attach_material_table(particles, models)"
+    )
     z = jnp.zeros((n,), jnp.float32)
     a = particles.affine.reshape(n, 4)
     cols = [
@@ -65,17 +72,16 @@ def pack_state_rows(particles, models):
         a[:, 0], a[:, 1], a[:, 2], a[:, 3],
         jax.lax.bitcast_convert_type(particles.cdf_affinity, jnp.float32),
         particles.cdf_normal[:, 0], particles.cdf_normal[:, 1],
-        z, z, z, z,                   # pad to NCHAN
-        models.lam, models.mu,
+        z,                                     # AFF_SPARE
+        particles.ids.astype(jnp.float32),     # R_IDS
+        models.mat_id,                         # R_MID
+        z,                                     # pad to NCHAN
     ]
-    cols += [models.dp[k] for k in DP_KEYS]
     cols += [models.dp_state[k] for k in DPS_KEYS]
-    cols += [models.phase, models.max_stretch]
+    cols += [models.phase]
     f = particles.def_grad.reshape(n, 4)
     cols += [f[:, 0], f[:, 1], f[:, 2], f[:, 3]]
     cols += [
-        particles.init_volume, particles.init_radius,
-        particles.ids.astype(jnp.float32),
         particles.cdf_signed_distance,
         particles.cdf_rigid_vel[:, 0], particles.cdf_rigid_vel[:, 1],
     ]
@@ -93,10 +99,11 @@ def pack_rows_padded(particles, models, npad: int):
 
 
 def unpack_state_rows(rows, particles, models, n_mat: int = 1):
-    """[PCHAN, N] sorted channel rows -> (particles, models) pytrees.
-    (n_mat accepted for 3D-twin API compatibility; 2D rows carry the
-    constants inline.)"""
+    """[PCHAN, N] sorted channel rows -> (particles, models) pytrees."""
     n = particles.count
+    mid = rows[R_MID]
+    tab = models.mat_table
+    lk = ptf._mtab_lookup
     new_p = particles.replace(
         pos=rows[0:2, :].T,
         vel=rows[2:4, :].T,
@@ -104,17 +111,22 @@ def unpack_state_rows(rows, particles, models, n_mat: int = 1):
         affine=rows[A0 : A0 + 4, :].T.reshape(n, 2, 2),
         cdf_affinity=jax.lax.bitcast_convert_type(rows[AFF], jnp.uint32),
         def_grad=rows[R_F0 : R_F0 + 4, :].T.reshape(n, 2, 2),
-        init_volume=rows[R_VOL], init_radius=rows[R_RAD],
+        init_volume=lk(tab, mid, ptf.MTAB_VOL, n_mat),
+        init_radius=lk(tab, mid, ptf.MTAB_RAD, n_mat),
         ids=rows[R_IDS].astype(jnp.int32),
         cdf_normal=rows[NX : NX + 2, :].T,
         cdf_signed_distance=rows[R_SD],
         cdf_rigid_vel=rows[R_RV0 : R_RV0 + 2, :].T,
     )
     new_m = models.replace(
-        lam=rows[R_LAM], mu=rows[R_MU],
-        dp={k: rows[R_DP0 + i] for i, k in enumerate(DP_KEYS)},
+        lam=lk(tab, mid, ptf.MTAB_LAM, n_mat),
+        mu=lk(tab, mid, ptf.MTAB_MU, n_mat),
+        dp={k: lk(tab, mid, ptf.MTAB_DP0 + i, n_mat)
+            for i, k in enumerate(DP_KEYS)},
         dp_state={k: rows[R_DPS0 + i] for i, k in enumerate(DPS_KEYS)},
-        phase=rows[R_PHASE], max_stretch=rows[R_STRETCH],
+        phase=rows[R_PHASE],
+        max_stretch=lk(tab, mid, ptf.MTAB_STRETCH, n_mat),
+        mat_id=mid,
     )
     return new_p, new_m
 

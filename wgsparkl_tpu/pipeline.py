@@ -1609,6 +1609,13 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         bvb = [lin[0] - ang * rel[1], lin[1] + ang * rel[0]]
         rv_ch = [rv_ch[k] + jnp.where(has, bvb[k], 0.0) for k in range(2)]
 
+    from wgsparkl_tpu.ops.pallas_transfer import (
+        _mtab_lookup as _mlk,
+        MTAB_DP0, MTAB_LAM, MTAB_MU, MTAB_STRETCH, MTAB_VOL,
+    )
+
+    n_mat = max(int(cfg.n_materials), 1)
+    mid = rows_all[ptf.R_MID]
     ch = {
         "pos": pos_ch,
         "vel": v_ch,
@@ -1618,17 +1625,18 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         "normal": n_ch,
         "rigid_vel": rv_ch,
         "mass": rows_all[ptf.PM],
-        "vol0": rows_all[ptf.R_VOL],
-        "lam": rows_all[ptf.R_LAM],
-        "mu": rows_all[ptf.R_MU],
+        "vol0": _mlk(mtable, mid, MTAB_VOL, n_mat),
+        "lam": _mlk(mtable, mid, MTAB_LAM, n_mat),
+        "mu": _mlk(mtable, mid, MTAB_MU, n_mat),
         "dp": {
-            k: rows_all[ptf.R_DP0 + i] for i, k in enumerate(ptf.DP_KEYS)
+            k: _mlk(mtable, mid, MTAB_DP0 + i, n_mat)
+            for i, k in enumerate(ptf.DP_KEYS)
         },
         "dps": {
             k: rows_all[ptf.R_DPS0 + i] for i, k in enumerate(ptf.DPS_KEYS)
         },
         "phase": rows_all[ptf.R_PHASE],
-        "stretch": rows_all[ptf.R_STRETCH],
+        "stretch": _mlk(mtable, mid, MTAB_STRETCH, n_mat),
     }
     out = particle_update_channels_2d(ch, params, grid, cfg.elastic_model)
 
@@ -1637,13 +1645,10 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         + [out["affine"][(i, k)] for i in range(2) for k in range(2)]
         + [jax.lax.bitcast_convert_type(aff_u, jnp.float32)]
         + n_ch
-        + [rows_all[r] for r in range(12, 16)]
-        + [rows_all[ptf.R_LAM], rows_all[ptf.R_MU]]
-        + [rows_all[ptf.R_DP0 + i] for i in range(len(ptf.DP_KEYS))]
+        + [rows_all[r] for r in range(12, 16)]   # spare/ids/mid ride
         + [out["dps"][k] for k in ptf.DPS_KEYS]
-        + [out["phase"], rows_all[ptf.R_STRETCH]]
+        + [out["phase"]]
         + [out["F"][(i, k)] for i in range(2) for k in range(2)]
-        + [rows_all[ptf.R_VOL], rows_all[ptf.R_RAD], rows_all[ptf.R_IDS]]
         + [sd_ch]
         + rv_ch
         + [rows_all[r] for r in range(ptf.R_RV0 + 2, ptf.PCHAN)]
@@ -2029,7 +2034,7 @@ class MpmData:
         )
         if by != 4:
             assert not mesh_slots, "by != 4 does not support mesh colliders"
-        if transfer == "pallas" and dim == 3:
+        if transfer == "pallas":
             # Dedupe immutable constants into the material table (the
             # sorted row matrix then carries ids instead of 11 rows).
             from wgsparkl_tpu.solver import attach_material_table
