@@ -1,0 +1,80 @@
+"""Profile the flagship bench scene per-pass on TPU (bench.py config).
+
+Runs one warm frame under jax.profiler.trace, buckets device-op time by
+fusion/kernel name, and maps the top ops back to framework source via the
+compiled HLO metadata.  BENCH_PARTICLES/BENCH_GROUP/BENCH_BY env knobs
+mirror bench.py.  Usage (TPU):  python tools/profile_bench.py
+"""
+import os, sys, time, json, gzip, glob, collections, re
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from wgsparkl_tpu import scenes
+from wgsparkl_tpu.pipeline import MpmData, step
+
+n_target = int(os.environ.get("BENCH_PARTICLES", 1_000_000))
+substeps = 20
+group = int(os.environ.get("BENCH_GROUP", 1024))
+by = int(os.environ.get("BENCH_BY", 8))
+nxz = int(round((n_target / 2.2) ** (1.0 / 3.0)))
+ny = int(round(n_target / (nxz * nxz)))
+base = scenes.sand_box_3d(nxz=nxz, ny=ny, cell_width=1.0, with_paddle=True)
+n = base.num_particles
+max_jobs = int((n // (100 * by) + 256) // 128 * 128)
+data = MpmData(
+    base.params, base.state.particles, base.state.models,
+    base.bodies_desc, 1.0, grid=base.config.grid,
+    transfer="pallas", group=group, max_jobs=max_jobs, by=by,
+)
+cfg = data.config
+stepper = jax.jit(lambda s, p: step(s, p, cfg, num_substeps=substeps))
+t0 = time.time()
+state = stepper(data.state, data.params)
+_ = float(np.asarray(state.particles.pos[0, 0]))
+print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
+# warm frames so the sort phase sees realistic motion
+for _i in range(10):
+    state = stepper(state, data.params)
+_ = float(np.asarray(state.particles.pos[0, 0]))
+print("warm done", flush=True)
+
+outdir = "/tmp/prof1m_trace"
+os.system(f"rm -rf {outdir}")
+with jax.profiler.trace(outdir):
+    state = stepper(state, data.params)
+    _ = float(np.asarray(state.particles.pos[0, 0]))
+
+files = glob.glob(outdir + "/**/*.trace.json.gz", recursive=True)
+print("trace files:", files)
+ev_by_name = collections.Counter()
+for f in files:
+    with gzip.open(f, "rt") as fh:
+        tr = json.load(fh)
+    pid_names = {}
+    for e in tr.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    for e in tr.get("traceEvents", []):
+        if e.get("ph") == "X" and "TPU" in pid_names.get(e.get("pid"), ""):
+            ev_by_name[e["name"]] += e.get("dur", 0)
+total = sum(ev_by_name.values())
+print(f"total device-op us (all lanes): {total} -> {total/1e3/substeps:.2f} ms/substep")
+for name, dur in ev_by_name.most_common(70):
+    print(f"{dur/1e3:10.2f} ms  {name[:140]}")
+
+txt = stepper.lower(state, data.params).compile().as_text()
+with open("/tmp/prof_bench_hlo.txt", "w") as f:
+    f.write(txt)
+want = [nm for nm, _ in ev_by_name.most_common(45)]
+lines = txt.splitlines()
+for name in want:
+    pat = re.compile(r"%?" + re.escape(name.split("(")[0]) + r"\b.*= ")
+    for ln in lines:
+        if pat.search(ln):
+            meta = re.search(r'metadata=\{[^}]*\}', ln)
+            print(name[:44], "->", (meta.group(0)[:240] if meta else ln[:200]))
+            break
