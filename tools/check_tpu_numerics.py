@@ -93,6 +93,25 @@ def main():
     assert db < 1e-5, f"body poses diverge: {db}"
     print("TPU numerics OK (fp32-equivalent to CPU)")
 
+    # Informational: WGSPARKL_PHYS_DOT=x3 (3-pass cross-split transfer
+    # matmuls) error vs the exact TPU run — reports magnitude, no gate.
+    import subprocess
+
+    env = dict(os.environ, WGSPARKL_PHYS_DOT="x3")
+    out3 = subprocess.run(
+        [sys.executable, __file__, "--child", "tpu_x3"],
+        capture_output=True, text=True, timeout=3600, env=env,
+    )
+    if out3.returncode == 0:
+        t3 = np.load("/tmp/tpu_numerics_tpu_x3.npz")
+        i3 = np.argsort(t3["ids"])
+        dp3 = np.abs(t3["pos"][i3] - tpu["pos"][it]).max()
+        a3 = (t3["aff"][i3] == tpu["aff"][it]).mean()
+        print(f"x3 vs exact: max |dpos| = {dp3:.3e}, "
+              f"affinity match = {a3*100:.2f}% (informational)")
+    else:
+        print("x3 child failed (informational):", out3.stderr[-400:])
+
 
 if __name__ == "__main__":
     main()
