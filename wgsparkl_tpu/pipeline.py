@@ -1461,7 +1461,6 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
     )
     jobs["block"] = bk.key_to_block(jobs["block"], nb, d)
     covered_end, starts = _mask_jobs(jobs, npad, group)
-    ig = (sorted_ids < nb_total) & (lane < covered_end)
     jobs = {"start": starts, "len": jobs["len"], "block": jobs["block"]}
     blk_coords = bk.block_coords_of(jobs["block"], nb)
     bcells = blk_coords * bs + jnp.asarray(grid.origin_cell, jnp.int32)
@@ -1516,19 +1515,15 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
             ntiles = gather_tiles(chan_grid, out=(ptf.WPAD, 4), c=4)
             jbody = _jbody_gate(ntiles, wvol)
 
-        krows = ptf.pcdf_rows(
+        pcdf_out = ptf.pcdf_rows(
             pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc,
             jbody, alldesc=alldesc, chan_free=mode[0],
         )
-        aff_u = jnp.where(
-            ig, jax.lax.bitcast_convert_type(krows[0, :npad], jnp.uint32),
-            jnp.uint32(0),
-        )
-        sd_ch = jnp.where(ig, krows[1, :npad], 0.0)
-        n_ch = [jnp.where(ig, krows[2 + k, :npad], 0.0) for k in range(2)]
         pdata = jax.lax.dynamic_update_slice(
             pdata,
-            jnp.concatenate([krows[0:1, :npad], krows[2:4, :npad]], axis=0),
+            jnp.concatenate(
+                [pcdf_out[0:1, :npad], pcdf_out[2:4, :npad]], axis=0
+            ),
             (ptf.AFF, 0),
         )
 
@@ -1543,9 +1538,7 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
     else:
         itiles = jnp.zeros((1, ptf.WPAD, 2), jnp.int32)
         jbody = None
-        aff_u = jnp.zeros((npad,), jnp.uint32)
-        sd_ch = jnp.zeros((npad,), jnp.float32)
-        n_ch = [jnp.zeros((npad,), jnp.float32) for _ in range(2)]
+        pcdf_out = jnp.zeros((8, npad), jnp.float32)
 
     # --- P2G ---
     mm_out, imp_out = ptf.p2g_tiles(
@@ -1577,83 +1570,16 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         jbody, alldesc=alldesc, chan_free=mode[0], fold_vel=True,
     )
 
-    # --- fused particle update, channel-major ---
-    from wgsparkl_tpu.ops.particle_update import particle_update_channels_2d
+    # --- fused particle update + row rebuild: ONE Pallas pass (see
+    # ops/update_rows.py; kills the ~15-fusion XLA channel chain + the
+    # PCHAN-way strided stack the 3D core already eliminated) ---
+    from wgsparkl_tpu.ops.update_rows import update_rows as _upd
 
-    inv_d_val = inv_d_fn(grid.cell_width)
-    pos_ch = [rows_all[k] for k in range(2)]
-    v_ch = [jnp.where(ig, krows[k, :npad], 0.0) for k in range(2)]
-    grad_ch = {
-        (i, k): jnp.where(
-            ig,
-            inv_d_val * (krows[2 + 2 * i + k, :npad] - v_ch[i] * pos_ch[k]),
-            0.0,
-        )
-        for i in range(2)
-        for k in range(2)
-    }
-    f_ch = {
-        (i, k): rows_all[ptf.R_F0 + 2 * i + k]
-        for i in range(2)
-        for k in range(2)
-    }
-
-    # Rigid contact velocity, channel form (2D: scalar angular velocity).
-    rv_ch = [jnp.zeros((npad,), jnp.float32) for _ in range(2)]
-    for b in range(nc):
-        has = ((aff_u >> b) & 1) != 0
-        lin = bodies.linvel[b]
-        ang = bodies.angvel[b, 0]
-        com = bodies.world_com[b]
-        rel = [pos_ch[k] - com[k] for k in range(2)]
-        bvb = [lin[0] - ang * rel[1], lin[1] + ang * rel[0]]
-        rv_ch = [rv_ch[k] + jnp.where(has, bvb[k], 0.0) for k in range(2)]
-
-    from wgsparkl_tpu.ops.pallas_transfer import (
-        _mtab_lookup as _mlk,
-        MTAB_DP0, MTAB_LAM, MTAB_MU, MTAB_STRETCH, MTAB_VOL,
+    rows_out = _upd(
+        rows_all, krows, pcdf_out, sorted_ids, covered_end, btable,
+        mtable, params, cfg, nc, inv_d_fn(grid.cell_width),
+        live_below=nb_total, dim=2,
     )
-
-    n_mat = max(int(cfg.n_materials), 1)
-    mid = rows_all[ptf.R_MID]
-    ch = {
-        "pos": pos_ch,
-        "vel": v_ch,
-        "grad": grad_ch,
-        "F": f_ch,
-        "sd": sd_ch,
-        "normal": n_ch,
-        "rigid_vel": rv_ch,
-        "mass": rows_all[ptf.PM],
-        "vol0": _mlk(mtable, mid, MTAB_VOL, n_mat),
-        "lam": _mlk(mtable, mid, MTAB_LAM, n_mat),
-        "mu": _mlk(mtable, mid, MTAB_MU, n_mat),
-        "dp": {
-            k: _mlk(mtable, mid, MTAB_DP0 + i, n_mat)
-            for i, k in enumerate(ptf.DP_KEYS)
-        },
-        "dps": {
-            k: rows_all[ptf.R_DPS0 + i] for i, k in enumerate(ptf.DPS_KEYS)
-        },
-        "phase": rows_all[ptf.R_PHASE],
-        "stretch": _mlk(mtable, mid, MTAB_STRETCH, n_mat),
-    }
-    out = particle_update_channels_2d(ch, params, grid, cfg.elastic_model)
-
-    new_rows = (
-        out["pos"] + out["vel"] + [rows_all[ptf.PM]]
-        + [out["affine"][(i, k)] for i in range(2) for k in range(2)]
-        + [jax.lax.bitcast_convert_type(aff_u, jnp.float32)]
-        + n_ch
-        + [rows_all[r] for r in range(12, 16)]   # spare/ids/mid ride
-        + [out["dps"][k] for k in ptf.DPS_KEYS]
-        + [out["phase"]]
-        + [out["F"][(i, k)] for i in range(2) for k in range(2)]
-        + [sd_ch]
-        + rv_ch
-        + [rows_all[r] for r in range(ptf.R_RV0 + 2, ptf.PCHAN)]
-    )
-    rows_out = jnp.stack(new_rows, axis=0)
 
     bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
     return rows_out, bodies, diag
