@@ -111,7 +111,7 @@ def test_block_rests_on_trimesh():
     assert p[:, 1].min() > -0.3, p[:, 1].min()
 
 
-def _mesh_scene(transfer="dense"):
+def _mesh_scene(transfer="dense", extra=None):
     """Elastic block dropped onto a tilted two-triangle trimesh ramp plus a
     static cuboid floor (mixed analytic + mesh colliders, the p2g_cdf.wgsl
     role end-to-end)."""
@@ -130,9 +130,9 @@ def _mesh_scene(transfer="dense"):
     m = ElasticCoefficients.from_young_modulus(1e6, 0.2)
     models = Models.from_arrays(len(pos), m.lam, m.mu, phase=1.0)
     params = SimulationParams.new(dt=1 / 600, gravity=[0, -9.81, 0])
-    kw = {}
+    kw = dict(extra or {})
     if transfer in ("blocked", "pallas"):
-        kw = dict(group=64, job_chunk=8)
+        kw.update(group=64, job_chunk=8)
     return MpmData(
         params, parts, models,
         [
@@ -259,3 +259,35 @@ def test_native_sampler_matches_numpy():
     a = np.sort(np.round(s_np.points, 4).view([("x", "f4"), ("y", "f4"), ("z", "f4")]), axis=0)
     b = np.sort(np.round(s_cc.points, 4).view([("x", "f4"), ("y", "f4"), ("z", "f4")]), axis=0)
     assert (a == b).all()
+
+
+def test_mesh_collider_pallas_by8():
+    """Mesh colliders compose with the flagship anisotropic 4x8x4 blocks
+    (round-3 verdict composition hole #3): the by-aware mesh node-CDF pass
+    (ops/rigid_cdf.py:mesh_node_cdf) on pallas by=8 must match dense."""
+    from wgsparkl_tpu.pipeline import substep_pallas
+
+    dd = _mesh_scene("dense")
+    fn_d = jax.jit(substep, static_argnums=2)
+    sd = dd.state
+    for _ in range(12):
+        sd = fn_d(sd, dd.params, dd.config)
+
+    dp = _mesh_scene("pallas", extra=dict(by=8))
+    fn_p = jax.jit(substep_pallas, static_argnums=2)
+    sp = dp.state
+    for _ in range(12):
+        sp = fn_p(sp, dp.params, dp.config)
+
+    affd = np.asarray(sd.particles.cdf_affinity)
+    assert (affd != 0).any(), "scene never touched the mesh collider"
+    order = np.argsort(np.asarray(sp.particles.ids))
+    np.testing.assert_allclose(
+        np.asarray(sp.particles.pos)[order], np.asarray(sd.particles.pos),
+        atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp.particles.vel)[order], np.asarray(sd.particles.vel),
+        atol=1e-3,
+    )
+    assert (np.asarray(sp.particles.cdf_affinity)[order] == affd).all()

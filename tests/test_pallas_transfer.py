@@ -158,3 +158,71 @@ def test_pallas_by8_matches_blocked_3d_coupled():
     np.testing.assert_allclose(
         np.asarray(sb.bodies.pos), np.asarray(sp.bodies.pos), atol=1e-6
     )
+
+
+def test_pallas_16_colliders_affinity_bits():
+    """16 colliders on the pallas path (reference cap, collide.wgsl:36).
+
+    Round 3 capped pallas at 14: the f32-bitcast affinity word could form
+    a NaN bit pattern (sign bits land in f32 bits 23-30) that poisoned the
+    re-sort permute's one-hot matmuls.  The state now carries the word as
+    two <=16-bit integer-valued f32 halves (pallas_transfer._paff_u32), so
+    the full 16 slots must run and match the blocked path bit-exactly —
+    including collider 15, whose affinity/sign occupy the extreme bits
+    (15 and 31) of the word."""
+    from wgsparkl_tpu.collision.shapes import Collider
+    from wgsparkl_tpu.models import DruckerPrager, ElasticCoefficients
+    from wgsparkl_tpu.models.drucker_prager import drucker_prager_arrays
+    from wgsparkl_tpu.params import SimulationParams
+    from wgsparkl_tpu.pipeline import RigidBodyDesc
+    from wgsparkl_tpu.solver import Models, Particles
+
+    cw = 1.0
+    pos = scenes._lattice((8, 12, 8), cw, (-2.0, 1.2, -2.0))
+    n = len(pos)
+    particles = Particles.from_arrays(pos, density=2700.0, radius=cw / 4)
+    elast = ElasticCoefficients.from_young_modulus(2.0e9, 0.2)
+    dp = drucker_prager_arrays([DruckerPrager.new(2.0e9, 0.2)])
+    dp = {k: np.full(n, v[0]) for k, v in dp.items()}
+    models = Models.from_arrays(n, elast.lam, elast.mu, dp=dp)
+
+    # 15 small balls scattered through the falling region (several inside
+    # the sand so mid/high affinity bits actually set), floor LAST so its
+    # affinity/sign occupy bits 15/31.
+    rng = np.random.RandomState(7)
+    bodies = []
+    for k in range(15):
+        c = rng.uniform((-2.5, 0.5, -2.5), (2.5, 4.0, 2.5))
+        bodies.append(RigidBodyDesc(Collider.ball(0.55), tuple(c)))
+    bodies.append(
+        RigidBodyDesc(Collider.cuboid(40.0, 1.0, 40.0), (0.0, -1.0, 0.0))
+    )
+    params = SimulationParams.new(
+        dt=(1.0 / 60.0) / 20, gravity=np.array([0.0, -9.81, 0.0])
+    )
+    bounds = (np.array([-8.0, -2.0, -8.0]), np.array([8.0, 12.0, 8.0]))
+    mk = lambda tr: MpmData(
+        params, particles, models, bodies, cw, grid_bounds=bounds,
+        transfer=tr, group=128, job_chunk=8,
+    )
+    db, dp_ = mk("blocked"), mk("pallas")
+    fb = jax.jit(substep_blocked, static_argnums=2)
+    fp = jax.jit(substep_pallas, static_argnums=2)
+    sb, sp = db.state, dp_.state
+    for _ in range(25):
+        sb = fb(sb, params, db.config)
+        sp = fp(sp, params, dp_.config)
+    ib = np.argsort(np.asarray(sb.particles.ids))
+    ip = np.argsort(np.asarray(sp.particles.ids))
+    aff_b = np.asarray(sb.particles.cdf_affinity)[ib]
+    aff_p = np.asarray(sp.particles.cdf_affinity)[ip]
+    assert (aff_b == aff_p).all()
+    # collider 15 (the floor) must actually be touched: bit 15 set somewhere
+    assert (aff_p & np.uint32(1 << 15)).any(), "floor affinity never set"
+    # and several ball colliders too (mid bits, the old NaN-hazard zone)
+    assert bin(int(np.bitwise_or.reduce(aff_p) & 0x7FFF)).count("1") >= 3
+    np.testing.assert_allclose(
+        np.asarray(sb.particles.pos)[ib], np.asarray(sp.particles.pos)[ip],
+        atol=1e-5,
+    )
+    assert np.isfinite(np.asarray(sp.particles.pos)).all()

@@ -785,7 +785,7 @@ def neighbor_block_table(nb: Tuple[int, ...]):
 
 
 def scatter_tiles(grid_blocks, tiles, job_block, nbr_table, dim: int,
-                  mode: str = "add", tgt_table=None):
+                  mode: str = "add", tgt_table=None, by: int = 4):
     """Scatter-reduce job window tiles into the block-major grid.
 
     grid_blocks: [NB+1, BS, BS(, BS), C]  (slot NB = ghost/overflow, discarded)
@@ -796,7 +796,7 @@ def scatter_tiles(grid_blocks, tiles, job_block, nbr_table, dim: int,
     tgt_table: optional explicit per-octant targets [2^d, J] (sparse
     active-slot addressing) overriding nbr_table[job_block].
     """
-    for oi, (e, starts, sizes) in enumerate(_octant_slices(dim)):
+    for oi, (e, starts, sizes) in enumerate(_octant_slices(dim, by)):
         tgt = (
             tgt_table[oi] if tgt_table is not None
             else nbr_table[job_block, oi]

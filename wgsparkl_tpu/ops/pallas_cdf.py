@@ -36,6 +36,7 @@ from wgsparkl_tpu.ops.pallas_transfer import (
     WVOL,
     _interpret,
     _load_pdata_db,
+    _paff_u32,
     _window_positions,
     _window_w,
 )
@@ -140,7 +141,7 @@ def _pcdf_body(pd, naff_u, ndist, boxmat_ref, bcell, length, finish, *,
 
     # naff_u / ndist: merged window node CDF [WPAD, 1] (gathered static
     # channels, plus the in-kernel moving-collider CDF at gate level >= 2).
-    prev_aff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)  # [1, G]
+    prev_aff = _paff_u32(pd)                                    # [1, G]
 
     # Per-collider union + sign votes, MXU-formulated: presence and vote
     # are both contractions over the window axis against per-node collider
@@ -248,12 +249,16 @@ def _pcdf_body(pd, naff_u, ndist, boxmat_ref, bcell, length, finish, *,
     sd = jnp.where(ok, x[3], 0.0)
     aff_out = jnp.where(ok, p_aff[0], jnp.uint32(0))
 
+    # Affinity rides as split <=16-bit halves (rows 0 = low, 5 = high) —
+    # NaN-safe everywhere downstream (see pallas_transfer._paff_u32).
+    aff_i = pltpu.bitcast(aff_out[None, :], jnp.int32)
     res = jnp.concatenate(
         [
-            pltpu.bitcast(aff_out[None, :], jnp.float32),
+            (aff_i & 0xFFFF).astype(jnp.float32),
             sd[None, :],
             normal[0][None, :], normal[1][None, :], normal[2][None, :],
-            jnp.zeros((3, group), jnp.float32),
+            ((aff_i >> 16) & 0xFFFF).astype(jnp.float32),
+            jnp.zeros((2, group), jnp.float32),
         ],
         axis=0,
     )                                                         # [8, G]
@@ -461,7 +466,7 @@ def p2g_cdf_tiles(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
     """Fused particle-CDF + P2G (nc > 0 only).
 
     Returns (mm [MAXJ, WPAD, 8], imp [MAXJ, 8, 128],
-    pcdf rows [8, NPAD + G + 128]: aff (bitcast), sd, normal xyz).
+    pcdf rows [8, NPAD + G + 128]: aff lo, sd, normal xyz, aff hi).
 
     chan_free: ALL analytic collider CDF is evaluated in-kernel at the
     window nodes (ptf._moving_node_cdf; static_desc at gate level 1,

@@ -44,9 +44,9 @@ from wgsparkl_tpu.ops.transfer import DEFAULT_FRICTION
 # pdata channel-row indices
 PX, PY, PZ, VX, VY, VZ, PM = 0, 1, 2, 3, 4, 5, 6
 A0 = 7       # A00..A22 in rows 7..15
-AFF = 16     # uint32 affinity bits, bitcast to f32
+AFF = 16     # affinity LOW 16 bits as an integer-valued f32 (see _paff_u32)
 NX, NY, NZ = 17, 18, 19  # particle CDF normal
-AFF_SPARE = 20  # zero pad row; scratch for the split-affinity permute
+AFF_SPARE = 20  # affinity HIGH (sign) 16 bits as an integer-valued f32
 NCHAN = 24
 
 # Extended packed-state rows (sorted as ONE [N, PCHAN] row gather; rows
@@ -117,10 +117,12 @@ def pack_state_rows(particles, models):
         "mat_table), or call solver.attach_material_table(particles, models)"
     )
     cols += [
-        jax.lax.bitcast_convert_type(particles.cdf_affinity, jnp.float32),
+        # Affinity word split into two <=16-bit integer-valued f32 rows
+        # (AFF = low bits, AFF_SPARE = sign bits) — see _paff_u32.
+        (particles.cdf_affinity & jnp.uint32(0xFFFF)).astype(jnp.float32),
         particles.cdf_normal[:, 0], particles.cdf_normal[:, 1],
         particles.cdf_normal[:, 2],
-        z,                                     # AFF_SPARE
+        (particles.cdf_affinity >> 16).astype(jnp.float32),  # AFF_SPARE
         particles.ids.astype(jnp.float32),     # R_IDS
         models.mat_id,                         # R_MID
         z,                                     # pad to NCHAN
@@ -169,7 +171,9 @@ def unpack_state_rows(rows, particles, models, n_mat: int = 1):
     vel = rows[3:6, :].T
     mass = rows[PM]
     affine = rows[A0 : A0 + 9, :].T.reshape(n, 3, 3)
-    aff = jax.lax.bitcast_convert_type(rows[AFF], jnp.uint32)
+    aff = rows[AFF].astype(jnp.uint32) | (
+        rows[AFF_SPARE].astype(jnp.uint32) << 16
+    )
     mid = rows[R_MID]
     tab = models.mat_table
     new_p = particles.replace(
@@ -243,6 +247,23 @@ def _compat(naff_col, paff_row):
     s1 = (naff_col >> 16) & common
     s2 = (paff_row >> 16) & common
     return s1 == s2
+
+
+def _paff_u32(pd, aff_row: int = AFF, spare_row: int = AFF_SPARE):
+    """Particle affinity word [1, G] from the split halves in the rows.
+
+    The state carries the 16+16-bit CPIC affinity word as TWO <=16-bit
+    integer-valued f32 rows (AFF = low/affinity bits, AFF_SPARE =
+    high/sign bits): a single f32-bitcast word can hold an all-ones
+    exponent bit pattern at >= 15 colliders (sign bits land in f32 bits
+    23-30), i.e. a NaN payload that NaN*0-poisons any one-hot matmul or
+    masked multiply the row rides (re-sort permute, migration buffers).
+    Split halves are plain small integers — safe everywhere — and lift
+    the pallas collider cap to the reference's 16 (collide.wgsl:36)."""
+    w = (pd[spare_row : spare_row + 1, :].astype(jnp.int32) << 16) | pd[
+        aff_row : aff_row + 1, :
+    ].astype(jnp.int32)
+    return pltpu.bitcast(w, jnp.uint32)
 
 
 def _ghost_velocity(pd, bv, friction=DEFAULT_FRICTION, nrm=None):
@@ -583,7 +604,7 @@ def _p2g_kernel(
                 ) | itile_ref[0][:, 0:1].astype(jnp.int32)
                 naff = pltpu.bitcast(naff_i, jnp.uint32)
                 closest = itile_ref[0][:, 2:3]                      # [WPAD,1]
-                paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
+                paff = _paff_u32(pd)
                 compat = _compat(naff, paff)                        # [WPAD,G]
                 write_mm(jnp.where(compat, w, 0.0))
 
@@ -809,7 +830,7 @@ def _g2p_kernel(
             # channels at level 1, static + in-kernel moving CDF at level 2
             # (_merge_ntile_cdf; the moving subset never reaches HBM).
             naff, closest = merged[0], merged[1]
-            paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
+            paff = _paff_u32(pd)
             compat = _compat(naff, paff)
             w_c = jnp.where(compat, w, 0.0)
             out = phys_dot(nfeat, w_c, (((0,), (0,)), ((), ())))     # [16, G]

@@ -70,9 +70,11 @@ def pack_state_rows(particles, models):
         particles.vel[:, 0], particles.vel[:, 1],
         particles.mass,
         a[:, 0], a[:, 1], a[:, 2], a[:, 3],
-        jax.lax.bitcast_convert_type(particles.cdf_affinity, jnp.float32),
+        # Affinity split into <=16-bit halves (AFF = low, AFF_SPARE =
+        # sign bits) — see pallas_transfer._paff_u32.
+        (particles.cdf_affinity & jnp.uint32(0xFFFF)).astype(jnp.float32),
         particles.cdf_normal[:, 0], particles.cdf_normal[:, 1],
-        z,                                     # AFF_SPARE
+        (particles.cdf_affinity >> 16).astype(jnp.float32),  # AFF_SPARE
         particles.ids.astype(jnp.float32),     # R_IDS
         models.mat_id,                         # R_MID
         z,                                     # pad to NCHAN
@@ -109,7 +111,8 @@ def unpack_state_rows(rows, particles, models, n_mat: int = 1):
         vel=rows[2:4, :].T,
         mass=rows[PM],
         affine=rows[A0 : A0 + 4, :].T.reshape(n, 2, 2),
-        cdf_affinity=jax.lax.bitcast_convert_type(rows[AFF], jnp.uint32),
+        cdf_affinity=rows[AFF].astype(jnp.uint32)
+        | (rows[AFF_SPARE].astype(jnp.uint32) << 16),
         def_grad=rows[R_F0 : R_F0 + 4, :].T.reshape(n, 2, 2),
         init_volume=lk(tab, mid, ptf.MTAB_VOL, n_mat),
         init_radius=lk(tab, mid, ptf.MTAB_RAD, n_mat),
@@ -317,7 +320,7 @@ def _p2g_kernel(
                 else:
                     naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)
                     closest = itile_ref[0][:, 1:2]
-                paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
+                paff = ptf._paff_u32(pd, AFF, AFF_SPARE)
                 compat = _compat(naff, paff)
                 write_mm(jnp.where(compat, w, 0.0))
 
@@ -503,7 +506,7 @@ def _g2p_kernel(
                 else:
                     naff = pltpu.bitcast(itile_ref[0][:, 0:1], jnp.uint32)
                     closest = itile_ref[0][:, 1:2]
-                paff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
+                paff = ptf._paff_u32(pd, AFF, AFF_SPARE)
                 compat = _compat(naff, paff)
                 w_c = jnp.where(compat, w, 0.0)
                 w_i = w - w_c
@@ -697,7 +700,7 @@ def _pcdf_body(pd, naff_u, ndist, bcell, length, finish, *,
         & (wid < WVOL)
     ) & (valid_f[None, :] > 0)
 
-    prev_aff = pltpu.bitcast(pd[AFF : AFF + 1, :], jnp.uint32)
+    prev_aff = ptf._paff_u32(pd, AFF, AFF_SPARE)
 
     p_aff_bits = jnp.zeros((1, group), jnp.uint32)
     sign_word = jnp.zeros((1, group), jnp.uint32)
@@ -757,12 +760,16 @@ def _pcdf_body(pd, naff_u, ndist, bcell, length, finish, *,
     sd = jnp.where(ok, x[2], 0.0)
     aff_out = jnp.where(ok, p_aff[0], jnp.uint32(0))
 
+    # Affinity rides as split <=16-bit halves (rows 0 = low, 4 = high) —
+    # NaN-safe everywhere downstream (see pallas_transfer._paff_u32).
+    aff_i = pltpu.bitcast(aff_out[None, :], jnp.int32)
     res = jnp.concatenate(
         [
-            pltpu.bitcast(aff_out[None, :], jnp.float32),
+            (aff_i & 0xFFFF).astype(jnp.float32),
             sd[None, :],
             normal[0][None, :], normal[1][None, :],
-            jnp.zeros((4, group), jnp.float32),
+            ((aff_i >> 16) & 0xFFFF).astype(jnp.float32),
+            jnp.zeros((3, group), jnp.float32),
         ],
         axis=0,
     )
@@ -772,7 +779,7 @@ def _pcdf_body(pd, naff_u, ndist, bcell, length, finish, *,
 def pcdf_rows(pdata, ntiles, btable, jobs, bcells, cfg: GridConfig,
               group: int, npad: int, nc: int, jbody=None, alldesc=(),
               chan_free: bool = False):
-    """[8, NPAD + G + 128] rows: aff (bitcast), sd, normal xy.
+    """[8, NPAD + G + 128] rows: aff lo, sd, normal xy, aff hi (row 4).
 
     chan_free: node CDF evaluated in-kernel from btable (alldesc); ntiles
     is then a resident [1, WPAD, 4] dummy."""

@@ -60,18 +60,24 @@ def world_transform(meshes: MeshColliders, bodies):
     return sample_w, verts_w
 
 
-def _support_weights(pos, blk_coords, cfg):
-    """[..., WSZ^d] 0/1 indicator of the 3^d stencil nodes of each sample."""
+def _support_weights(pos, blk_coords, cfg, by: int = 4):
+    """[..., prod(WSH)] 0/1 indicator of the 3^d stencil nodes of each
+    sample (per-axis block/window extents — by-aware)."""
     d = pos.shape[-1]
-    bs = bk.block_size(d)
-    wsz = bk.window_size(d)
+    bsh = bk.block_shape(d, by)
+    wsh = bk.window_shape(d, by)
     h = cfg.cell_width
     base = jnp.round(pos / h).astype(jnp.int32) - 1
-    base_local = base - jnp.asarray(cfg.origin_cell, jnp.int32) - blk_coords * bs
-    base_local = jnp.clip(base_local, 0, bs - 1)
-    cols = jnp.arange(wsz, dtype=jnp.int32)
+    base_local = (
+        base - jnp.asarray(cfg.origin_cell, jnp.int32)
+        - blk_coords * jnp.asarray(bsh, jnp.int32)
+    )
+    base_local = jnp.clip(
+        base_local, 0, jnp.asarray(bsh, jnp.int32) - 1
+    )
     supp = None
     for a in range(d):
+        cols = jnp.arange(wsh[a], dtype=jnp.int32)
         rel = cols - base_local[..., a : a + 1]
         sa = ((rel >= 0) & (rel <= 2)).astype(jnp.float32)
         supp = sa if supp is None else (
@@ -88,32 +94,35 @@ def mesh_node_cdf(
     group: int,
     max_jobs: int,
     chunk: int,
+    by: int = 4,
 ):
     """Block-major node CDF channels from mesh colliders.
 
-    Returns (key [NBt+1, BS.., 1] uint32, aff_sign [NBt+1, BS.., 2*C] f32)
+    Returns (key [NBt+1, BSH.., 1] uint32, aff_sign [NBt+1, BSH.., 2*C] f32)
     where key packs (distance bits | collider id) and aff_sign holds per
-    mesh collider the {affinity, sign} indicators.
+    mesh collider the {affinity, sign} indicators.  by-aware: blocks and
+    windows use the anisotropic 4 x by x 4 geometry of the caller's grid
+    (block_shape), so the flagship by=8 block layout composes with mesh
+    colliders.
     """
     d = cfg.dim
-    bs = bk.block_size(d)
-    nb = bk.num_blocks(cfg)
+    bsh = bk.block_shape(d, by)
+    nb = bk.num_blocks(cfg, by)
     nb_total = int(np.prod(nb))
     nbr = jnp.asarray(bk.neighbor_block_table(nb))
-    wsz = bk.window_size(d)
-    wvol = wsz**d
+    wsh = bk.window_shape(d, by)
     n_mesh = len(mesh_cids)
 
     sample_w, verts_w = world_transform(meshes, bodies)
-    block_ids, _ = bk.particle_block_ids(sample_w, cfg)
+    block_ids, _ = bk.particle_block_ids(sample_w, cfg, by)
     data = {"pos": sample_w, "prim": meshes.sample_prim, "cid": meshes.sample_cid}
     data, sorted_ids, _ = bk.sort_by_block(data, block_ids)
     jobs = bk.build_jobs(sorted_ids, nb_total, group, max_jobs)
 
     key_grid = jnp.full(
-        (nb_total + 1,) + (bs,) * d + (1,), INF_BITS, jnp.uint32
+        (nb_total + 1,) + bsh + (1,), INF_BITS, jnp.uint32
     )
-    asg_grid = jnp.zeros((nb_total + 1,) + (bs,) * d + (2 * n_mesh,), jnp.float32)
+    asg_grid = jnp.zeros((nb_total + 1,) + bsh + (2 * n_mesh,), jnp.float32)
 
     # Map body slot -> dense mesh channel index (static).
     chan_of_slot = {cid: i for i, cid in enumerate(mesh_cids)}
@@ -130,15 +139,15 @@ def mesh_node_cdf(
         blk_coords = bk.block_coords_of(block, nb)
         key_tile, asg_tile = _mesh_chunk_tiles(
             data, verts_w, jb["start"], jb["len"], blk_coords, cfg,
-            mesh_cids, group, d,
+            mesh_cids, group, d, by=by,
         )
         key_grid = bk.scatter_tiles(
-            key_grid, key_tile.reshape((-1,) + (wsz,) * d + (1,)),
-            block, nbr, d, mode="min",
+            key_grid, key_tile.reshape((-1,) + wsh + (1,)),
+            block, nbr, d, mode="min", by=by,
         )
         asg_grid = bk.scatter_tiles(
-            asg_grid, asg_tile.reshape((-1,) + (wsz,) * d + (2 * n_mesh,)),
-            block, nbr, d, mode="max",
+            asg_grid, asg_tile.reshape((-1,) + wsh + (2 * n_mesh,)),
+            block, nbr, d, mode="max", by=by,
         )
         return (key_grid, asg_grid), None
 
@@ -149,7 +158,7 @@ def mesh_node_cdf(
 
 
 def _mesh_chunk_tiles(data, verts_w, start, length, blk_coords, cfg,
-                      mesh_cids, group: int, d: int):
+                      mesh_cids, group: int, d: int, by: int = 4):
     """Per-job window tiles of the mesh CDF pass (p2g_cdf.wgsl:113-191):
     pairwise node-window x sample-primitive projections, reduced over the
     job's samples.  Returns (key_tile [J, W] uint32 packed argmin,
@@ -162,9 +171,9 @@ def _mesh_chunk_tiles(data, verts_w, start, length, blk_coords, cfg,
     prim = _gather(data["prim"], start, group)     # [J,G,d]
     cid = _gather(data["cid"], start, group)       # [J,G]
 
-    supp = _support_weights(spos, blk_coords[:, None, :], cfg)  # [J,G,W]
+    supp = _support_weights(spos, blk_coords[:, None, :], cfg, by)  # [J,G,W]
     supp = supp * gmask[..., None]
-    xw = bk.window_node_positions(blk_coords, cfg)              # [J,W,d]
+    xw = bk.window_node_positions(blk_coords, cfg, by)          # [J,W,d]
 
     va = verts_w[prim[..., 0]]                                  # [J,G,d]
     vb = verts_w[prim[..., 1]]

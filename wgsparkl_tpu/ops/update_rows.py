@@ -82,8 +82,14 @@ def _update_kernel(ce_ref, pvec_ref, rows_ref, krows_ref, pcdf_ref, sid_ref,
         for i in range(d)
         for k in range(d)
     }
-    aff_u = jnp.where(
-        ig, pltpu.bitcast(row(pcdf_ref, 0), jnp.uint32), jnp.uint32(0)
+    # pcdf rows: 0 = affinity low half, 1 = sd, 2..2+d = normal,
+    # 2+d = affinity high (sign) half — split <=16-bit integer-valued f32
+    # (see pallas_transfer._paff_u32).
+    aff_lo = jnp.where(ig, row(pcdf_ref, 0), 0.0)
+    aff_hi = jnp.where(ig, row(pcdf_ref, 2 + d), 0.0)
+    aff_u = pltpu.bitcast(
+        aff_lo.astype(jnp.int32) | (aff_hi.astype(jnp.int32) << 16),
+        jnp.uint32,
     )
     sd_ch = jnp.where(ig, row(pcdf_ref, 1), 0.0)
     n_ch = [jnp.where(ig, row(pcdf_ref, 2 + k), 0.0) for k in range(d)]
@@ -148,9 +154,10 @@ def _update_kernel(ce_ref, pvec_ref, rows_ref, krows_ref, pcdf_ref, sid_ref,
     new_rows = (
         out["pos"] + out["vel"] + [row(rows_ref, ptf.PM)]
         + [out["affine"][(i, k)] for i in range(d) for k in range(d)]
-        + [pltpu.bitcast(aff_u, jnp.float32)]
+        + [aff_lo]
         + n_ch
-        + [row(rows_ref, r) for r in range(ptf.NCHAN - 4, ptf.NCHAN)]
+        + [aff_hi]                            # AFF_SPARE = high half
+        + [row(rows_ref, r) for r in range(ptf.NCHAN - 3, ptf.NCHAN)]
         + [out["dps"][k] for k in ptf.DPS_KEYS]
         + [out["phase"]]
         + [out["F"][(i, k)] for i in range(d) for k in range(d)]

@@ -247,9 +247,6 @@ def _node_cdf_full(state: SimState, bodies, cfg: MpmConfig,
     grid = cfg.grid
     pos_ch = (bk.block_major_node_positions_ch(grid, cfg.by) if block_major
               else grid.node_position_channels())
-    if cfg.mesh_cids and block_major:
-        # The mesh node-CDF pass emits isotropic 4^3 block-major keys.
-        assert cfg.by == 4, "mesh colliders require by=4 (isotropic blocks)"
     only = None
     if static_part is not None:
         only = frozenset(
@@ -268,6 +265,7 @@ def _node_cdf_full(state: SimState, bodies, cfg: MpmConfig,
         key_b, asg_b = rigid_cdf.mesh_node_cdf(
             state.meshes, bodies, grid, cfg.mesh_cids,
             cfg.sample_group, cfg.sample_max_jobs, cfg.sample_chunk,
+            by=cfg.by if block_major else 4,
         )
         if block_major:
             key_f = key_b[:-1].reshape(-1)
@@ -609,8 +607,8 @@ class StepDiag:
 
 
 # ------------------------------------------------- shared pallas-core phases
-def _lazy_sort(rows_all, keys, npad: int, aff: tuple = None,
-               lazy: bool = True, perm_rows: int = 0):
+def _lazy_sort(rows_all, keys, npad: int, lazy: bool = True,
+               perm_rows: int = 0):
     """Lazy re-sort: when the block keys are still nondecreasing the current
     order IS a valid sort — skip the permutation entirely (the reference
     re-sorts unconditionally every substep, grid.rs:30-206).  Otherwise the
@@ -624,12 +622,9 @@ def _lazy_sort(rows_all, keys, npad: int, aff: tuple = None,
     invariant) are recomputed by the update kernel after every sort before
     any read, so moving them would be pure waste.
 
-    aff = (aff_row, spare_row): the bitcast-uint32 affinity row can hold a
-    NaN bit pattern (all sign bits 23-30 set, possible at >= 15 colliders)
-    which would poison the permute's one-hot matmuls (NaN * 0 = NaN).  It
-    is split into two 16-bit integer-valued f32 halves around the permute
-    (exact in the 3-pass bf16 selections); spare_row must be a zero pad row
-    of the layout (restored to 0 after)."""
+    Every row is a NaN-free matmul-safe payload by layout: the CPIC
+    affinity word rides permanently as two <=16-bit integer-valued f32
+    halves (AFF / AFF_SPARE; see pallas_transfer._paff_u32)."""
     from wgsparkl_tpu.ops.permute import permute_lanes
 
     lane = jnp.arange(npad, dtype=jnp.int32)
@@ -641,28 +636,12 @@ def _lazy_sort(rows_all, keys, npad: int, aff: tuple = None,
     def resort(args):
         rows, kk = args
         sids, perm = jax.lax.sort((kk, lane), num_keys=1)
-        if aff is not None:
-            ar, sr = aff
-            au = jax.lax.bitcast_convert_type(
-                rows[ar], jnp.uint32
-            ).astype(jnp.int32)
-            lo = (au & 0xFFFF).astype(jnp.float32)
-            hi = ((au >> 16) & 0xFFFF).astype(jnp.float32)
-            rows = rows.at[ar].set(lo).at[sr].set(hi)
         if perm_rows and perm_rows < rows.shape[0]:
             out = jnp.concatenate(
                 [permute_lanes(rows[:perm_rows], perm), rows[perm_rows:]]
             )
         else:
             out = permute_lanes(rows, perm)
-        if aff is not None:
-            ar, sr = aff
-            au2 = out[ar].astype(jnp.int32) | (
-                out[sr].astype(jnp.int32) << 16
-            )
-            out = out.at[ar].set(
-                jax.lax.bitcast_convert_type(au2, jnp.float32)
-            ).at[sr].set(0.0)
         return out, sids
 
     if not lazy:
@@ -937,9 +916,13 @@ def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
         pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc, jbody,
         by=by, moving=moving, static_desc=static_desc, chan_free=chan_free,
     )
+    # Patch rows AFF..AFF_SPARE (= lo, n0, n1, n2, hi — contiguous) with
+    # the fresh particle CDF for G2P.
     pdata = jax.lax.dynamic_update_slice(
         pdata,
-        jnp.concatenate([krows[0:1, :npad], krows[2:5, :npad]], axis=0),
+        jnp.concatenate(
+            [krows[0:1, :npad], krows[2:5, :npad], krows[5:6, :npad]], axis=0
+        ),
         (ptf.AFF, 0),
     )
     return ntiles, jbody, mm_out, imp_out, krows, pdata
@@ -994,7 +977,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
 
     def sort_rows(rows):
         return _lazy_sort(
-            rows, keys_of(rows), npad, aff=(ptf.AFF, ptf.AFF_SPARE),
+            rows, keys_of(rows), npad,
             lazy=cfg.lazy_sort, perm_rows=getattr(ptf, "PERM_ROWS", 0),
         )
 
@@ -1172,7 +1155,7 @@ def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
 
     def sort_rows(rows):
         return _lazy_sort(
-            rows, keys_of(rows), npad, aff=(ptf.AFF, ptf.AFF_SPARE),
+            rows, keys_of(rows), npad,
             lazy=cfg.lazy_sort, perm_rows=getattr(ptf, "PERM_ROWS", 0),
         )
 
@@ -1435,7 +1418,7 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
 
     def sort_rows(rows):
         return _lazy_sort(
-            rows, keys_of(rows), npad, aff=(ptf.AFF, ptf.AFF_SPARE),
+            rows, keys_of(rows), npad,
             lazy=cfg.lazy_sort, perm_rows=getattr(ptf, "PERM_ROWS", 0),
         )
 
@@ -1519,10 +1502,13 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
             pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc,
             jbody, alldesc=alldesc, chan_free=mode[0],
         )
+        # Patch rows AFF..AFF_SPARE (= lo, n0, n1, hi — contiguous) with
+        # the fresh particle CDF for P2G/G2P.
         pdata = jax.lax.dynamic_update_slice(
             pdata,
             jnp.concatenate(
-                [pcdf_out[0:1, :npad], pcdf_out[2:4, :npad]], axis=0
+                [pcdf_out[0:1, :npad], pcdf_out[2:4, :npad],
+                 pcdf_out[4:5, :npad]], axis=0
             ),
             (ptf.AFF, 0),
         )
@@ -1818,17 +1804,15 @@ class MpmData:
         self.params = params
         self.bodies_desc = tuple(bodies)
         collider_types = tuple(b.collider.shape_type for b in bodies)
-        if transfer == "pallas" and len(collider_types) > 14:
-            # The channel-major state carries the 16+16-bit affinity word
-            # bitcast to f32 through one-hot permutation matmuls
-            # (ops/permute.py); sign bits of colliders >= 15 reach the f32
-            # exponent field and an all-ones exponent is a NaN payload that
-            # NaN*0-poisons the matmul.  The reference caps at 16
-            # (collide.wgsl:36); the pallas path caps at 14.  Use
-            # transfer='blocked' for 15-16 collider scenes.
+        if len(collider_types) > 16:
+            # 16-bit affinity + 16-bit sign word, like the reference
+            # (collide.wgsl:36).  The pallas row state carries the word as
+            # two <=16-bit integer-valued f32 halves (AFF / AFF_SPARE;
+            # pallas_transfer._paff_u32), so all 16 slots are NaN-safe
+            # through the permute/migration matmuls.
             raise ValueError(
-                "transfer='pallas' supports at most 14 colliders "
-                f"(got {len(collider_types)}); use transfer='blocked'"
+                f"at most 16 colliders supported (got {len(collider_types)}),"
+                " matching the reference's 16-bit affinity word"
             )
         auto_jobs = max_jobs == 0
         if transfer in ("blocked", "pallas") and auto_jobs:
@@ -1958,8 +1942,6 @@ class MpmData:
                 for (b, c, ab, ac) in joints
             ),
         )
-        if by != 4:
-            assert not mesh_slots, "by != 4 does not support mesh colliders"
         if transfer == "pallas":
             # Dedupe immutable constants into the material table (the
             # sorted row matrix then carries ids instead of 11 rows).
