@@ -1789,6 +1789,19 @@ class MpmData:
                 pos = np.asarray(particles.pos)
                 lo, hi = pos.min(0) - 8 * cell_width, pos.max(0) + 8 * cell_width
             grid = GridConfig.from_bounds(lo, hi, cell_width)
+        # Feature-composition matrix (see PARITY.md "composition matrix"):
+        # every other pairing of {dense, blocked, pallas} x {2D, 3D} x
+        # {mesh colliders, spatial sharding, by, sparse} composes.
+        if sparse and dim != 2 and by != 4:
+            raise ValueError(
+                "sparse domain uses isotropic 4^3 blocks (by=4); "
+                "anisotropic by is bounded-grid only"
+            )
+        if sparse and dim == 2:
+            raise ValueError(
+                "sparse (unbounded) domain is 3D-only; 2D scenes use the "
+                "bounded grid (grid_bounds / grid=)"
+            )
         if by != 4:
             # Anisotropic 4 x by x 4 blocks (MpmConfig.by): 3D bounded
             # pallas path only; round the y node extent up to whole blocks.
