@@ -52,16 +52,26 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-CHUNK = 256  # output lanes per program (also the displacement band)
+# Output lanes per program (also the displacement band).  At 1M lanes the
+# 256-lane default runs 4096 sequential programs whose per-program cost
+# (grid sequencing + DMA issue) plausibly dominates the measured 4.1 ms —
+# the slab DMA (~0.5 ms) and one-hot FLOPs (~0.1 ms) don't.  Wider chunks
+# divide the program count; the slab/exception widths scale along.
+# WGSPARKL_PERM_CHUNK = 512 / 1024 is the hardware A/B knob.
+import os as _os  # noqa: E402
+
+CHUNK = int(_os.environ.get("WGSPARKL_PERM_CHUNK", "256"))
+assert CHUNK % 256 == 0, CHUNK
 WMULT = 3    # slab chunks: covers source ranks [(g-1)C, (g+2)C).  WMULT=2
              # was measured 27.7 -> 18.1 steps/s at 1M: forward movers with
              # disp in (C, 2C) are common mid-frame and overflow the
              # exception levels; the wider slab is cheaper than their take.
-EXCW = 512   # exception slab width (>= 128-align slack + 256 max/chunk)
-NARROW = 384  # narrow-slab width: chunks whose sources all fit a NARROW
-              # window from a 128-aligned start (81%+ at the settled 1M
-              # bench are pure shifts, a strict subset) DMA and contract
-              # half the slab — both costs are linear in slab width.
+EXCW = CHUNK + 256   # exception slab width (>= 128-align slack + CHUNK/chunk)
+NARROW = (3 * CHUNK) // 2  # narrow-slab width: chunks whose sources all fit
+              # a NARROW window from a 128-aligned start (81%+ at the
+              # settled 1M bench are pure shifts, a strict subset) DMA and
+              # contract half the slab — both costs are linear in slab
+              # width.
 
 
 def _permute_kernel(lo_ref, slablo_ref, nw_ref, perm_ref, einv_ref, rows_hbm,
