@@ -80,6 +80,14 @@ if which in ("all", "3"):
                              np.array([half * 2 + 2, 2.2 * nf * h + 4, half + 2])),
                 transfer="pallas", group=512)
     measure("3 (3D dam break ~256k)", d, substeps=20)
+    # Flagship block geometry (group=1024, by=8): round-3 measured config 3
+    # at 7.5M pups/s vs sand's 25.8M — by=4 group=512 jobs run half-empty
+    # once the fluid spreads; by=8 packs 4x the particles per block.
+    d = MpmData(params, particles, models, bodies, h,
+                grid_bounds=(np.array([-half - 2, -2.0, -half - 2]),
+                             np.array([half * 2 + 2, 2.2 * nf * h + 4, half + 2])),
+                transfer="pallas", group=1024, by=8)
+    measure("3+ (dam break, by=8 group=1024)", d, substeps=20)
 
 # config 4: 3D sand + CPIC coupling ~512k, and reference sand3 202.5k
 if which in ("all", "4"):
@@ -89,4 +97,10 @@ if which in ("all", "4"):
     d = scenes.sand_box_3d(nxz=62, ny=133, cell_width=1.0,
                            transfer="pallas", group=512)
     measure("4b (3D sand+CPIC ~512k)", d, substeps=20)
+    d = scenes.sand_box_3d(nxz=62, ny=133, cell_width=1.0,
+                           transfer="pallas", group=1024, by=8)
+    measure("4b+ (512k, by=8 group=1024)", d, substeps=20)
+    d = scenes.sand_box_3d(nxz=45, ny=100, cell_width=1.0,
+                           transfer="pallas", group=1024, by=8)
+    measure("4a+ (202.5k, by=8 group=1024)", d, substeps=20)
 print("done")
