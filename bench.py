@@ -138,11 +138,19 @@ def main():
     max_jobs = int(os.environ.get("BENCH_MAXJOBS", 0)) or int(
         (n // (100 * by) + 256) // 128 * 128
     )
+    # Banded-move geometry A/B: BENCH_BAND overrides the auto slab band,
+    # BENCH_BCHUNK the jobs-per-scan-iteration chunk (fewer, bigger
+    # iterations; scan/fusion overhead vs slab width trade).
+    band_kw = {}
+    if int(os.environ.get("BENCH_BAND", 0)):
+        band_kw["band_arg"] = int(os.environ["BENCH_BAND"])
+    if int(os.environ.get("BENCH_BCHUNK", 0)):
+        band_kw["band_chunk"] = int(os.environ["BENCH_BCHUNK"])
     data = MpmData(
         base.params, base.state.particles, base.state.models,
         base.bodies_desc, 1.0, grid=base.config.grid,
         transfer="pallas", group=group, max_jobs=max_jobs, sparse=sparse,
-        by=by,
+        by=by, **band_kw,
     )
     if int(os.environ.get("BENCH_EAGER_SORT", 0)):
         # The paddle keeps this scene from ever settling: the lazy-sort
@@ -185,7 +193,7 @@ def main():
             base.params, base.state.particles, base.state.models,
             base.bodies_desc, 1.0, grid=base.config.grid,
             transfer="pallas", group=group, max_jobs=max_jobs,
-            sparse=sparse, by=by,
+            sparse=sparse, by=by, **band_kw,
         )
         cfg = data.config
         stepper = make_stepper(cfg)

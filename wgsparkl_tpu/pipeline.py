@@ -427,7 +427,7 @@ def substep_pallas(
     else:
         from wgsparkl_tpu.ops import pallas_transfer as ptf
 
-        core = _substep_pallas_rows_sparse if cfg.sparse else _substep_pallas_rows
+        core = _substep_pallas_rows
 
     n = state.particles.count
     slack = 2 * cfg.migration_cap if cfg.spatial_devices else 0
@@ -468,7 +468,7 @@ def step_pallas(
     else:
         from wgsparkl_tpu.ops import pallas_transfer as ptf
 
-        core = _substep_pallas_rows_sparse if cfg.sparse else _substep_pallas_rows
+        core = _substep_pallas_rows
 
     n = state.particles.count
     slack = 2 * cfg.migration_cap if cfg.spatial_devices else 0
@@ -932,48 +932,73 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
                          n: int, axis_name: Optional[str] = None,
                          diag: Optional[StepDiag] = None, static_cdf=None,
                          mtable=None):
-    """Channel-major substep core: ([PCHAN, NPAD] rows, bodies) -> same.
+    """3D channel-major substep core: ([PCHAN, NPAD] rows, bodies) -> same.
 
     Same physics as substep/substep_blocked; the P2G/G2P/pCDF passes run as
     MXU matmul kernels (ops/pallas_transfer.py), everything else is
     elementwise on [NPAD] channels or slab-indexed — no per-element gathers
     and no [N, 3]/[N, 3, 3] intermediates anywhere.
 
+    ONE core serves both grid domains (the sort / migration / job /
+    CDF-kernel / grid-round-trip / update skeleton is identical; only the
+    tile ADDRESSING differs):
+
+      * bounded (cfg.sparse=False): blocks of a static grid box, flat
+        storage ids, neighbor offsets at static strides, banded tile moves
+        (gather/scatter_tiles_auto); anisotropic 4 x by x 4 blocks.
+      * sparse (cfg.sparse=True): the reference's GPU-hashmap grid
+        (grid.wgsl:98-164) rebuilt the TPU way — no hashmap: the sorted
+        particle keys already ARE the occupied block set, recovered by
+        boundary compaction; the active table (occupied U +1 neighbors,
+        sorted packed keys) replaces block ids with SLOTS, and all tile
+        moves address slots through explicit per-octant target arrays
+        (gather/scatter_tiles_slots).  Grid rows = [amax + 1, 4, 4, 4, C]
+        (ghost = amax); node CDF is computed only on active-block nodes
+        (work scales with occupancy, not volume).  Capacity overflow
+        (kmax / amax) degrades like job overflow — masked out of
+        transfers — and is reported by diagnostics, never silent-corrupt.
+
     Lanes >= n are padding: they carry F = I / mass 0, sort to the very
-    tail (key nb_total + 1, after the real out-of-grid overflow bucket at
-    nb_total), and are masked out of every transfer.
+    tail (key live_key + 1, after the real out-of-grid/out-of-capacity
+    overflow bucket at live_key), and are masked out of every transfer.
     """
     from wgsparkl_tpu.ops import blocked as bk
     from wgsparkl_tpu.ops import pallas_transfer as ptf
     from wgsparkl_tpu.ops.kernel import inv_d as inv_d_fn
 
+    sparse = cfg.sparse
     nc = cfg.num_colliders
     grid = cfg.grid
     d = 3
-    by = cfg.by
-    nb = bk.num_blocks(grid, by)
-    nb_total = int(np.prod(nb))
+    by = cfg.by                       # 4 when sparse (MpmData validates)
     bsh = bk.block_shape(d, by)
     _, _, wpad = ptf.window_geom(by)
     group = cfg.group
     npad = rows_all.shape[1]
     if diag is None:
         diag = StepDiag.zeros()
+    if sparse:
+        kmax, amax = cfg.kmax, cfg.amax
+        live_key = bk.SPARSE_SENTINEL     # first non-live key value
+    else:
+        nb = bk.num_blocks(grid, by)
+        live_key = nb_total = int(np.prod(nb))
 
     bodies = body_mod.update_world_mass_properties(bodies)
     spatial = cfg.spatial_devices if axis_name is not None else 0
 
-    # --- sort phase ---
+    # --- sort phase (gravity-fastest keys: bounded flat block ids or
+    # packed unbounded sparse keys) ---
     lane = jnp.arange(npad, dtype=jnp.int32)
 
     def keys_of(rows):
-        # Gravity-fastest sort keys (bijection of block ids; see
-        # particle_sort_keys_ch) — job block ids convert back below.
-        k = bk.particle_sort_keys_ch([rows[0], rows[1], rows[2]], grid, by)
+        pch = [rows[0], rows[1], rows[2]]
+        k = (bk.particle_sparse_keys_ch(pch, grid) if sparse
+             else bk.particle_sort_keys_ch(pch, grid, by))
         if spatial:
             # migrated-out / padding lanes carry mass 0 -> sort-to-tail key.
-            return jnp.where(rows[ptf.PM] > 0.0, k, nb_total + 1)
-        return jnp.where(lane < n, k, nb_total + 1)
+            return jnp.where(rows[ptf.PM] > 0.0, k, live_key + 1)
+        return jnp.where(lane < n, k, live_key + 1)
 
     def sort_rows(rows):
         return _lazy_sort(
@@ -984,42 +1009,114 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     rows_all, sorted_ids = sort_rows(rows_all)
 
     if spatial:
-        # --- particle migration (x-slab decomposition; see _migrate_x) ---
+        # --- particle migration between x-slab owners (see _migrate_x).
+        # Keys sort x-slowest either way; sparse slabs split the NOMINAL
+        # grid's x-block extent (edge devices own everything beyond — the
+        # domain itself stays unbounded).
         d_dev = spatial
         kdev = jax.lax.axis_index(axis_name)
-        wx = nb[0] // d_dev
-        xstride = nb[1] * nb[2]
+        if sparse:
+            wxb = bk.num_blocks(grid)[0] // d_dev
+            dd2 = bk.SPARSE_DIM * bk.SPARSE_DIM
+            lo_key = jnp.where(
+                kdev > 0, (bk.SPARSE_HALF + kdev * wxb) * dd2, 0
+            )
+            hi_key = jnp.where(
+                kdev < d_dev - 1,
+                (bk.SPARSE_HALF + (kdev + 1) * wxb) * dd2, live_key,
+            )
+        else:
+            wx = nb[0] // d_dev
+            xstride = nb[1] * nb[2]
+            lo_key = kdev * wx * xstride
+            hi_key = (kdev + 1) * wx * xstride
         rows_all, sorted_ids, diag = _migrate_x(
-            rows_all, sorted_ids, kdev * wx * xstride,
-            (kdev + 1) * wx * xstride, nb_total, npad, cfg.migration_cap,
-            axis_name, d_dev, diag, sort_rows, ptf.PCHAN, ptf.PM,
+            rows_all, sorted_ids, lo_key, hi_key, live_key, npad,
+            cfg.migration_cap, axis_name, d_dev, diag, sort_rows,
+            ptf.PCHAN, ptf.PM,
         )
 
-    jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
-    diag = diag.replace(
-        job_overflow=jnp.maximum(
-            diag.job_overflow, jobs["needed"] - cfg.max_jobs
+    # --- job tables + tile addressing ---
+    if sparse:
+        jobs, okeys, n_occ = bk.build_jobs_sparse(
+            sorted_ids, group, cfg.max_jobs, kmax
         )
-    )
-    jobs["block"] = bk.key_to_block(jobs["block"], nb, d)
-    # Out-of-grid particles land in the overflow bucket and belong to no
-    # job; their kernel output rows are never written and must be masked
-    # off — see _mask_jobs.
-    covered_end, starts = _mask_jobs(jobs, npad, group)
-    jobs = {"start": starts, "len": jobs["len"], "block": jobs["block"]}
-    blk_coords = bk.block_coords_of(jobs["block"], nb)
-    bcells = (blk_coords * jnp.asarray(bsh, jnp.int32)
-              + jnp.asarray(grid.origin_cell, jnp.int32))
-    nbr = jnp.asarray(bk.neighbor_block_table(nb))
-    band_lo, bands_ok = bk.band_info(
-        jobs["block"], nb_total, cfg.band, cfg.band_chunk
-    )
+        act, n_active, act_over = bk.sparse_active_table(okeys, d, amax)
+        # Surface every masked capacity overflow (kmax-truncated blocks
+        # freeze their particles; amax truncation drops halo nodes; job
+        # overflow masks the tail ranks) — zero when healthy.
+        diag = diag.replace(
+            job_overflow=jnp.maximum(
+                diag.job_overflow, jobs["needed"] - cfg.max_jobs
+            ),
+            sparse_occ_overflow=jnp.maximum(
+                diag.sparse_occ_overflow, n_occ - kmax
+            ),
+            sparse_act_overflow=jnp.maximum(
+                diag.sparse_act_overflow, n_active - amax
+            ),
+        )
+        deltas = bk.sparse_octant_deltas(d)
+        tgts = jnp.stack(
+            [bk.sparse_slots(act, jobs["key"] + dl, amax) for dl in deltas]
+        )                                                       # [8, MAXJ]
+        covered_end, starts = _mask_jobs(jobs, npad, group)
+        jobs = {"start": starts, "len": jobs["len"], "key": jobs["key"]}
+        bcells = (
+            bk.sparse_key_coords(jobs["key"], d) * bsh[0]
+            + jnp.asarray(grid.origin_cell, jnp.int32)
+        )
+        band_lo, bands_ok = bk.band_info_slots(
+            tgts, amax, cfg.band, cfg.band_chunk
+        )
 
-    def gather_tiles(grid_arr, out=None, c=None):
-        return bk.gather_tiles_auto(
-            grid_arr, jobs["block"], band_lo, bands_ok, nbr, nb, d,
-            cfg.band, cfg.band_chunk, out=out, c=c, by=by,
+        def gather_tiles(grid_arr, out=None, c=None):
+            return bk.gather_tiles_slots(
+                grid_arr, tgts, band_lo, bands_ok, d, cfg.band,
+                cfg.band_chunk, out=out, c=c,
+            )
+
+        def scatter_mm(grid_arr, tiles):
+            return bk.scatter_tiles_slots(
+                grid_arr, tiles, tgts, band_lo, bands_ok, d, cfg.band,
+                cfg.band_chunk, win=True,
+            )
+
+        grid_rows = amax
+    else:
+        jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
+        diag = diag.replace(
+            job_overflow=jnp.maximum(
+                diag.job_overflow, jobs["needed"] - cfg.max_jobs
+            )
         )
+        jobs["block"] = bk.key_to_block(jobs["block"], nb, d)
+        # Out-of-grid particles land in the overflow bucket and belong to
+        # no job; their kernel output rows are never written and must be
+        # masked off — see _mask_jobs.
+        covered_end, starts = _mask_jobs(jobs, npad, group)
+        jobs = {"start": starts, "len": jobs["len"], "block": jobs["block"]}
+        blk_coords = bk.block_coords_of(jobs["block"], nb)
+        bcells = (blk_coords * jnp.asarray(bsh, jnp.int32)
+                  + jnp.asarray(grid.origin_cell, jnp.int32))
+        nbr = jnp.asarray(bk.neighbor_block_table(nb))
+        band_lo, bands_ok = bk.band_info(
+            jobs["block"], nb_total, cfg.band, cfg.band_chunk
+        )
+
+        def gather_tiles(grid_arr, out=None, c=None):
+            return bk.gather_tiles_auto(
+                grid_arr, jobs["block"], band_lo, bands_ok, nbr, nb, d,
+                cfg.band, cfg.band_chunk, out=out, c=c, by=by,
+            )
+
+        def scatter_mm(grid_arr, tiles):
+            return bk.scatter_tiles_auto(
+                grid_arr, tiles, jobs["block"], band_lo, bands_ok, nbr, nb,
+                d, cfg.band, cfg.band_chunk, win=True, by=by,
+            )
+
+        grid_rows = nb_total
 
     # Particle channels = rows 0..NCHAN-1 of the sorted state (prev affinity
     # rides along for the pcdf kernel's temporal sign persistence).
@@ -1030,6 +1127,10 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     if nc > 0:
         if mode[0]:
             chan_grid = None   # chan-free: all-analytic in-kernel CDF
+        elif sparse:
+            chan_grid = _sparse_chan_grid(
+                bodies, meshes, cfg, act, amax, bsh[0]
+            )
         else:
             state_view = SimState(particles=None, models=None,
                                   bodies=bodies, meshes=meshes)
@@ -1063,17 +1164,19 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
             pdata, ntiles, btable, jobs, bcells, grid, group, nc, jbody,
             by=by,
         )
-    grid_mm = jnp.zeros((nb_total + 1,) + bsh + (d + 1,), jnp.float32)
-    grid_mm = bk.scatter_tiles_auto(
-        grid_mm, mm_out, jobs["block"], band_lo, bands_ok, nbr, nb, d,
-        cfg.band, cfg.band_chunk, win=True, by=by,
-    )
+    grid_mm = jnp.zeros((grid_rows + 1,) + bsh + (d + 1,), jnp.float32)
+    grid_mm = scatter_mm(grid_mm, mm_out)
 
     # CPIC impulses: per-job, per-collider totals already reduced in-kernel.
     lin_imp, ang_imp = _split_impulses(imp_out, bodies.count, d)
 
     if axis_name is not None:
-        if spatial:
+        if spatial and sparse:
+            grid_mm, diag = _halo_exchange_sparse(
+                grid_mm, act, amax, lo_key, hi_key, cfg.halo_cap, kdev,
+                d_dev, axis_name, diag,
+            )
+        elif spatial:
             grid_mm = _halo_exchange_x(
                 grid_mm, nb_total, nb[1] * nb[2], kdev, wx, d_dev, axis_name
             )
@@ -1098,287 +1201,125 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     rows_out = _upd(
         rows_all, krows, pcdf_rows, sorted_ids, covered_end, btable,
         mtable, params, cfg, nc, inv_d_fn(grid.cell_width),
-        live_below=nb_total,
+        live_below=live_key,
     )
 
     bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
     return rows_out, bodies, diag
 
 
-def _substep_pallas_rows_sparse(rows_all, bodies, meshes, params,
-                                cfg: MpmConfig, n: int,
-                                axis_name: Optional[str] = None,
-                                diag: Optional[StepDiag] = None,
-                                static_cdf=None, mtable=None):
-    """Sparse/unbounded-domain 3D substep core (see _substep_pallas_rows).
-
-    The reference's GPU-hashmap sparse grid (grid.wgsl:98-164) rebuilt the
-    TPU way: no hashmap — the sorted particle keys already ARE the occupied
-    block set, recovered by boundary compaction; the active table (occupied
-    U +1 neighbors, sorted packed keys) replaces block ids with SLOTS, and
-    all tile moves address slots through explicit per-octant target arrays.
-    Grid rows = [amax + 1, 4, 4, 4, C] (ghost = amax); node CDF is computed
-    only on active-block nodes (work scales with occupancy, not volume).
-    Capacity overflow (kmax / amax) degrades like job overflow — masked out
-    of transfers — and is reported by diagnostics, never silent-corrupt.
-    """
+def _sparse_chan_grid(bodies, meshes, cfg: MpmConfig, act, amax: int,
+                      bs: int):
+    """Node CDF channel grid on the ACTIVE-slot table (sparse domain,
+    mesh-collider / gathered-channel fallback — chan-free mode needs none):
+    analytic CDF evaluated at active-block node positions, merged with the
+    rigid-particle mesh pass on the same slot table
+    (ops/rigid_cdf.py:mesh_node_cdf_sparse; p2g_cdf.wgsl role)."""
     from wgsparkl_tpu.collision import cdf_channel
     from wgsparkl_tpu.ops import blocked as bk
-    from wgsparkl_tpu.ops import pallas_transfer as ptf
-    from wgsparkl_tpu.ops.kernel import inv_d as inv_d_fn
+    from wgsparkl_tpu.ops import rigid_cdf
 
-    assert cfg.by == 4, "anisotropic blocks are bounded-path only"
-    nc = cfg.num_colliders
     grid = cfg.grid
     d = 3
-    bs = bk.block_size(d)
-    group = cfg.group
-    npad = rows_all.shape[1]
-    kmax = cfg.kmax
-    amax = cfg.amax
-    sent = bk.SPARSE_SENTINEL
-    if diag is None:
-        diag = StepDiag.zeros()
-
-    bodies = body_mod.update_world_mass_properties(bodies)
-    spatial = cfg.spatial_devices if axis_name is not None else 0
-
-    # --- sort phase (packed unbounded keys; gravity-fastest digit order) ---
-    lane = jnp.arange(npad, dtype=jnp.int32)
-
-    def keys_of(rows):
-        k = bk.particle_sparse_keys_ch([rows[0], rows[1], rows[2]], grid)
-        if spatial:
-            # migrated-out / padding lanes carry mass 0 -> sort-to-tail key.
-            return jnp.where(rows[ptf.PM] > 0.0, k, sent + 1)
-        return jnp.where(lane < n, k, sent + 1)
-
-    def sort_rows(rows):
-        return _lazy_sort(
-            rows, keys_of(rows), npad,
-            lazy=cfg.lazy_sort, perm_rows=getattr(ptf, "PERM_ROWS", 0),
-        )
-
-    rows_all, sorted_ids = sort_rows(rows_all)
-
-    if spatial:
-        # --- particle migration between x-slab owners (see _migrate_x).
-        # Slabs split the NOMINAL grid's x-block extent; edge devices own
-        # everything beyond (the domain itself stays unbounded).
-        d_dev = spatial
-        kdev = jax.lax.axis_index(axis_name)
-        wxb = bk.num_blocks(grid)[0] // d_dev
-        dd2 = bk.SPARSE_DIM * bk.SPARSE_DIM
-        lo_key = jnp.where(
-            kdev > 0, (bk.SPARSE_HALF + kdev * wxb) * dd2, 0
-        )
-        hi_key = jnp.where(
-            kdev < d_dev - 1,
-            (bk.SPARSE_HALF + (kdev + 1) * wxb) * dd2, sent,
-        )
-        rows_all, sorted_ids, diag = _migrate_x(
-            rows_all, sorted_ids, lo_key, hi_key, sent, npad,
-            cfg.migration_cap, axis_name, d_dev, diag, sort_rows,
-            ptf.PCHAN, ptf.PM,
-        )
-
-    jobs, okeys, n_occ = bk.build_jobs_sparse(
-        sorted_ids, group, cfg.max_jobs, kmax
-    )
-    act, n_active, act_over = bk.sparse_active_table(okeys, d, amax)
-    # Surface every masked capacity overflow (kmax-truncated blocks freeze
-    # their particles; amax truncation drops halo nodes; job overflow masks
-    # the tail ranks) — zero when healthy.
-    diag = diag.replace(
-        job_overflow=jnp.maximum(
-            diag.job_overflow, jobs["needed"] - cfg.max_jobs
-        ),
-        sparse_occ_overflow=jnp.maximum(diag.sparse_occ_overflow, n_occ - kmax),
-        sparse_act_overflow=jnp.maximum(
-            diag.sparse_act_overflow, n_active - amax
-        ),
-    )
-    deltas = bk.sparse_octant_deltas(d)
-    tgts = jnp.stack(
-        [bk.sparse_slots(act, jobs["key"] + dl, amax) for dl in deltas]
-    )                                                           # [8, MAXJ]
-
-    covered_end, starts = _mask_jobs(jobs, npad, group)
-    jobs = {"start": starts, "len": jobs["len"], "key": jobs["key"]}
-    bcells = (
-        bk.sparse_key_coords(jobs["key"], d) * bs
+    acoords = bk.sparse_key_coords(act, d)                  # [amax, 3]
+    cell_off = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(bs)] * d), indexing="ij"), -1
+    ).reshape(-1, d)                                        # [64, 3]
+    cells = (
+        acoords[:, None, :] * bs
         + jnp.asarray(grid.origin_cell, jnp.int32)
+        + cell_off[None, :, :]
+    )                                                        # [amax,64,3]
+    npos = cells.astype(jnp.float32) * grid.cell_width
+    npx = npos[..., 0].reshape(-1)
+    npy = npos[..., 1].reshape(-1)
+    npz = npos[..., 2].reshape(-1)
+    node_dist, node_aff, node_closest = cdf_channel.node_cdf_channels(
+        cfg.collider_types, bodies.shape_params, bodies.rot,
+        bodies.pos, (npx, npy, npz), grid.cell_width,
     )
-    band_lo, bands_ok = bk.band_info_slots(
-        tgts, amax, cfg.band, cfg.band_chunk
-    )
-
-    def gather_tiles(grid_arr, out=None, c=None):
-        return bk.gather_tiles_slots(
-            grid_arr, tgts, band_lo, bands_ok, d, cfg.band, cfg.band_chunk,
-            out=out, c=c,
+    if cfg.mesh_cids:
+        key_b, asg_b = rigid_cdf.mesh_node_cdf_sparse(
+            meshes, bodies, grid, cfg.mesh_cids, cfg.sample_group,
+            cfg.sample_max_jobs, cfg.sample_chunk, act, amax,
         )
-
-    pdata = rows_all[: ptf.NCHAN]
-
-    # --- CDF phase: chan-free in-kernel analytic CDF (no per-substep
-    # active-node eval/pack/gather); mesh colliders keep the active-slot
-    # channel path ---
-    mode = _cdf_mode(cfg)
-    if nc > 0:
-        if mode[0]:
-            chan_grid = None
-        else:
-            acoords = bk.sparse_key_coords(act, d)              # [amax, 3]
-            cell_off = jnp.stack(
-                jnp.meshgrid(*([jnp.arange(bs)] * d), indexing="ij"), -1
-            ).reshape(-1, d)                                    # [64, 3]
-            cells = (
-                acoords[:, None, :] * bs
-                + jnp.asarray(grid.origin_cell, jnp.int32)
-                + cell_off[None, :, :]
-            )                                                    # [amax,64,3]
-            npos = cells.astype(jnp.float32) * grid.cell_width
-            npx = npos[..., 0].reshape(-1)
-            npy = npos[..., 1].reshape(-1)
-            npz = npos[..., 2].reshape(-1)
-            node_dist, node_aff, node_closest = (
-                cdf_channel.node_cdf_channels(
-                    cfg.collider_types, bodies.shape_params, bodies.rot,
-                    bodies.pos, (npx, npy, npz), grid.cell_width,
-                )
-            )
-            # Rigid-particle mesh CDF on the active-slot table
-            # (p2g_cdf.wgsl role; ops/rigid_cdf.py:mesh_node_cdf_sparse).
-            from wgsparkl_tpu.ops import rigid_cdf
-
-            key_b, asg_b = rigid_cdf.mesh_node_cdf_sparse(
-                meshes, bodies, grid, cfg.mesh_cids, cfg.sample_group,
-                cfg.sample_max_jobs, cfg.sample_chunk, act, amax,
-            )
-            node_dist, node_aff, node_closest = (
-                rigid_cdf.merge_mesh_into_node_cdf(
-                    node_dist, node_aff, node_closest,
-                    key_b[:-1].reshape(-1),
-                    asg_b[:-1].reshape(-1, asg_b.shape[-1]),
-                    cfg.mesh_cids,
-                )
-            )
-            chan_grid = _cdf_chan_grid(
-                node_dist, node_aff, node_closest, amax, d
-            )
-        btable = _body_table(bodies, params, grid)
-        ntiles, jbody, mm_out, imp_out, pcdf_rows, pdata = (
-            _cdf_kernel_phase_3d(
-                pdata, chan_grid, gather_tiles, btable, jobs, bcells, grid,
-                group, npad, nc, static_slots=cfg.static_slots,
-                bodies=bodies, mode=mode,
+        node_dist, node_aff, node_closest = (
+            rigid_cdf.merge_mesh_into_node_cdf(
+                node_dist, node_aff, node_closest,
+                key_b[:-1].reshape(-1),
+                asg_b[:-1].reshape(-1, asg_b.shape[-1]),
+                cfg.mesh_cids,
             )
         )
-    else:
-        ntiles = jnp.zeros((1, ptf.WPAD, 4), jnp.float32)
-        jbody = None
-        pcdf_rows = jnp.zeros((8, npad), jnp.float32)
-        btable = _body_table(bodies, params, grid)
-        mm_out, imp_out = ptf.p2g_tiles(
-            pdata, ntiles, btable, jobs, bcells, grid, group, nc, jbody
+    return _cdf_chan_grid(node_dist, node_aff, node_closest, amax, d)
+
+
+def _halo_exchange_sparse(grid_mm, act, amax: int, lo_key, hi_key, halo_cap,
+                          kdev, d_dev: int, axis_name, diag: StepDiag):
+    """Sparse halo exchange (collective volume ~ one boundary plane of
+    ACTIVE blocks, not the table).  Stencil windows reach +1 block in x
+    only, so each device's contributions land in its own slab plus
+    overhang keys with x == its hi boundary.  (1) ship the overhang
+    (key, row) pairs right and add them into the owner's matching active
+    slots; keys the owner has no slot for belong to nodes only the
+    sender's particles touch — the sender's local copy is already
+    complete, so routing them to the ghost there is exact.  (2) ship the
+    owner's reduced first-plane (key, row) pairs back left and overwrite
+    the sender's overhang slots for G2P reads.  Capacity halo_cap per
+    plane, overflow counted."""
+    from wgsparkl_tpu.ops import blocked as bk
+
+    sent = bk.SPARSE_SENTINEL
+    dd2 = bk.SPARSE_DIM * bk.SPARSE_DIM
+    H = halo_cap
+    shape = grid_mm.shape
+    flatg = grid_mm.reshape(amax + 1, -1)
+    cols = flatg.shape[1]
+    li = jnp.arange(H, dtype=jnp.int32)
+    right = [(i, i + 1) for i in range(d_dev - 1)]
+    left = [(i, i - 1) for i in range(1, d_dev)]
+
+    def plane(first, last):
+        """(keys [H], rows [H, cols], dropped) of act[first:last)."""
+        s = jnp.clip(first, 0, amax - H)
+        ok = (li >= first - s) & (li < last - s)
+        keys = jnp.where(
+            ok, jax.lax.dynamic_slice(act, (s,), (H,)), sent
         )
-    grid_mm = jnp.zeros((amax + 1,) + (bs,) * d + (d + 1,), jnp.float32)
-    grid_mm = bk.scatter_tiles_slots(
-        grid_mm, mm_out, tgts, band_lo, bands_ok, d, cfg.band,
-        cfg.band_chunk, win=True,
+        rows = (
+            jax.lax.dynamic_slice(flatg, (s, 0), (H, cols))
+            * ok[:, None].astype(jnp.float32)
+        )
+        return keys, rows, jnp.maximum(last - first - H, 0)
+
+    i_over = jnp.searchsorted(act, hi_key).astype(jnp.int32)
+    i_sent = jnp.searchsorted(act, sent).astype(jnp.int32)
+    hkeys, hrows, drop1 = plane(i_over, i_sent)
+    rk = jax.lax.ppermute(hkeys, axis_name, right)
+    rr = jax.lax.ppermute(hrows, axis_name, right)
+    slots = bk.sparse_slots(act, rk, amax)
+    # Zero the payload whenever the key routes to the ghost slot:
+    # inactive-block window gathers READ the ghost row, so it must
+    # stay zero.
+    flatg = flatg.at[slots].add(
+        jnp.where((slots < amax)[:, None], rr, 0.0)
     )
 
-    lin_imp, ang_imp = _split_impulses(imp_out, bodies.count, d)
-
-    if axis_name is not None:
-        if spatial:
-            # --- sparse halo exchange (collective volume ~ one boundary
-            # plane of ACTIVE blocks, not the table).  Stencil windows
-            # reach +1 block in x only, so each device's contributions land
-            # in its own slab plus overhang keys with x == its hi
-            # boundary.  (1) ship the overhang (key, row) pairs right and
-            # add them into the owner's matching active slots; keys the
-            # owner has no slot for belong to nodes only the sender's
-            # particles touch — the sender's local copy is already
-            # complete, so routing them to the ghost there is exact.
-            # (2) ship the owner's reduced first-plane (key, row) pairs
-            # back left and overwrite the sender's overhang slots for G2P
-            # reads.  Capacity halo_cap per plane, overflow counted.
-            H = cfg.halo_cap
-            flatg = grid_mm.reshape(amax + 1, -1)
-            cols = flatg.shape[1]
-            li = jnp.arange(H, dtype=jnp.int32)
-            right = [(i, i + 1) for i in range(d_dev - 1)]
-            left = [(i, i - 1) for i in range(1, d_dev)]
-
-            def plane(first, last):
-                """(keys [H], rows [H, cols], dropped) of act[first:last)."""
-                s = jnp.clip(first, 0, amax - H)
-                ok = (li >= first - s) & (li < last - s)
-                keys = jnp.where(
-                    ok, jax.lax.dynamic_slice(act, (s,), (H,)), sent
-                )
-                rows = (
-                    jax.lax.dynamic_slice(flatg, (s, 0), (H, cols))
-                    * ok[:, None].astype(jnp.float32)
-                )
-                return keys, rows, jnp.maximum(last - first - H, 0)
-
-            i_over = jnp.searchsorted(act, hi_key).astype(jnp.int32)
-            i_sent = jnp.searchsorted(act, sent).astype(jnp.int32)
-            hkeys, hrows, drop1 = plane(i_over, i_sent)
-            rk = jax.lax.ppermute(hkeys, axis_name, right)
-            rr = jax.lax.ppermute(hrows, axis_name, right)
-            slots = bk.sparse_slots(act, rk, amax)
-            # Zero the payload whenever the key routes to the ghost slot:
-            # inactive-block window gathers READ the ghost row, so it must
-            # stay zero.
-            flatg = flatg.at[slots].add(
-                jnp.where((slots < amax)[:, None], rr, 0.0)
-            )
-
-            i0 = jnp.searchsorted(act, lo_key).astype(jnp.int32)
-            i1 = jnp.searchsorted(
-                act, jnp.minimum(lo_key + dd2, sent)
-            ).astype(jnp.int32)
-            bkeys, brows, drop2 = plane(i0, i1)
-            bkr = jax.lax.ppermute(bkeys, axis_name, left)
-            brr = jax.lax.ppermute(brows, axis_name, left)
-            slots2 = bk.sparse_slots(act, bkr, amax)
-            # Unconditional row writes: invalid/absent keys route to the
-            # ghost slot with a zero payload (the ghost must stay zero).
-            flatg = flatg.at[slots2].set(
-                jnp.where((slots2 < amax)[:, None], brr, 0.0)
-            )
-            diag = diag.replace(
-                halo_dropped=diag.halo_dropped + drop1 + drop2
-            )
-            grid_mm = flatg.reshape(grid_mm.shape)
-        else:
-            grid_mm = jax.lax.psum(grid_mm, axis_name)
-        lin_imp = jax.lax.psum(lin_imp, axis_name)
-        ang_imp = jax.lax.psum(ang_imp, axis_name)
-
-    # --- grid update + G2P (momentum -> velocity folds INTO the kernel) ---
-    f_tiles = gather_tiles(grid_mm, out=(ptf.WPAD, 4))
-    krows = ptf.g2p_rows(
-        pdata, f_tiles, ntiles, btable, jobs, bcells, grid, group, npad, nc,
-        jbody, moving=mode[2], static_desc=mode[1], chan_free=mode[0],
-        fold_vel=True,
+    i0 = jnp.searchsorted(act, lo_key).astype(jnp.int32)
+    i1 = jnp.searchsorted(
+        act, jnp.minimum(lo_key + dd2, sent)
+    ).astype(jnp.int32)
+    bkeys, brows, drop2 = plane(i0, i1)
+    bkr = jax.lax.ppermute(bkeys, axis_name, left)
+    brr = jax.lax.ppermute(brows, axis_name, left)
+    slots2 = bk.sparse_slots(act, bkr, amax)
+    # Unconditional row writes: invalid/absent keys route to the
+    # ghost slot with a zero payload (the ghost must stay zero).
+    flatg = flatg.at[slots2].set(
+        jnp.where((slots2 < amax)[:, None], brr, 0.0)
     )
-
-    # --- fused particle update + row rebuild: ONE Pallas pass (see
-    # ops/update_rows.py) ---
-    from wgsparkl_tpu.ops.update_rows import update_rows as _upd
-
-    rows_out = _upd(
-        rows_all, krows, pcdf_rows, sorted_ids, covered_end, btable,
-        mtable, params, cfg, nc, inv_d_fn(grid.cell_width), live_below=sent,
-    )
-
-    bodies = rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg)
-    return rows_out, bodies, diag
+    diag = diag.replace(halo_dropped=diag.halo_dropped + drop1 + drop2)
+    return flatg.reshape(shape), diag
 
 
 def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
@@ -1775,6 +1716,7 @@ class MpmData:
         amax: int = 0,
         by: int = 4,
         band_arg: int = 0,
+        band_chunk: int = 0,
         joints: Sequence = (),
     ):
         """coupling: per-body COUPLING_ONE_WAY / COUPLING_TWO_WAY list
@@ -1838,7 +1780,9 @@ class MpmData:
         # Banded tile moves chunk jobs by band_chunk (128); keep
         # auto-computed max_jobs divisible so the static banded fast path
         # stays available (explicit odd values fall back to full matmuls).
-        bc = 128
+        # band_chunk widens the per-scan-iteration job chunk (fewer, bigger
+        # banded-move iterations; the slab must cover the wider span).
+        bc = band_chunk or 128
         if transfer in ("blocked", "pallas") and auto_jobs and max_jobs % bc:
             max_jobs += bc - max_jobs % bc
             if max_jobs % job_chunk:
@@ -1950,6 +1894,7 @@ class MpmData:
             amax=amax,
             by=by,
             band=band,
+            band_chunk=bc,
             joints=tuple(
                 (int(b), int(c), tuple(map(float, ab)), tuple(map(float, ac)))
                 for (b, c, ab, ac) in joints
