@@ -664,6 +664,54 @@ def _mask_jobs(jobs, npad: int, group: int):
     return covered_end, starts
 
 
+def _bounded_job_phase(sorted_ids, grid, d: int, by: int, group: int,
+                       cfg: MpmConfig, npad: int, diag: StepDiag):
+    """Job table + tile addressing for the BOUNDED grid (3D and 2D cores):
+    boundary-compaction job build, overflow accounting, job-start masking,
+    block cell origins, and the banded gather/scatter closures.
+
+    Returns (jobs, bcells, covered_end, gather_tiles, scatter_mm, nb_total,
+    diag)."""
+    from wgsparkl_tpu.ops import blocked as bk
+
+    nb = bk.num_blocks(grid, by)
+    nb_total = int(np.prod(nb))
+    bsh = bk.block_shape(d, by)
+    jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
+    diag = diag.replace(
+        job_overflow=jnp.maximum(
+            diag.job_overflow, jobs["needed"] - cfg.max_jobs
+        )
+    )
+    jobs["block"] = bk.key_to_block(jobs["block"], nb, d)
+    # Out-of-grid particles land in the overflow bucket and belong to no
+    # job; their kernel output rows are never written and must be masked
+    # off — see _mask_jobs.
+    covered_end, starts = _mask_jobs(jobs, npad, group)
+    jobs = {"start": starts, "len": jobs["len"], "block": jobs["block"]}
+    blk_coords = bk.block_coords_of(jobs["block"], nb)
+    bcells = (blk_coords * jnp.asarray(bsh, jnp.int32)
+              + jnp.asarray(grid.origin_cell, jnp.int32))
+    nbr = jnp.asarray(bk.neighbor_block_table(nb))
+    band_lo, bands_ok = bk.band_info(
+        jobs["block"], nb_total, cfg.band, cfg.band_chunk
+    )
+
+    def gather_tiles(grid_arr, out=None, c=None):
+        return bk.gather_tiles_auto(
+            grid_arr, jobs["block"], band_lo, bands_ok, nbr, nb, d,
+            cfg.band, cfg.band_chunk, out=out, c=c, by=by,
+        )
+
+    def scatter_mm(grid_arr, tiles):
+        return bk.scatter_tiles_auto(
+            grid_arr, tiles, jobs["block"], band_lo, bands_ok, nbr, nb,
+            d, cfg.band, cfg.band_chunk, win=True, by=by,
+        )
+
+    return jobs, bcells, covered_end, gather_tiles, scatter_mm, nb_total, diag
+
+
 def _cdf_chan_grid(node_dist, node_aff, node_closest, nrows: int, d: int,
                    by: int = 4):
     """Node CDF channels -> flat channel-merged grid rows [nrows+1, bsd*4].
@@ -1084,38 +1132,10 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
 
         grid_rows = amax
     else:
-        jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
-        diag = diag.replace(
-            job_overflow=jnp.maximum(
-                diag.job_overflow, jobs["needed"] - cfg.max_jobs
-            )
+        jobs, bcells, covered_end, gather_tiles, scatter_mm, _, diag = (
+            _bounded_job_phase(sorted_ids, grid, d, by, group, cfg, npad,
+                               diag)
         )
-        jobs["block"] = bk.key_to_block(jobs["block"], nb, d)
-        # Out-of-grid particles land in the overflow bucket and belong to
-        # no job; their kernel output rows are never written and must be
-        # masked off — see _mask_jobs.
-        covered_end, starts = _mask_jobs(jobs, npad, group)
-        jobs = {"start": starts, "len": jobs["len"], "block": jobs["block"]}
-        blk_coords = bk.block_coords_of(jobs["block"], nb)
-        bcells = (blk_coords * jnp.asarray(bsh, jnp.int32)
-                  + jnp.asarray(grid.origin_cell, jnp.int32))
-        nbr = jnp.asarray(bk.neighbor_block_table(nb))
-        band_lo, bands_ok = bk.band_info(
-            jobs["block"], nb_total, cfg.band, cfg.band_chunk
-        )
-
-        def gather_tiles(grid_arr, out=None, c=None):
-            return bk.gather_tiles_auto(
-                grid_arr, jobs["block"], band_lo, bands_ok, nbr, nb, d,
-                cfg.band, cfg.band_chunk, out=out, c=c, by=by,
-            )
-
-        def scatter_mm(grid_arr, tiles):
-            return bk.scatter_tiles_auto(
-                grid_arr, tiles, jobs["block"], band_lo, bands_ok, nbr, nb,
-                d, cfg.band, cfg.band_chunk, win=True, by=by,
-            )
-
         grid_rows = nb_total
 
     # Particle channels = rows 0..NCHAN-1 of the sorted state (prev affinity
@@ -1377,27 +1397,9 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
             axis_name, d_dev, diag, sort_rows, ptf.PCHAN, ptf.PM,
         )
 
-    jobs = bk.build_jobs(sorted_ids, nb_total, group, cfg.max_jobs)
-    diag = diag.replace(
-        job_overflow=jnp.maximum(
-            diag.job_overflow, jobs["needed"] - cfg.max_jobs
-        )
+    jobs, bcells, covered_end, gather_tiles, scatter_mm, _, diag = (
+        _bounded_job_phase(sorted_ids, grid, d, 4, group, cfg, npad, diag)
     )
-    jobs["block"] = bk.key_to_block(jobs["block"], nb, d)
-    covered_end, starts = _mask_jobs(jobs, npad, group)
-    jobs = {"start": starts, "len": jobs["len"], "block": jobs["block"]}
-    blk_coords = bk.block_coords_of(jobs["block"], nb)
-    bcells = blk_coords * bs + jnp.asarray(grid.origin_cell, jnp.int32)
-    nbr = jnp.asarray(bk.neighbor_block_table(nb))
-    band_lo, bands_ok = bk.band_info(
-        jobs["block"], nb_total, cfg.band, cfg.band_chunk
-    )
-
-    def gather_tiles(grid_arr, out=None, c=None):
-        return bk.gather_tiles_auto(
-            grid_arr, jobs["block"], band_lo, bands_ok, nbr, nb, d,
-            cfg.band, cfg.band_chunk, out=out, c=c,
-        )
 
     pdata = rows_all[: ptf.NCHAN]
     wvol = ptf.WVOL
@@ -1473,10 +1475,7 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         alldesc=alldesc, chan_free=mode[0],
     )
     grid_mm = jnp.zeros((nb_total + 1,) + (bs,) * d + (d + 1,), jnp.float32)
-    grid_mm = bk.scatter_tiles_auto(
-        grid_mm, mm_out, jobs["block"], band_lo, bands_ok, nbr, nb, d,
-        cfg.band, cfg.band_chunk, win=True,
-    )
+    grid_mm = scatter_mm(grid_mm, mm_out)
 
     lin_imp, ang_imp = _split_impulses(imp_out, bodies.count, d)
 
