@@ -130,3 +130,102 @@ def test_dynamic_dynamic_chain_stays_connected():
     assert _anchor_gap(b1, j2) < 0.06
     # The chain hangs: link 2's com below link 1's.
     assert float(b1.pos[2, 1]) < float(b1.pos[1, 1])
+
+
+def test_fixed_joint_welds():
+    """A dynamic box welded (kind='fixed') to a static anchor with a
+    sideways offset must NOT swing: the weld holds both the anchor gap
+    and the initial relative orientation against the gravity torque."""
+    from wgsparkl_tpu.pipeline import _normalize_joints
+
+    descs = [
+        RigidBodyDesc(
+            collider=Collider.ball(0.1), translation=(0.0, 10.0, 0.0),
+            body_type="fixed",
+        ),
+        RigidBodyDesc(
+            collider=Collider.cuboid(0.1, 1.0, 0.1),
+            translation=(1.0, 9.0, 0.0), body_type="dynamic",
+            density=1000.0,
+        ),
+    ]
+    joints = _normalize_joints(
+        ((1, 0, (-1.0, 1.0, 0.0), (0.0, 0.0, 0.0), "fixed"),),
+        tuple(descs), 3,
+    )
+    grid = GridConfig.from_bounds(
+        np.array([-8.0, 0.0, -8.0]), np.array([8.0, 16.0, 8.0]), 1.0
+    )
+    cfg = MpmConfig(
+        grid=grid,
+        collider_types=tuple(d.collider.shape_type for d in descs),
+        dynamic_slots=(1,), joints=joints,
+    )
+    bodies = _world(descs)
+    params = SimulationParams(gravity=jnp.asarray([0.0, -9.81, 0.0]), dt=1e-3)
+    zero_imp = jnp.zeros((bodies.count, 3), jnp.float32)
+
+    def substep(bod, _):
+        bod = body_mod.update_world_mass_properties(bod)
+        return rigid_bodies_update(bod, zero_imp, zero_imp, params, cfg), None
+
+    stepper = jax.jit(lambda b: jax.lax.scan(substep, b, None, length=400)[0])
+    b1 = stepper(bodies)
+    for _ in range(4):
+        b1 = stepper(b1)   # 2 s
+    assert np.isfinite(np.asarray(b1.pos)).all()
+    # weld holds: no swing (x stays), orientation stays ~identity
+    assert abs(float(b1.pos[1, 0]) - 1.0) < 0.15, float(b1.pos[1, 0])
+    q = np.asarray(b1.rot[1])
+    assert np.abs(q[1:]).max() < 0.1, q
+    assert _anchor_gap(b1, joints[0][:4]) < 0.08
+
+
+def test_revolute_joint_hinges():
+    """A rod hinged (kind='revolute', axis z) to a static anchor swings in
+    the x-y plane only: no out-of-plane drift, no rotation about x/y, but
+    the in-plane swing actually happens (it is NOT a weld)."""
+    from wgsparkl_tpu.pipeline import _normalize_joints
+
+    descs = [
+        RigidBodyDesc(
+            collider=Collider.ball(0.1), translation=(0.0, 10.0, 0.0),
+            body_type="fixed",
+        ),
+        RigidBodyDesc(
+            collider=Collider.cuboid(1.0, 0.1, 0.1),
+            translation=(1.0, 10.0, 0.0), body_type="dynamic",
+            density=1000.0,
+        ),
+    ]
+    joints = _normalize_joints(
+        ((1, 0, (-1.0, 0.0, 0.0), (0.0, 0.0, 0.0), "revolute",
+          (0.0, 0.0, 1.0)),),
+        tuple(descs), 3,
+    )
+    grid = GridConfig.from_bounds(
+        np.array([-8.0, 0.0, -8.0]), np.array([8.0, 16.0, 8.0]), 1.0
+    )
+    cfg = MpmConfig(
+        grid=grid,
+        collider_types=tuple(d.collider.shape_type for d in descs),
+        dynamic_slots=(1,), joints=joints,
+    )
+    bodies = _world(descs)
+    params = SimulationParams(gravity=jnp.asarray([0.0, -9.81, 0.0]), dt=1e-3)
+    zero_imp = jnp.zeros((bodies.count, 3), jnp.float32)
+
+    def substep(bod, _):
+        bod = body_mod.update_world_mass_properties(bod)
+        return rigid_bodies_update(bod, zero_imp, zero_imp, params, cfg), None
+
+    stepper = jax.jit(lambda b: jax.lax.scan(substep, b, None, length=400)[0])
+    b1 = stepper(bodies)
+    assert np.isfinite(np.asarray(b1.pos)).all()
+    # swings: com dropped below the hinge height
+    assert float(b1.pos[1, 1]) < 9.9, float(b1.pos[1, 1])
+    # in-plane only: no z drift; rotation stays about z (quat x, y ~ 0)
+    assert abs(float(b1.pos[1, 2])) < 0.02, float(b1.pos[1, 2])
+    q = np.asarray(b1.rot[1])
+    assert np.abs(q[1:3]).max() < 0.05, q
+    assert _anchor_gap(b1, joints[0][:4]) < 0.05

@@ -1613,6 +1613,64 @@ _step_jit = jax.jit(step, static_argnames=("cfg", "num_substeps"))
 
 
 # -------------------------------------------------------------- host wrapper
+def _normalize_joints(joints, bodies, dim: int):
+    """User joint specs -> static MpmConfig.joints tuples
+    (b, c, anchor_b, anchor_c, kind, extra).
+
+    Accepted inputs: (b, c, ab, ac) — ball; (b, c, ab, ac, "ball");
+    (b, c, ab, ac, "fixed") — the current relative rotation is captured
+    as the weld target; (b, c, ab, ac, "revolute", axis) — 3D hinge with
+    axis in body b's local frame (in 2D revolute degrades to ball: the
+    hinge axis IS the only rotation)."""
+    if not joints:
+        return ()
+    rot0 = None
+    out = []
+    for j in joints:
+        b, c = int(j[0]), int(j[1])
+        ab, ac = tuple(map(float, j[2])), tuple(map(float, j[3]))
+        kind = j[4] if len(j) > 4 else "ball"
+        extra = None
+        if kind in ("fixed", "revolute") and rot0 is None:
+            rot0 = np.asarray(build_rigid_world(bodies, dim).rot, np.float64)
+        if kind == "fixed":
+            if dim == 2:
+                (cb, sb), (cc, sc) = rot0[b], rot0[c]
+                extra = (float(cb * cc + sb * sc), float(cb * sc - sb * cc))
+            else:
+                wb, xb, yb, zb = rot0[b]
+                qb_conj = np.array([wb, -xb, -yb, -zb])
+                w1, x1, y1, z1 = qb_conj
+                w2, x2, y2, z2 = rot0[c]
+                extra = (
+                    float(w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2),
+                    float(w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2),
+                    float(w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2),
+                    float(w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2),
+                )
+        elif kind == "revolute":
+            if dim == 2:
+                kind = "ball"
+            else:
+                from wgsparkl_tpu.math import pose as _pm
+
+                ax = np.asarray(j[5], np.float64)
+                ax = ax / max(np.linalg.norm(ax), 1e-12)
+                a_world = np.asarray(
+                    _pm.quat_rotate(jnp.asarray(rot0[b], jnp.float32),
+                                    jnp.asarray(ax, jnp.float32))
+                )
+                ax_c = np.asarray(
+                    _pm.quat_inv_rotate(jnp.asarray(rot0[c], jnp.float32),
+                                        jnp.asarray(a_world, jnp.float32))
+                )
+                extra = (tuple(map(float, ax)), tuple(map(float, ax_c)))
+        elif kind != "ball":
+            raise ValueError(f"unknown joint kind {kind!r}")
+        out.append((b, c, ab, ac, kind, extra))
+    return tuple(out)
+
+
 @dataclasses.dataclass(frozen=True)
 class RigidBodyDesc:
     """Host-side body+collider description (rapier builder equivalent).
@@ -1894,10 +1952,7 @@ class MpmData:
             by=by,
             band=band,
             band_chunk=bc,
-            joints=tuple(
-                (int(b), int(c), tuple(map(float, ab)), tuple(map(float, ac)))
-                for (b, c, ab, ac) in joints
-            ),
+            joints=_normalize_joints(joints, bodies, dim),
         )
         if transfer == "pallas":
             # Dedupe immutable constants into the material table (the

@@ -1,4 +1,4 @@
-"""Point-to-point (spherical / revolute-style) joints between rigid bodies.
+"""Joints between rigid bodies: ball, fixed, revolute.
 
 The reference gets joints for free from rapier on the CPU side
 (/root/reference/src_testbed/step.rs:201-217 steps a full
@@ -9,14 +9,21 @@ gap, solved with the exact per-joint effective-mass matrix (2x2 in 2D,
 3x3 in 3D, closed-form inverse) and Gauss-Seidel sweeps shared with the
 contact pass style (rigid/contacts.py).
 
-A joint constrains the world velocity of an anchor fixed on body b to
-equal the anchor velocity on body c (ball joint: all translation locked,
-rotation free).  Bodies with zero inverse mass (static/kinematic) are
-valid anchors — their velocity field is prescribed.
+Every joint constrains the world velocity of an anchor fixed on body b
+to equal the anchor velocity on body c.  Kinds add angular constraints:
+  * ball      — rotation fully free (point-to-point);
+  * fixed     — relative rotation locked to its initial value (weld);
+  * revolute  — rotation free only about a hinge axis (3D; in 2D it is
+                the same as ball, the only free rotation there IS the
+                hinge).
+Bodies with zero inverse mass (static/kinematic) are valid anchors —
+their velocity field is prescribed.
 
-Joint descriptions are STATIC config (MpmConfig.joints): tuples
-(slot_b, slot_c, local_anchor_b, local_anchor_c) with the anchors as
-float tuples in each body's local frame.
+Joint descriptions are STATIC config (MpmConfig.joints), normalized by
+MpmData to (slot_b, slot_c, local_anchor_b, local_anchor_c, kind, extra)
+where extra is the initial relative rotation (fixed: 2D unit complex /
+3D quaternion of q_b^-1 q_c at build) or the hinge axis in both local
+frames (revolute).  Raw 4-tuples are accepted as ball joints.
 """
 
 from __future__ import annotations
@@ -78,10 +85,86 @@ def _cross(dim, a, b):
     return jnp.cross(a, b)
 
 
+def _ang_residual(bodies, dim, b, c, kind, extra, w_b, w_c, dt, beta):
+    """(residual r, tangent basis or None) of the angular constraint.
+
+    fixed: r = (w_c - w_b) + (beta/dt) * err_world, err_world the
+    small-angle rotation vector taking the TARGET relative rotation to
+    the ACTUAL one, expressed in world frame — driving c's angular
+    velocity down when it runs ahead of b.
+    revolute (3D): the same restricted to the plane perpendicular to the
+    world hinge axis, with the bias pulling c's axis back onto b's."""
+    from wgsparkl_tpu.math.pose import (
+        quat_conj, quat_mul, quat_rotate, rot2_mul,
+    )
+
+    if dim == 2:
+        # fixed only (revolute == ball in 2D): scalar relative angle.
+        rb, rc = bodies.rot[b], bodies.rot[c]
+        rel = rot2_mul(jnp.stack([rb[0], -rb[1]]), rc)      # rot_b^-1 rot_c
+        rel0 = jnp.asarray(extra, jnp.float32)
+        e = rot2_mul(rel, jnp.stack([rel0[0], -rel0[1]]))   # actual vs target
+        err = e[1]                                          # ~ sin(d_angle)
+        return (w_c - w_b) + (beta / dt) * err[None], None
+    qb, qc = bodies.rot[b], bodies.rot[c]
+    if kind == "fixed":
+        rel0 = jnp.asarray(extra, jnp.float32)
+        q_rel = quat_mul(quat_conj(qb), qc)
+        q_err = quat_mul(q_rel, quat_conj(rel0))            # b-local error
+        v = 2.0 * jnp.sign(q_err[0]) * q_err[1:4]           # small-angle vec
+        err_world = quat_rotate(qb, v)
+        return (w_c - w_b) + (beta / dt) * err_world, None
+    # revolute: axis in each body's local frame (captured at build).
+    ax_b, ax_c = extra
+    a_b = quat_rotate(qb, jnp.asarray(ax_b, jnp.float32))
+    a_c = quat_rotate(qc, jnp.asarray(ax_c, jnp.float32))
+    # Tangent basis perpendicular to the (b) hinge axis.
+    h = jnp.where(jnp.abs(a_b[0]) < 0.9,
+                  jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                  jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+    t1 = jnp.cross(a_b, h)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-12)
+    t2 = jnp.cross(a_b, t1)
+    # Desired w_c - w_b rotates a_c onto a_b: along (a_c x a_b).
+    err = -jnp.cross(a_c, a_b)                              # residual bias
+    r3 = (w_c - w_b) + (beta / dt) * err
+    return jnp.stack([jnp.dot(t1, r3), jnp.dot(t2, r3)]), (t1, t2)
+
+
+def _apply_angular(bodies, dim, b, c, kind, extra, angvel, dt, beta):
+    """One Gauss-Seidel angular-constraint impulse for fixed/revolute."""
+    dyn_b = bodies.inv_mass[b] != 0.0
+    dyn_c = bodies.inv_mass[c] != 0.0
+    w_b = jnp.where(dyn_b, angvel[b], bodies.angvel[b])
+    w_c = jnp.where(dyn_c, angvel[c], bodies.angvel[c])
+    ii_b, ii_c = bodies.inv_inertia_world[b], bodies.inv_inertia_world[c]
+    r, basis = _ang_residual(
+        bodies, dim, b, c, kind, extra, w_b, w_c, dt, beta
+    )
+    if dim == 2:
+        k = ii_b[0, 0] + ii_c[0, 0]
+        p = -jnp.where(k > 1e-12, r / jnp.maximum(k, 1e-30), 0.0)
+    elif basis is None:                      # 3D fixed: full 3x3 solve
+        k = ii_b + ii_c
+        p = -(_inv_mat(3, k) @ r)
+    else:                                    # 3D revolute: 2x2 in (t1, t2)
+        t1, t2 = basis
+        ksum = ii_b + ii_c
+        k2 = jnp.array(
+            [[t1 @ ksum @ t1, t1 @ ksum @ t2],
+             [t2 @ ksum @ t1, t2 @ ksum @ t2]], jnp.float32
+        )
+        p2 = -(_inv_mat(2, k2) @ r)
+        p = p2[0] * t1 + p2[1] * t2
+    angvel = angvel.at[c].add(jnp.where(dyn_c, ii_c @ p, 0.0))
+    angvel = angvel.at[b].add(jnp.where(dyn_b, -(ii_b @ p), 0.0))
+    return angvel
+
+
 def resolve_joints(bodies, joints, linvel, angvel, dt,
                    beta: float = JOINT_BETA,
                    iterations: int = JOINT_ITERATIONS):
-    """Sequential-impulse ball-joint pass.  Returns updated (linvel, angvel).
+    """Sequential-impulse joint pass.  Returns updated (linvel, angvel).
 
     bodies: RigidWorld with fresh world_com / inv_inertia_world and the
     CURRENT (already integrated) poses; linvel/angvel: velocities to
@@ -92,7 +175,10 @@ def resolve_joints(bodies, joints, linvel, angvel, dt,
     dim = bodies.dim
 
     for _ in range(iterations):
-        for (b, c, la_b, la_c) in joints:
+        for joint in joints:
+            b, c, la_b, la_c = joint[:4]
+            kind = joint[4] if len(joint) > 4 else "ball"
+            extra = joint[5] if len(joint) > 5 else None
             la_bv = jnp.asarray(la_b, jnp.float32)
             la_cv = jnp.asarray(la_c, jnp.float32)
             a_b = pose_math.transform_point(
@@ -141,4 +227,8 @@ def resolve_joints(bodies, joints, linvel, angvel, dt,
                 bodies.inv_inertia_world[c] @ _cross(dim, r_c, -imp),
                 0.0,
             ))
+            if kind == "fixed" or (kind == "revolute" and dim == 3):
+                angvel = _apply_angular(
+                    bodies, dim, b, c, kind, extra, angvel, dt, beta
+                )
     return linvel, angvel
