@@ -21,7 +21,7 @@ run "phase 4: bench WGSPARKL_PERM_CHUNK=1024" env WGSPARKL_PERM_CHUNK=1024 pytho
 run "phase 4b: bench WGSPARKL_PERM_CHUNK=512" env WGSPARKL_PERM_CHUNK=512 python bench.py
 run "phase 5: bench BENCH_EAGER_SORT=1" env BENCH_EAGER_SORT=1 python bench.py
 run "phase 5b: bench BENCH_BCHUNK=512" env BENCH_BCHUNK=512 python bench.py
-run "phase 6: profile (bench config)" python /tmp/prof1m_r3.py
+run "phase 6: profile (bench config)" python tools/profile_bench.py
 run "phase 7: bench BENCH_SPARSE=1" env BENCH_SPARSE=1 python bench.py
 run "phase 8: configs 2-5" python tools/measure_configs.py
 
