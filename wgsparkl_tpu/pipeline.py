@@ -1291,7 +1291,7 @@ def _halo_exchange_sparse(grid_mm, act, amax: int, lo_key, hi_key, halo_cap,
 
     sent = bk.SPARSE_SENTINEL
     dd2 = bk.SPARSE_DIM * bk.SPARSE_DIM
-    H = halo_cap
+    H = min(halo_cap, amax)      # a plane can't exceed the active table
     shape = grid_mm.shape
     flatg = grid_mm.reshape(amax + 1, -1)
     cols = flatg.shape[1]
