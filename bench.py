@@ -183,8 +183,8 @@ def main():
     except Exception as e:  # noqa: BLE001
         # Safety net: the flagship shapes only compile on real Mosaic — if
         # a fresh kernel change trips a hardware-only limit (e.g. VMEM at
-        # group=1024), fall back to the gathered-channel CDF path at
-        # group=512 rather than produce no benchmark at all.
+        # group=1024), fall back to group=512 (and force the gathered-
+        # channel CDF path, its default) rather than produce no benchmark.
         print(f"bench fallback after: {type(e).__name__}: {e}",
               file=sys.stderr)
         os.environ["WGSPARKL_CHAN_FREE"] = "0"

@@ -226,3 +226,32 @@ def test_pallas_16_colliders_affinity_bits():
         atol=1e-5,
     )
     assert np.isfinite(np.asarray(sp.particles.pos)).all()
+
+
+def test_pallas_chan_free_optin_matches_blocked(monkeypatch):
+    """WGSPARKL_CHAN_FREE=1 (in-kernel analytic node CDF, off by default
+    since the round-4 1M measurement: 54.5 vs 32.5 ms/substep) must stay
+    bit-equivalent to the gathered-channel default and the blocked path."""
+    monkeypatch.setenv("WGSPARKL_CHAN_FREE", "1")
+    d3 = scenes.sand_box_3d(nxz=8, ny=16, cell_width=1.0)
+    mk = lambda tr: MpmData(
+        d3.params, d3.state.particles, d3.state.models, d3.bodies_desc, 1.0,
+        grid=d3.config.grid, transfer=tr, group=256, job_chunk=8,
+    )
+    db, dp = mk("blocked"), mk("pallas")
+    fb = jax.jit(substep_blocked, static_argnums=2)
+    fp = jax.jit(substep_pallas, static_argnums=2)
+    sb, sp = db.state, dp.state
+    for _ in range(12):
+        sb = fb(sb, d3.params, db.config)
+        sp = fp(sp, d3.params, dp.config)
+    ib = np.argsort(np.asarray(sb.particles.ids))
+    ip = np.argsort(np.asarray(sp.particles.ids))
+    np.testing.assert_allclose(
+        np.asarray(sb.particles.pos)[ib], np.asarray(sp.particles.pos)[ip],
+        atol=1e-5,
+    )
+    assert (
+        np.asarray(sb.particles.cdf_affinity)[ib]
+        == np.asarray(sp.particles.cdf_affinity)[ip]
+    ).all()

@@ -905,13 +905,20 @@ def _cdf_mode(cfg):
     per-substep dense node-CDF eval / merge / channel pack AND the per-job
     node-channel gather disappear entirely.  Mesh colliders need gathered
     grid channels, so they keep the dense path (chan_free=False).
-    WGSPARKL_CHAN_FREE=0 forces the gathered-channel path everywhere
-    (escape hatch while the in-kernel CDF is fresh on real Mosaic)."""
+
+    OFF BY DEFAULT (measured, round 4): on the 1M sand flagship the
+    in-kernel eval costs 54.5 ms/substep vs 32.5 gathered — any scene
+    with a ground plane has most settled-particle jobs legitimately
+    within 1.5-cell CDF reach, so the kernel re-evaluates every analytic
+    collider at the window nodes of most jobs EVERY substep, work the
+    gathered path does once per substep (and frame-hoists for static
+    colliders).  WGSPARKL_CHAN_FREE=1 opts in (can win for scenes whose
+    colliders touch a small fraction of blocks)."""
     import os as _os
 
     nc = cfg.num_colliders
     if (nc == 0 or cfg.mesh_cids
-            or _os.environ.get("WGSPARKL_CHAN_FREE", "1") == "0"):
+            or _os.environ.get("WGSPARKL_CHAN_FREE", "0") == "0"):
         return False, (), ()
     ss = frozenset(cfg.static_slots)
     return (
