@@ -50,31 +50,61 @@ with jax.profiler.trace(outdir):
 
 files = glob.glob(outdir + "/**/*.trace.json.gz", recursive=True)
 print("trace files:", files)
-ev_by_name = collections.Counter()
+# EXCLUSIVE (self) time per op on the device "XLA Ops" lane: region ops
+# (while/cond/call) nest their children, so inclusive sums double-count
+# 3-4x.  A span stack over the sorted intervals subtracts child time.
+spans = []
 for f in files:
     with gzip.open(f, "rt") as fh:
         tr = json.load(fh)
-    pid_names = {}
+    pid_names, tid_names = {}, {}
     for e in tr.get("traceEvents", []):
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     for e in tr.get("traceEvents", []):
-        if e.get("ph") == "X" and "TPU" in pid_names.get(e.get("pid"), ""):
-            ev_by_name[e["name"]] += e.get("dur", 0)
+        if (e.get("ph") == "X" and "TPU" in pid_names.get(e.get("pid"), "")
+                and tid_names.get((e["pid"], e.get("tid"))) == "XLA Ops"):
+            spans.append((e["ts"], e["ts"] + e["dur"], e["dur"], e["name"]))
+spans.sort(key=lambda s: (s[0], -s[2]))
+ev_by_name = collections.Counter()
+ev_count = collections.Counter()
+stack = []
+for ts, te, dur, name in spans:
+    while stack and stack[-1][1] <= ts + 1e-9:
+        stack.pop()
+    if stack:
+        ev_by_name[stack[-1][2]] -= dur
+    ev_by_name[name] += dur
+    ev_count[name] += 1
+    stack.append((ts, te, name))
 total = sum(ev_by_name.values())
-print(f"total device-op us (all lanes): {total} -> {total/1e3/substeps:.2f} ms/substep")
+print(f"exclusive device-op us: {total:.0f} -> {total/1e3/substeps:.2f} ms/substep")
 for name, dur in ev_by_name.most_common(70):
-    print(f"{dur/1e3:10.2f} ms  {name[:140]}")
+    print(f"{dur/1e3/substeps:8.3f} ms/substep x{ev_count[name]:5d}  {name[:120]}")
 
 txt = stepper.lower(state, data.params).compile().as_text()
 with open("/tmp/prof_bench_hlo.txt", "w") as f:
     f.write(txt)
-want = [nm for nm, _ in ev_by_name.most_common(45)]
-lines = txt.splitlines()
-for name in want:
-    pat = re.compile(r"%?" + re.escape(name.split("(")[0]) + r"\b.*= ")
-    for ln in lines:
-        if pat.search(ln):
-            meta = re.search(r'metadata=\{[^}]*\}', ln)
-            print(name[:44], "->", (meta.group(0)[:240] if meta else ln[:200]))
-            break
+# map op name -> source_file:line from the compiled HLO metadata, then
+# bucket the exclusive time by source location.
+src_of = {}
+pat_meta = re.compile(
+    r'%(\S+?) = .*?source_file="([^"]+)".*?source_line=(\d+)')
+for ln in txt.splitlines():
+    m = pat_meta.search(ln)
+    if m:
+        src_of[m.group(1)] = f"{m.group(2).split('/root/repo/')[-1]}:{m.group(3)}"
+by_src = collections.Counter()
+for name, dur in ev_by_name.items():
+    key = src_of.get(name.split("(")[0])
+    if key is None:
+        key = ("pallas kernel " + name if name.startswith("closed_call")
+               else "(unattributed) " + name.split(".")[0])
+    by_src[key] += dur
+print("\n--- exclusive ms/substep by source location ---")
+for key, dur in by_src.most_common(40):
+    if dur / 1e3 / substeps < 0.005:
+        break
+    print(f"{dur/1e3/substeps:8.3f}  {key}")
