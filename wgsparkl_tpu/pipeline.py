@@ -896,6 +896,28 @@ def _migrate_x(rows_all, sorted_ids, lo_key, hi_key, live_key, npad: int,
     return rows_all, sorted_ids, diag
 
 
+def _grid_velocity(grid_mm, params, grid, d: int):
+    """Momentum -> velocity + gravity + 1-cell/step clamp, elementwise on
+    block rows (grid_update.wgsl:44-65; ghost slot stays zero).  Used by
+    the WGSPARKL_FOLD_VEL=0 A/B path; the default folds this into the G2P
+    kernel (g2p_rows fold_vel=True)."""
+    mass_b = grid_mm[..., d:]
+    inv_mass = jnp.where(mass_b > 0.0, 1.0 / jnp.maximum(mass_b, 1e-30), 0.0)
+    vel_b = (grid_mm[..., :d] + mass_b * params.gravity * params.dt) * inv_mass
+    vel_limit = grid.cell_width / params.dt
+    return jnp.clip(vel_b, -vel_limit, vel_limit)
+
+
+def _env_fold_vel() -> bool:
+    """A/B knob: WGSPARKL_FOLD_VEL=0 runs the dense elementwise grid
+    update (one pass over the block grid) instead of folding momentum ->
+    velocity into the G2P kernel (which re-divides shared nodes once per
+    overlapping window)."""
+    import os as _os
+
+    return _os.environ.get("WGSPARKL_FOLD_VEL", "1") != "0"
+
+
 def _cdf_mode(cfg):
     """(chan_free, static_desc, moving) for the 3D pallas cores.
 
@@ -1213,12 +1235,19 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         ang_imp = jax.lax.psum(ang_imp, axis_name)
 
     # --- grid update + G2P (momentum -> velocity folds INTO the kernel:
-    # work scales with gathered windows, not grid volume) ---
+    # work scales with gathered windows, not grid volume; the fold
+    # re-divides nodes shared by overlapping windows, so WGSPARKL_FOLD_VEL=0
+    # A/Bs the dense elementwise pass instead) ---
+    fold = _env_fold_vel()
+    if not fold:
+        grid_mm = grid_mm.at[..., :d].set(
+            _grid_velocity(grid_mm, params, grid, d)
+        )
     f_tiles = gather_tiles(grid_mm, out=(wpad, 4))
     krows = ptf.g2p_rows(
         pdata, f_tiles, ntiles, btable, jobs, bcells, grid, group, npad, nc,
         jbody, by=by, moving=mode[2], static_desc=mode[1], chan_free=mode[0],
-        fold_vel=True,
+        fold_vel=fold,
     )
 
     # --- fused particle update + row rebuild: ONE Pallas pass (see
@@ -1496,11 +1525,17 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
         lin_imp = jax.lax.psum(lin_imp, axis_name)
         ang_imp = jax.lax.psum(ang_imp, axis_name)
 
-    # --- grid update + G2P (momentum -> velocity folds INTO the kernel) ---
+    # --- grid update + G2P (momentum -> velocity folds INTO the kernel;
+    # WGSPARKL_FOLD_VEL=0 A/Bs the dense elementwise pass, see 3D core) ---
+    fold = _env_fold_vel()
+    if not fold:
+        grid_mm = grid_mm.at[..., :2].set(
+            _grid_velocity(grid_mm, params, grid, 2)
+        )
     f_tiles = gather_tiles(grid_mm, out=(ptf.WPAD, 4))
     krows = ptf.g2p_rows(
         pdata, f_tiles, itiles, btable, jobs, bcells, grid, group, npad, nc,
-        jbody, alldesc=alldesc, chan_free=mode[0], fold_vel=True,
+        jbody, alldesc=alldesc, chan_free=mode[0], fold_vel=fold,
     )
 
     # --- fused particle update + row rebuild: ONE Pallas pass (see
