@@ -9,8 +9,9 @@ change to matmul shapes, precision settings, or Pallas kernels:
 
     python tools/check_tpu_numerics.py            # needs the axon TPU
 
-Expected: positions within 2e-4 (f32 reassociation over 20 substeps),
-affinity words bit-identical, ids exactly preserved through the permute.
+Expected (post round-4 fixes): positions bit-identical, velocities within
+~1e-6 (f32 reassociation over 20 substeps), affinity words bit-identical,
+ids exactly preserved through the permute.
 """
 
 import os
@@ -82,13 +83,26 @@ def main():
         "particle ids corrupted on TPU (permute payload rounding?)"
     )
     dp = np.abs(tpu["pos"][it] - cpu["pos"][ic]).max()
-    dv = np.abs(tpu["vel"][it] - cpu["vel"][ic]).max()
+    dvel = tpu["vel"][it] - cpu["vel"][ic]
+    dv = np.abs(dvel).max()
+    # Mean (momentum-like) velocity difference catches SYSTEMATIC bias
+    # (e.g. the Mosaic approximate-reciprocal 1/m in the folded grid
+    # update: ~1.9e-4/substep free-fall bias) that a loose max-abs bound
+    # alone can hide behind reassociation noise.  After the round-4 fixes
+    # (mask-based Dekker splits that XLA can't elide, Newton-refined
+    # in-kernel reciprocals) the measured state is dpos = 0.0 exactly,
+    # dvel = 6e-7, mean = 2e-9 over 20 substeps — the bounds below leave
+    # ~2 orders of headroom for scene/config variation while still being
+    # ~3 orders tighter than any bf16-collapse failure mode observed.
+    dv_mean = np.abs(dvel.mean(axis=0)).max()
     aff_same = (tpu["aff"][it] == cpu["aff"][ic]).mean()
     db = np.abs(tpu["bpos"] - cpu["bpos"]).max()
     print(f"max |dpos| = {dp:.3e}, max |dvel| = {dv:.3e}, "
-          f"affinity match = {aff_same*100:.2f}%, max |dbody| = {db:.3e}")
-    assert dp < 2e-4, f"TPU positions diverge from CPU: {dp}"
-    assert dv < 2e-3, f"TPU velocities diverge from CPU: {dv}"
+          f"mean dvel = {dv_mean:.3e}, affinity match = {aff_same*100:.2f}%, "
+          f"max |dbody| = {db:.3e}")
+    assert dp < 1e-5, f"TPU positions diverge from CPU: {dp}"
+    assert dv < 5e-5, f"TPU velocities diverge from CPU: {dv}"
+    assert dv_mean < 1e-7, f"systematic TPU velocity bias vs CPU: {dv_mean}"
     assert aff_same == 1.0, "affinity words differ between TPU and CPU"
     assert db < 1e-5, f"body poses diverge: {db}"
     print("TPU numerics OK (fp32-equivalent to CPU)")

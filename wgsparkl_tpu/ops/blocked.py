@@ -196,17 +196,34 @@ SPARSE_SENTINEL = 1 << 30              # out-of-range / overflow key
 # override can corrupt the selections.
 _EXACT = jax.lax.Precision.HIGHEST
 
+_HI16 = np.int32(np.uint32(0xFFFF0000).astype(np.int64) - (1 << 32))  # -65536
+
+
+def _bf16_trunc(x):
+    """f32 with the low 16 mantissa bits zeroed — the value IS an exact
+    bf16 (bf16 = the top 16 bits of f32), via integer masking so XLA
+    cannot elide it.  The obvious `x.astype(bf16).astype(f32)` is NOT
+    safe: XLA's excess-precision rule deletes the f32->bf16->f32 convert
+    pair, which silently collapsed the whole Dekker split to a single
+    bf16 pass (measured on v5e, round 4: every 'exact' selection payload
+    came back exactly bf16(x); the numerics gate caught it as a
+    systematic free-fall velocity bias)."""
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jax.lax.bitcast_convert_type(xi & _HI16, jnp.float32)
+
+
 def _split3(x):
-    """Exact Dekker split of f32 into three bf16 terms: x == x1 + x2 + x3
-    (8+8+8 mantissa bits; the subtractions are f32-exact)."""
-    x1 = x.astype(jnp.bfloat16)
-    r1 = x - x1.astype(jnp.float32)
-    x2 = r1.astype(jnp.bfloat16)
-    x3 = (r1 - x2.astype(jnp.float32)).astype(jnp.bfloat16)
-    return x1, x2, x3
+    """Exact split of f32 into three bf16 terms: x == x1 + x2 + x3
+    (truncation split: 8+8+8 mantissa bits, subtractions f32-exact)."""
+    h1 = _bf16_trunc(x)
+    r1 = x - h1
+    h2 = _bf16_trunc(r1)
+    r2 = r1 - h2
+    return (h1.astype(jnp.bfloat16), h2.astype(jnp.bfloat16),
+            r2.astype(jnp.bfloat16))
 
 
-def sel3_dot(a, b, dims, payload: str):
+def sel3_dot(a, b, dims, payload: str, *, barrier: bool = True):
     """0/1-selection dot, EXACT at 3 bf16 MXU passes instead of HIGHEST's
     f32 passes: the payload operand ('a' or 'b') is Dekker-split into three
     bf16 terms whose f32 sum reconstructs it exactly, the 0/1 selector is
@@ -214,6 +231,14 @@ def sel3_dot(a, b, dims, payload: str):
     mantissa segments so their f32 accumulation is exact wherever each
     output receives a single contribution (gathers / permutations); for
     scatter-adds the reassociation error matches ordinary f32 roundoff.
+
+    barrier=False is REQUIRED (and safe) inside Pallas kernels: Mosaic has
+    no lowering for optimization_barrier, and doesn't need one — the
+    distributivity hazard below is an XLA HLO simplifier pass, which never
+    sees a Mosaic kernel body (the kernel jaxpr lowers straight to MLIR,
+    whose canonicalizations don't distribute matmuls over adds).  The
+    end-to-end numerics gate (tools/check_tpu_numerics.py, bit-exact
+    affinity assert) exercises the in-kernel splits on real hardware.
     """
     if payload == "a":
         parts = _split3(a)
@@ -235,6 +260,14 @@ def sel3_dot(a, b, dims, payload: str):
             )
             for t in parts
         ]
+    # The barrier is LOAD-BEARING: without it XLA's algebraic simplifier
+    # applies distributivity — dot(s,x1)+dot(s,x2)+dot(s,x3) ->
+    # dot(s, x1+x2+x3) — and the bf16 re-sum collapses the Dekker split
+    # back to a single-pass bf16 dot (measured on v5e: every gathered
+    # payload came back exactly bf16(x), a ~2^-9 systematic rounding that
+    # the round-4 numerics gate caught as a free-fall velocity bias).
+    if barrier:
+        outs = jax.lax.optimization_barrier(tuple(outs))
     return (outs[0] + outs[1]) + outs[2]
 
 

@@ -69,7 +69,7 @@ def _compact_kernel(flag_ref, vals_ref, out_ref, *, chunk: int, capc: int,
     gidx = lane.astype(jnp.float32) + jnp.float32(g * chunk)  # exact < 2^24
     vals = jnp.concatenate([vals_ref[...], gidx], axis=0)     # [r+1, chunk]
     out_ref[0] = sel3_dot(
-        vals, onehot, (((1,), (1,)), ((), ())), "a"
+        vals, onehot, (((1,), (1,)), ((), ())), "a", barrier=False
     )                                                         # [r+1, capc]
 
 

@@ -36,6 +36,7 @@ from wgsparkl_tpu.ops.pallas_transfer import (
     WVOL,
     _interpret,
     _load_pdata_db,
+    nr_recip,
     _paff_u32,
     _window_positions,
     _window_w,
@@ -79,7 +80,7 @@ def _inv4_solve_ch(a, b):
     i[3, 2] = -a[3, 0] * s3 + a[3, 1] * s1 - a[3, 2] * s0
     i[3, 3] = a[2, 0] * s3 - a[2, 1] * s1 + a[2, 2] * s0
 
-    inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+    inv_det = jnp.where(jnp.abs(det) > 1e-30, nr_recip(det), 0.0)
     x = [
         (i[r, 0] * b[0] + i[r, 1] * b[1] + i[r, 2] * b[2] + i[r, 3] * b[3])
         * inv_det
@@ -130,7 +131,7 @@ def _pcdf_body(pd, naff_u, ndist, boxmat_ref, bcell, length, finish, *,
     # matching particle_cdf_update's in-bounds criterion), encoded as the
     # particle's base-node one-hot: the box sums ride _box27_np below.
     h = cell_width
-    u = pd[0:3] / h
+    u = pd[0:3] * (1.0 / h)
     base = jnp.floor(u + 0.5).astype(jnp.int32) - 1
     bl = base - bcell[:, None]                               # [3, G]
     wid = jax.lax.broadcasted_iota(jnp.int32, (wpad, 1), 0)
@@ -173,7 +174,7 @@ def _pcdf_body(pd, naff_u, ndist, boxmat_ref, bcell, length, finish, *,
     # the 3-pass exact selection dot applies (2x fewer MXU passes than
     # HIGHEST; f32-roundoff-class like any scatter-add).
     votes = sel3_dot(
-        hsgn_m, ndist * w, (((0,), (0,)), ((), ())), "b"
+        hsgn_m, ndist * w, (((0,), (0,)), ((), ())), "b", barrier=False
     )                                                         # [nc, G]
     p_aff_bits = jnp.zeros((1, group), jnp.uint32)
     sign_word = jnp.zeros((1, group), jnp.uint32)
@@ -244,7 +245,7 @@ def _pcdf_body(pd, naff_u, ndist, boxmat_ref, bcell, length, finish, *,
 
     ok = det > 1e-8
     nlen = jnp.sqrt(x[0] ** 2 + x[1] ** 2 + x[2] ** 2)
-    ninv = jnp.where(nlen > 1e-6, 1.0 / jnp.maximum(nlen, 1e-30), 0.0)
+    ninv = jnp.where(nlen > 1e-6, nr_recip(jnp.maximum(nlen, 1e-30)), 0.0)
     normal = [jnp.where(ok, x[k] * ninv, 0.0) for k in range(3)]
     sd = jnp.where(ok, x[3], 0.0)
     aff_out = jnp.where(ok, p_aff[0], jnp.uint32(0))

@@ -215,7 +215,7 @@ def _axis_w(xf, bl, nrows: int = 8):
 def _window_w(pd, bcell, h, valid, wsh=(6, 6, 6), wpad: int = WPAD):
     """W [wpad, G] window weights from particle positions."""
     g = pd.shape[-1]
-    u = pd[0:3] / h
+    u = pd[0:3] * (1.0 / h)
     base = jnp.floor(u + 0.5).astype(jnp.int32) - 1
     xf = u - base.astype(jnp.float32)
     bl = base - bcell[:, None]
@@ -280,7 +280,7 @@ def _ghost_velocity(pd, bv, friction=DEFAULT_FRICTION, nrm=None):
     tang = [u[i] - nrm[i] * nv for i in range(3)]
     tl2 = tang[0] ** 2 + tang[1] ** 2 + tang[2] ** 2
     tl = jnp.sqrt(tl2)
-    inv_tl = jnp.where(tl > 1e-8, 1.0 / jnp.maximum(tl, 1e-30), 0.0)
+    inv_tl = jnp.where(tl > 1e-8, nr_recip(jnp.maximum(tl, 1e-30)), 0.0)
     scale = jnp.maximum(0.0, tl + friction * nv) * inv_tl
     proj = [tang[i] * scale for i in range(3)]
     sliding = nv < 0.0
@@ -301,7 +301,7 @@ def _ghost_static(pd, friction=DEFAULT_FRICTION, nrm=None):
     tang = [u[i] - nrm[i] * nv for i in range(3)]
     tl2 = tang[0] ** 2 + tang[1] ** 2 + tang[2] ** 2
     tl = jnp.sqrt(tl2)
-    inv_tl = jnp.where(tl > 1e-8, 1.0 / jnp.maximum(tl, 1e-30), 0.0)
+    inv_tl = jnp.where(tl > 1e-8, nr_recip(jnp.maximum(tl, 1e-30)), 0.0)
     scale = jnp.maximum(0.0, tl + friction * nv) * inv_tl
     sliding = nv < 0.0
     rel = [jnp.where(sliding, tang[i] * scale, u[i]) for i in range(3)]
@@ -374,21 +374,46 @@ import os as _os
 _PHYS_DOT = _os.environ.get("WGSPARKL_PHYS_DOT", "highest")
 
 
+def nr_recip(x):
+    """Newton-refined reciprocal for Mosaic kernels.
+
+    Mosaic lowers f32 division to the approximate VPU reciprocal
+    (~2^-12 relative), while XLA's elementwise divide refines it — the
+    raw in-kernel `1/m` in the folded grid update produced a measured
+    systematic ~1.9e-4/substep velocity bias vs the CPU trajectory
+    (free-fall gate scene, round 4).  One Newton step r*(2-x*r) squares
+    the error to f32-class.  Use for EVERY in-kernel reciprocal of a
+    physics quantity; division by static Python floats should instead be
+    `* (1.0 / h)` so the reciprocal folds exactly at trace time."""
+    r = 1.0 / x
+    return r * (2.0 - x * r)
+
+
 def phys_dot(a, b, dims):
     """dot_general for smooth physics operands (weights x features)."""
     if _PHYS_DOT not in ("x3", "x4"):
         return jax.lax.dot_general(
             a, b, dims, preferred_element_type=jnp.float32
         )
-    ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+    from wgsparkl_tpu.ops.blocked import _bf16_trunc
+
+    # Mask-based split: the astype(bf16).astype(f32) form is deleted by
+    # XLA's excess-precision rule, zeroing the low terms (see _bf16_trunc).
+    ah = _bf16_trunc(a)
     al = a - ah
-    bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+    bh = _bf16_trunc(b)
     bl = b - bh
     d = functools.partial(
         jax.lax.dot_general, dimension_numbers=dims,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
     )
+    # No optimization_barrier here: every phys_dot call site is inside a
+    # Mosaic kernel, where (a) optimization_barrier has no lowering and
+    # (b) XLA's distributivity rewrite — the thing the barrier defeats in
+    # blocked.sel3_dot's XLA-side splits — never runs (kernel jaxprs lower
+    # straight to MLIR).  The masked _bf16_trunc split already survives
+    # tracing; the numerics gate's x3 section checks the result on HW.
     out = d(ah, bh) + d(ah, bl) + d(al, bh)
     if _PHYS_DOT == "x4":
         out = out + d(al, bl)
@@ -747,7 +772,7 @@ def _g2p_kernel(
             # gathered windows, not grid volume).
             mass_n = ftile_ref[0][:, 3:4]
             inv_m = jnp.where(
-                mass_n > 0.0, 1.0 / jnp.maximum(mass_n, 1e-30), 0.0
+                mass_n > 0.0, nr_recip(jnp.maximum(mass_n, 1e-30)), 0.0
             )
             vlim = btable_ref[24, 3]
             v = jnp.concatenate(

@@ -25,7 +25,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from wgsparkl_tpu.grid import GridConfig
 from wgsparkl_tpu.ops import pallas_transfer as ptf
-from wgsparkl_tpu.ops.pallas_transfer import _compat, _interpret, _load_pdata_db
+from wgsparkl_tpu.ops.pallas_transfer import (
+    _compat, _interpret, _load_pdata_db, nr_recip,
+)
 from wgsparkl_tpu.ops.transfer import DEFAULT_FRICTION
 
 # pdata channel-row indices (2D)
@@ -151,7 +153,7 @@ def _axis_w(xf, bl):
 def _window_w(pd, bcell, h, valid):
     """W [WPAD, G] window weights from particle positions (2D)."""
     g = pd.shape[-1]
-    u = pd[0:2] / h
+    u = pd[0:2] * (1.0 / h)
     base = jnp.floor(u + 0.5).astype(jnp.int32) - 1
     xf = u - base.astype(jnp.float32)
     bl = base - bcell[:, None]
@@ -175,7 +177,7 @@ def _ghost_velocity(pd, bv, friction=DEFAULT_FRICTION):
     nv = u[0] * nrm[0] + u[1] * nrm[1]
     tang = [u[i] - nrm[i] * nv for i in range(2)]
     tl = jnp.sqrt(tang[0] ** 2 + tang[1] ** 2)
-    inv_tl = jnp.where(tl > 1e-8, 1.0 / jnp.maximum(tl, 1e-30), 0.0)
+    inv_tl = jnp.where(tl > 1e-8, nr_recip(jnp.maximum(tl, 1e-30)), 0.0)
     scale = jnp.maximum(0.0, tl + friction * nv) * inv_tl
     sliding = nv < 0.0
     rel = [jnp.where(sliding, tang[i] * scale, u[i]) for i in range(2)]
@@ -446,7 +448,7 @@ def _g2p_kernel(
             # raw momentum + mass, params ride btable row 13.
             mass_n = ftile_ref[0][:, 2:3]
             inv_m = jnp.where(
-                mass_n > 0.0, 1.0 / jnp.maximum(mass_n, 1e-30), 0.0
+                mass_n > 0.0, nr_recip(jnp.maximum(mass_n, 1e-30)), 0.0
             )
             vlim = btable_ref[13, 2]
             v = jnp.concatenate(
@@ -596,7 +598,7 @@ def _inv3_solve_ch(a, b):
     c01 = a[1, 2] * a[2, 0] - a[1, 0] * a[2, 2]
     c02 = a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0]
     det = a[0, 0] * c00 + a[0, 1] * c01 + a[0, 2] * c02
-    inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+    inv_det = jnp.where(jnp.abs(det) > 1e-30, nr_recip(det), 0.0)
     i = {}
     i[0, 0] = c00
     i[0, 1] = a[0, 2] * a[2, 1] - a[0, 1] * a[2, 2]
@@ -688,7 +690,7 @@ def _pcdf_body(pd, naff_u, ndist, bcell, length, finish, *,
     w = _window_w(pd, bcell, cell_width, valid_f)            # [WPAD, G]
 
     # Exact 3^2 stencil support.
-    u = pd[0:2] / cell_width
+    u = pd[0:2] * (1.0 / cell_width)
     base = jnp.floor(u + 0.5).astype(jnp.int32) - 1
     bl = base - bcell[:, None]                               # [2, G]
     wid = jax.lax.broadcasted_iota(jnp.int32, (WPAD, 1), 0)
@@ -755,7 +757,7 @@ def _pcdf_body(pd, naff_u, ndist, bcell, length, finish, *,
 
     ok = det > 1e-8
     nlen = jnp.sqrt(x[0] ** 2 + x[1] ** 2)
-    ninv = jnp.where(nlen > 1e-6, 1.0 / jnp.maximum(nlen, 1e-30), 0.0)
+    ninv = jnp.where(nlen > 1e-6, nr_recip(jnp.maximum(nlen, 1e-30)), 0.0)
     normal = [jnp.where(ok, x[k] * ninv, 0.0) for k in range(2)]
     sd = jnp.where(ok, x[2], 0.0)
     aff_out = jnp.where(ok, p_aff[0], jnp.uint32(0))

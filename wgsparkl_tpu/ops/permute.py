@@ -160,7 +160,8 @@ def _permute_kernel(lo_ref, slablo_ref, nw_ref, perm_ref, einv_ref, rows_hbm,
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (nw, c), 0)
         onehot = (rel == k_iota).astype(jnp.float32)              # [NW, C]
         out_ref[:, :] = sel3_dot(
-            nslab_db[slot], onehot, (((1,), (0,)), ((), ())), "a"
+            nslab_db[slot], onehot, (((1,), (0,)), ((), ())), "a",
+            barrier=False,
         )
 
     @pl.when(jnp.logical_not(narrow_g))
@@ -169,7 +170,8 @@ def _permute_kernel(lo_ref, slablo_ref, nw_ref, perm_ref, einv_ref, rows_hbm,
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (w, c), 0)
         onehot = (rel == k_iota).astype(jnp.float32)              # [W, C]
         acc = sel3_dot(
-            slab_db[slot], onehot, (((1,), (0,)), ((), ())), "a"
+            slab_db[slot], onehot, (((1,), (0,)), ((), ())), "a",
+            barrier=False,
         )
 
         # Most chunks have zero far movers — the exception matmul (3 bf16
@@ -184,7 +186,8 @@ def _permute_kernel(lo_ref, slablo_ref, nw_ref, perm_ref, einv_ref, rows_hbm,
             k2 = jax.lax.broadcasted_iota(jnp.int32, (EXCW, c), 0)
             onehot2 = (rel2 == k2).astype(jnp.float32)            # [EXCW, C]
             out_ref[:, :] = acc + sel3_dot(
-                ecol_buf[...], onehot2, (((1,), (0,)), ((), ())), "a"
+                ecol_buf[...], onehot2, (((1,), (0,)), ((), ())), "a",
+                barrier=False,
             )
 
         @pl.when(jnp.logical_not(has_exc))
