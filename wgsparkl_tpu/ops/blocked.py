@@ -271,6 +271,37 @@ def sel3_dot(a, b, dims, payload: str, *, barrier: bool = True):
     return (outs[0] + outs[1]) + outs[2]
 
 
+def sel3_dot_mstack(a, b, dims=(((1,), (0,)), ((), ()))):
+    """sel3_dot specialization for an 'a' payload [M, K] against a 0/1
+    selector [K, N] when M is SMALL: the three Dekker-split payload terms
+    are stacked along M into ONE DEFAULT-precision matmul [3M, K] x [K, N]
+    instead of three matmuls whose M each pads to the 128-row MXU tile —
+    ~3x fewer MXU cycles at M ~ 40 (the permute-kernel row state), with a
+    BIT-IDENTICAL result: same bf16 products, same per-segment f32 MXU
+    accumulation, and the final cross-segment sums reassociate exactly as
+    sel3_dot's (out1 + out2) + out3 on the VPU.
+
+    In-kernel safe (no optimization_barrier): stacking makes the three
+    partials one dot, so there is no dot(s,x1)+dot(s,x2)+dot(s,x3) pattern
+    for XLA's distributivity rewrite to collapse in the first place.
+    """
+    assert a.ndim == 2 and dims[0][0] == (1,), (
+        "mstack stacks along a's row dim; a must be [M, K] with K contracted"
+    )
+    m = a.shape[0]
+    h1 = _bf16_trunc(a)
+    r1 = a - h1
+    h2 = _bf16_trunc(r1)
+    r2 = r1 - h2
+    stacked = jnp.concatenate([h1, h2, r2], axis=0).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        stacked, b.astype(jnp.bfloat16), dims,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return (out[:m] + out[m : 2 * m]) + out[2 * m :]
+
+
 
 
 def sparse_octant_deltas(dim: int):

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from wgsparkl_tpu.ops.blocked import sel3_dot
+from wgsparkl_tpu.ops.blocked import sel3_dot_mstack
 
 CHUNK = 2048   # lanes per level-A program
 CAPC = 128     # max flagged lanes per chunk before fallback
@@ -68,8 +68,8 @@ def _compact_kernel(flag_ref, vals_ref, out_ref, *, chunk: int, capc: int,
     )                                                         # [capc, chunk]
     gidx = lane.astype(jnp.float32) + jnp.float32(g * chunk)  # exact < 2^24
     vals = jnp.concatenate([vals_ref[...], gidx], axis=0)     # [r+1, chunk]
-    out_ref[0] = sel3_dot(
-        vals, onehot, (((1,), (1,)), ((), ())), "a", barrier=False
+    out_ref[0] = sel3_dot_mstack(
+        vals, onehot, (((1,), (1,)), ((), ()))
     )                                                         # [r+1, capc]
 
 

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from wgsparkl_tpu.ops.blocked import sel3_dot
+from wgsparkl_tpu.ops.blocked import sel3_dot_mstack
 from wgsparkl_tpu.ops.compact import compact_flagged
 
 
@@ -159,24 +159,18 @@ def _permute_kernel(lo_ref, slablo_ref, nw_ref, perm_ref, einv_ref, rows_hbm,
         dma_narrow(g, slot).wait()
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (nw, c), 0)
         onehot = (rel == k_iota).astype(jnp.float32)              # [NW, C]
-        out_ref[:, :] = sel3_dot(
-            nslab_db[slot], onehot, (((1,), (0,)), ((), ())), "a",
-            barrier=False,
-        )
+        out_ref[:, :] = sel3_dot_mstack(nslab_db[slot], onehot)
 
     @pl.when(jnp.logical_not(narrow_g))
     def _():
         dma_wide(g, slot).wait()
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (w, c), 0)
         onehot = (rel == k_iota).astype(jnp.float32)              # [W, C]
-        acc = sel3_dot(
-            slab_db[slot], onehot, (((1,), (0,)), ((), ())), "a",
-            barrier=False,
-        )
+        acc = sel3_dot_mstack(slab_db[slot], onehot)
 
-        # Most chunks have zero far movers — the exception matmul (3 bf16
-        # passes over [C, EXCW] x [EXCW, C]) only runs when this chunk's
-        # exception segment is nonempty (~40% of the permute FLOPs at 1M).
+        # Most chunks have zero far movers — the exception matmul (one
+        # M-stacked [3C0, EXCW] x [EXCW, C] pass) only runs when this
+        # chunk's exception segment is nonempty.
         @pl.when(has_exc)
         def _():
             ecopy.wait()
@@ -185,10 +179,7 @@ def _permute_kernel(lo_ref, slablo_ref, nw_ref, perm_ref, einv_ref, rows_hbm,
             rel2 = einv_ref[0][None, :] - base                    # [1, C]
             k2 = jax.lax.broadcasted_iota(jnp.int32, (EXCW, c), 0)
             onehot2 = (rel2 == k2).astype(jnp.float32)            # [EXCW, C]
-            out_ref[:, :] = acc + sel3_dot(
-                ecol_buf[...], onehot2, (((1,), (0,)), ((), ())), "a",
-                barrier=False,
-            )
+            out_ref[:, :] = acc + sel3_dot_mstack(ecol_buf[...], onehot2)
 
         @pl.when(jnp.logical_not(has_exc))
         def _():
