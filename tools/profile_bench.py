@@ -30,6 +30,10 @@ data = MpmData(
     base.bodies_desc, 1.0, grid=base.config.grid,
     transfer="pallas", group=group, max_jobs=max_jobs, by=by,
 )
+if int(os.environ.get("BENCH_EAGER_SORT", 0)):
+    import dataclasses as _dc
+
+    data.config = _dc.replace(data.config, lazy_sort=False)
 cfg = data.config
 stepper = jax.jit(lambda s, p: step(s, p, cfg, num_substeps=substeps))
 t0 = time.time()
