@@ -236,9 +236,17 @@ def main():
     try:
         with open(os.path.join(os.path.dirname(__file__), "BENCH_HISTORY.jsonl"),
                   "a") as f:
+            # Label the record with every non-default knob so 1M rows stay
+            # distinguishable after the fact (round-4 lesson: a whole A/B
+            # batch became anonymous history entries).
+            knobs = {
+                k: os.environ[k] for k in sorted(os.environ)
+                if k.startswith(("WGSPARKL_", "BENCH_")) and k != "BENCH_INIT_WAIT"
+            }
             f.write(json.dumps({
                 "ts": time.time(), "particles": n, "steps_per_s": steps_per_s,
                 "pups_per_s": pups, "compile_s": round(compile_s, 1),
+                "knobs": knobs, "group": group, "by": by, "sparse": sparse,
             }) + "\n")
     except OSError:
         pass

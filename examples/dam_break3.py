@@ -55,7 +55,13 @@ data = MpmData(
     grid_bounds=(
         np.array([-half - 2, -2.0, -half - 2]),
         np.array([half * 2 + 2, 2.2 * nf * h + 4, half + 2]),
-    ),    **transfer_kw(),
+    ),
+    # by=8 group=1024 measured +29% on this mixed-model scene at ~256k
+    # (round 4: 38.2 vs 29.6 steps/s): by=4 jobs run half-empty once the
+    # fluid spreads; the tall anisotropic blocks pack 4x the particles.
+    by=int(os.environ.get("BY", 8)),
+    **{k: (int(os.environ.get("GROUP", 1024)) if k == "group" else v)
+       for k, v in transfer_kw().items()},
 )
 print(f"dam_break3: {n} particles ({nfp} fluid + {n - nfp} elastic), "
       f"grid {data.config.grid.shape}")

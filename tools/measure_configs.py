@@ -75,19 +75,19 @@ if which in ("all", "3"):
         RigidBodyDesc(Collider.cuboid(half * 2, half, 0.5), (0, half, half)),
     ]
     params = SimulationParams.new(dt=(1 / 60) / 20, gravity=[0.0, -9.81, 0.0])
-    d = MpmData(params, particles, models, bodies, h,
-                grid_bounds=(np.array([-half - 2, -2.0, -half - 2]),
-                             np.array([half * 2 + 2, 2.2 * nf * h + 4, half + 2])),
-                transfer="pallas", group=512)
-    measure("3 (3D dam break ~256k)", d, substeps=20)
-    # Flagship block geometry (group=1024, by=8): round-3 measured config 3
-    # at 7.5M pups/s vs sand's 25.8M — by=4 group=512 jobs run half-empty
-    # once the fluid spreads; by=8 packs 4x the particles per block.
+    # Default = flagship block geometry (by=8 group=1024): measured 38.2
+    # steps/s vs 29.6 at by=4 group=512 (round 4, +29%) — by=4 jobs run
+    # half-empty once the fluid spreads; by=8 packs 4x the particles/block.
     d = MpmData(params, particles, models, bodies, h,
                 grid_bounds=(np.array([-half - 2, -2.0, -half - 2]),
                              np.array([half * 2 + 2, 2.2 * nf * h + 4, half + 2])),
                 transfer="pallas", group=1024, by=8)
-    measure("3+ (dam break, by=8 group=1024)", d, substeps=20)
+    measure("3 (3D dam break ~256k, by=8 group=1024)", d, substeps=20)
+    d = MpmData(params, particles, models, bodies, h,
+                grid_bounds=(np.array([-half - 2, -2.0, -half - 2]),
+                             np.array([half * 2 + 2, 2.2 * nf * h + 4, half + 2])),
+                transfer="pallas", group=512)
+    measure("3- (dam break A/B, by=4 group=512)", d, substeps=20)
 
 # config 4: 3D sand + CPIC coupling ~512k, and reference sand3 202.5k
 if which in ("all", "4"):

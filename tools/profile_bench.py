@@ -57,7 +57,10 @@ print("trace files:", files)
 # EXCLUSIVE (self) time per op on the device "XLA Ops" lane: region ops
 # (while/cond/call) nest their children, so inclusive sums double-count
 # 3-4x.  A span stack over the sorted intervals subtracts child time.
-spans = []
+# Key spans per (file, pid, tid): on a multi-device trace, interleaved
+# spans from different device lanes must not be treated as parent/child
+# (that corrupts self-times, which can even go negative).
+spans_by_lane = collections.defaultdict(list)
 for f in files:
     with gzip.open(f, "rt") as fh:
         tr = json.load(fh)
@@ -70,19 +73,22 @@ for f in files:
     for e in tr.get("traceEvents", []):
         if (e.get("ph") == "X" and "TPU" in pid_names.get(e.get("pid"), "")
                 and tid_names.get((e["pid"], e.get("tid"))) == "XLA Ops"):
-            spans.append((e["ts"], e["ts"] + e["dur"], e["dur"], e["name"]))
-spans.sort(key=lambda s: (s[0], -s[2]))
+            spans_by_lane[(f, e["pid"], e.get("tid"))].append(
+                (e["ts"], e["ts"] + e["dur"], e["dur"], e["name"])
+            )
 ev_by_name = collections.Counter()
 ev_count = collections.Counter()
-stack = []
-for ts, te, dur, name in spans:
-    while stack and stack[-1][1] <= ts + 1e-9:
-        stack.pop()
-    if stack:
-        ev_by_name[stack[-1][2]] -= dur
-    ev_by_name[name] += dur
-    ev_count[name] += 1
-    stack.append((ts, te, name))
+for lane_spans in spans_by_lane.values():
+    lane_spans.sort(key=lambda s: (s[0], -s[2]))
+    stack = []
+    for ts, te, dur, name in lane_spans:
+        while stack and stack[-1][1] <= ts + 1e-9:
+            stack.pop()
+        if stack:
+            ev_by_name[stack[-1][2]] -= dur
+        ev_by_name[name] += dur
+        ev_count[name] += 1
+        stack.append((ts, te, name))
 total = sum(ev_by_name.values())
 print(f"exclusive device-op us: {total:.0f} -> {total/1e3/substeps:.2f} ms/substep")
 for name, dur in ev_by_name.most_common(70):

@@ -271,6 +271,14 @@ def sel3_dot(a, b, dims, payload: str, *, barrier: bool = True):
     return (outs[0] + outs[1]) + outs[2]
 
 
+def sel3_dot_kernel(a, b, dims, payload: str):
+    """sel3_dot for PALLAS KERNEL bodies: barrier=False baked in (Mosaic
+    has no optimization_barrier lowering and needs none — see sel3_dot's
+    docstring).  Use THIS inside kernels; calling sel3_dot there fails at
+    kernel-compile time with an unlowerable-primitive error."""
+    return sel3_dot(a, b, dims, payload, barrier=False)
+
+
 def sel3_dot_mstack(a, b, dims=(((1,), (0,)), ((), ()))):
     """sel3_dot specialization for an 'a' payload [M, K] against a 0/1
     selector [K, N] when M is SMALL: the three Dekker-split payload terms

@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from wgsparkl_tpu.grid import GridConfig
-from wgsparkl_tpu.ops.blocked import sel3_dot
+from wgsparkl_tpu.ops.blocked import sel3_dot_kernel
 from wgsparkl_tpu.ops import pallas_transfer as ptf
 from wgsparkl_tpu.ops.pallas_transfer import (
     AFF,
@@ -173,8 +173,8 @@ def _pcdf_body(pd, naff_u, ndist, boxmat_ref, bcell, length, finish, *,
     # votes against the +-1 selector: ndist folds into the payload side so
     # the 3-pass exact selection dot applies (2x fewer MXU passes than
     # HIGHEST; f32-roundoff-class like any scatter-add).
-    votes = sel3_dot(
-        hsgn_m, ndist * w, (((0,), (0,)), ((), ())), "b", barrier=False
+    votes = sel3_dot_kernel(
+        hsgn_m, ndist * w, (((0,), (0,)), ((), ())), "b"
     )                                                         # [nc, G]
     p_aff_bits = jnp.zeros((1, group), jnp.uint32)
     sign_word = jnp.zeros((1, group), jnp.uint32)

@@ -74,7 +74,7 @@ NARROW = (3 * CHUNK) // 2  # narrow-slab width: chunks whose sources all fit
               # width.
 
 
-def _permute_kernel(lo_ref, slablo_ref, nw_ref, perm_ref, einv_ref, rows_hbm,
+def _permute_kernel(lo_ref, slablo_ref, cls_ref, perm_ref, einv_ref, rows_hbm,
                     exccols_hbm, out_ref, slab_db, sem, nslab_db, nsem,
                     ecol_buf, esem, *, npad: int, c0: int, cap: int):
     """Program g writes out[:, g*C:(g+1)*C] = rows[:, perm[g*C:(g+1)*C]].
@@ -93,11 +93,18 @@ def _permute_kernel(lo_ref, slablo_ref, nw_ref, perm_ref, einv_ref, rows_hbm,
     array) stays in-band and only genuine far movers pay the exception
     path.
 
-    nw_ref[g] = 1 marks a NARROW chunk (every source rank within
-    [slab_lo, slab_lo + NARROW), no exceptions — 81%+ of chunks at the
-    settled 1M bench are pure local shifts, a strict subset): it DMAs and
-    contracts a NARROW-wide slab instead of the full WMULT*C one; both
-    the HBM traffic and the one-hot matmul are linear in slab width.
+    cls_ref[g] classifies the chunk:
+      0 WIDE   — WMULT*C slab matmul + exception matmul;
+      1 NARROW — every source rank within [slab_lo, slab_lo + NARROW), no
+        exceptions: DMAs and contracts a NARROW-wide slab instead of the
+        full WMULT*C one (HBM traffic and one-hot matmul are linear in
+        slab width);
+      2 SHIFT  — perm is one constant displacement across the whole chunk
+        (81%+ of chunks at the settled 1M bench): the output IS a
+        contiguous source window, so the chunk reuses the NARROW slab DMA
+        (NARROW >= C + 128 covers any misalignment from the 128-aligned
+        slab start) and emits pltpu.roll(buf, NARROW - off)[:, :C] — no
+        one-hot construction and no matmul at all.
     """
     g = pl.program_id(0)
     ng = pl.num_programs(0)
@@ -118,7 +125,8 @@ def _permute_kernel(lo_ref, slablo_ref, nw_ref, perm_ref, einv_ref, rows_hbm,
         )
 
     def start_for(gg, slot):
-        narrow = nw_ref[jnp.minimum(gg, ng - 1)] > 0
+        # classes 1 (narrow) and 2 (shift) share the NARROW slab DMA
+        narrow = cls_ref[jnp.minimum(gg, ng - 1)] > 0
 
         @pl.when(narrow)
         def _():
@@ -152,16 +160,25 @@ def _permute_kernel(lo_ref, slablo_ref, nw_ref, perm_ref, einv_ref, rows_hbm,
 
     s = pl.multiple_of(slablo_ref[g], 128)
     rel = perm_ref[0][None, :] - s                                # [1, C]
-    narrow_g = nw_ref[g] > 0
+    cls_g = cls_ref[g]
 
-    @pl.when(narrow_g)
+    @pl.when(cls_g == 2)
+    def _():
+        # pure shift: the output chunk IS rows[:, src0:src0+C]; src0 - s
+        # <= NARROW - C by the XLA-side aligned-start clipping, so the
+        # window sits inside the NARROW slab and one roll extracts it.
+        dma_narrow(g, slot).wait()
+        off = perm_ref[0][0] - s
+        out_ref[:, :] = pltpu.roll(nslab_db[slot], nw - off, axis=1)[:, :c]
+
+    @pl.when(cls_g == 1)
     def _():
         dma_narrow(g, slot).wait()
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (nw, c), 0)
         onehot = (rel == k_iota).astype(jnp.float32)              # [NW, C]
         out_ref[:, :] = sel3_dot_mstack(nslab_db[slot], onehot)
 
-    @pl.when(jnp.logical_not(narrow_g))
+    @pl.when(cls_g == 0)
     def _():
         dma_wide(g, slot).wait()
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (w, c), 0)
@@ -186,7 +203,7 @@ def _permute_kernel(lo_ref, slablo_ref, nw_ref, perm_ref, einv_ref, rows_hbm,
             out_ref[:, :] = acc
 
 
-def _permute_banded(rows, perm_p, exc_lo, slab_lo, nw_flags, einv, exc_cols,
+def _permute_banded(rows, perm_p, exc_lo, slab_lo, cls, einv, exc_cols,
                     npad: int):
     c0 = rows.shape[0]
     cap = exc_cols.shape[1]
@@ -222,7 +239,7 @@ def _permute_banded(rows, perm_p, exc_lo, slab_lo, nw_flags, einv, exc_cols,
         ),
         out_shape=jax.ShapeDtypeStruct((c0, npad), jnp.float32),
         interpret=_interpret(),
-    )(exc_lo, slab_lo, nw_flags, perm_p.reshape(1, npad),
+    )(exc_lo, slab_lo, cls, perm_p.reshape(1, npad),
       einv.reshape(1, npad), rows, exc_cols)
 
 
@@ -270,10 +287,18 @@ def permute_lanes(rows, perm, emax: int = 262144):
     pmin = jnp.min(pch, axis=1)
     pmax = jnp.max(pch, axis=1)
     nstart = jnp.clip((pmin // 128) * 128, 0, npad - nwid).astype(jnp.int32)
-    nw_flags = (
-        (pmin >= nstart) & (pmax < nstart + nwid)
+    nw_flags = (pmin >= nstart) & (pmax < nstart + nwid)
+    # PURE-SHIFT chunks (strict subset of narrow: pmax - pmin = C - 1 and
+    # the aligned window always covers [pmin, pmin + C)): one constant
+    # displacement across the chunk — the kernel replaces the one-hot
+    # matmul with a roll of the slab.  81%+ of chunks at the settled 1M
+    # bench; detection is one more per-chunk reduce.
+    disp = pch - iota.reshape(ng, CHUNK)
+    is_shift = jnp.max(disp, axis=1) == jnp.min(disp, axis=1)
+    cls = jnp.where(
+        is_shift, 2, jnp.where(nw_flags, 1, 0)
     ).astype(jnp.int32)
-    slab_lo = jnp.where(nw_flags > 0, nstart, slab_lo)
+    slab_lo = jnp.where(cls > 0, nstart, slab_lo)
     # EXACT out-of-slab test against the same windows: the exception patch
     # is additive, so it must fire exactly once per out-of-band lane.
     sstart = jnp.repeat(slab_lo, CHUNK)
@@ -326,7 +351,7 @@ def permute_lanes(rows, perm, emax: int = 262144):
                     src = _src_sort(None)
                 exc_cols = jnp.take(rows, src, axis=1)          # [C, cap]
                 return _permute_banded(
-                    rows, perm, exc_lo, slab_lo, nw_flags, einv, exc_cols,
+                    rows, perm, exc_lo, slab_lo, cls, einv, exc_cols,
                     npad
                 )
 

@@ -133,6 +133,20 @@ class MpmConfig:
     # substep).  Pass static_slots=() to disable (e.g. when mutating a fixed
     # body's pose mid-frame by hand).
     static_slots: Tuple[int, ...] = ()
+    # Grid-update placement: True folds momentum -> velocity + gravity +
+    # clamp into the G2P kernel (no dense grid pass; re-divides nodes
+    # shared by overlapping windows — bit-equivalence kept by the exact
+    # in-kernel Newton reciprocal); False runs the dense elementwise pass
+    # (_grid_velocity).  WGSPARKL_FOLD_VEL sets the MpmData default.
+    fold_vel: bool = True
+    # In-kernel analytic node CDF ("chan-free", pallas path): evaluate
+    # every analytic collider's CDF at the window nodes inside the kernel
+    # instead of a per-substep dense grid eval + per-job channel gather.
+    # RESOLVED AT MpmData CONSTRUCTION: WGSPARKL_CHAN_FREE=1/0 forces it;
+    # unset -> _auto_chan_free host heuristic (gathered wins whenever
+    # settling matter piles onto a collider — measured 54.5 vs
+    # 32.5 ms/substep at 1M on the ground-plane flagship, round 4).
+    chan_free: bool = False
 
     @property
     def num_colliders(self) -> int:
@@ -372,14 +386,9 @@ def substep_blocked(
         lin_imp = jax.lax.psum(lin_imp, axis_name)
         ang_imp = jax.lax.psum(ang_imp, axis_name)
 
-    # Grid update (elementwise on blocks; ghost slot stays zero).
-    mass_b = grid_mm[..., d:]
-    inv_mass = jnp.where(mass_b > 0.0, 1.0 / jnp.maximum(mass_b, 1e-30), 0.0)
-    vel_b = (
-        grid_mm[..., :d] + mass_b * params.gravity * params.dt
-    ) * inv_mass
-    vel_limit = grid.cell_width / params.dt
-    vel_b = jnp.clip(vel_b, -vel_limit, vel_limit)
+    # Grid update (elementwise on blocks; ghost slot stays zero).  Shared
+    # with the pallas FOLD_VEL=0 path so the two can't silently diverge.
+    vel_b = _grid_velocity(grid_mm, params, grid, d)
 
     new_vel, vel_grad = bt.g2p_blocked(
         sp, jobs, bodies, vel_b, grid_aff_b, grid_closest_b, grid, nc,
@@ -909,13 +918,90 @@ def _grid_velocity(grid_mm, params, grid, d: int):
 
 
 def _env_fold_vel() -> bool:
-    """A/B knob: WGSPARKL_FOLD_VEL=0 runs the dense elementwise grid
-    update (one pass over the block grid) instead of folding momentum ->
-    velocity into the G2P kernel (which re-divides shared nodes once per
-    overlapping window)."""
+    """MpmData constructor default for MpmConfig.fold_vel (A/B knob:
+    WGSPARKL_FOLD_VEL=0 runs the dense elementwise grid update instead of
+    folding momentum -> velocity into the G2P kernel)."""
     import os as _os
 
     return _os.environ.get("WGSPARKL_FOLD_VEL", "1") != "0"
+
+
+def _auto_chan_free(grid, by, desc, bodies, pos, gravity, dim) -> bool:
+    """Host-side construction-time choice of the pallas CDF mode.
+
+    chan-free (in-kernel analytic node CDF) wins when few JOBS ever sit
+    within 1.5-cell CDF reach of an analytic collider; the gathered path
+    wins when most do (round-4 measurement on the 1M ground-plane
+    flagship: chan-free 54.5 ms/substep vs gathered 32.5 — the kernel
+    re-evaluates every collider at every window node of every in-reach
+    job, work the gathered path pays once per substep and frame-hoists
+    for static colliders).  Jobs follow matter and matter settles along
+    gravity, so the static predictor is twofold:
+
+      (a) the fraction of ALL grid blocks within conservative reach
+          (_moving_reach_gate geometry) must be small, and
+      (b) no collider may CATCH settling matter: its reach region must
+          not intersect the gravity-downstream column of the initial
+          particle AABB (matter piles onto the first surface it lands
+          on, putting most jobs permanently within reach).
+
+    desc = ((slot, shape_type), ...) for the analytic colliders; bodies =
+    built rigid world at initial poses; pos = [N, dim] initial particle
+    positions (numpy).  Evaluated once on host; ~10k blocks at 1M."""
+    if not desc:
+        return False
+    from wgsparkl_tpu.ops import blocked as bk
+    from wgsparkl_tpu.ops import pallas_transfer as ptf
+
+    nb = bk.num_blocks(grid, by)
+    bsh = bk.block_shape(dim, by)
+    wsh = ptf.window_geom(by)[0] if dim == 3 else (10, 10)
+    coords = np.stack(
+        np.meshgrid(*(np.arange(n, dtype=np.int32) for n in nb),
+                    indexing="ij"),
+        axis=-1,
+    ).reshape(-1, dim)
+    bcells = jnp.asarray(
+        coords * np.asarray(bsh, np.int32)
+        + np.asarray(grid.origin_cell, np.int32)
+    )
+    hit = np.asarray(_moving_reach_gate(bcells, bodies, desc, wsh,
+                                        grid.cell_width))
+    frac = float(hit.mean())
+    if frac >= 0.15:
+        return False
+    g = np.asarray(gravity, np.float64)
+    if np.linalg.norm(g) > 1e-12:
+        ax = int(np.argmax(np.abs(g)))
+        pos = np.asarray(pos)
+        lo, hi = pos.min(0), pos.max(0)
+        ctr = (coords + 0.5) * np.asarray(bsh, np.float64)
+        ctr = (ctr + np.asarray(grid.origin_cell)) * grid.cell_width
+        margin = 0.5 * grid.cell_width * max(bsh) + 2 * grid.cell_width
+        lateral = np.ones(len(ctr), bool)
+        for a in range(dim):
+            if a == ax:
+                continue
+            lateral &= (ctr[:, a] >= lo[a] - margin) & (
+                ctr[:, a] <= hi[a] + margin)
+        downstream = (
+            ctr[:, ax] <= hi[ax] + margin
+            if g[ax] < 0 else ctr[:, ax] >= lo[ax] - margin
+        )
+        if bool((hit & lateral & downstream).any()):
+            return False
+    return True
+
+
+def _env_chan_free(grid, by, desc, bodies, pos, gravity, dim) -> bool:
+    """MpmData constructor default for MpmConfig.chan_free:
+    WGSPARKL_CHAN_FREE=1/0 forces, unset -> _auto_chan_free."""
+    import os as _os
+
+    v = _os.environ.get("WGSPARKL_CHAN_FREE", "")
+    if v in ("0", "1"):
+        return v == "1"
+    return _auto_chan_free(grid, by, desc, bodies, pos, gravity, dim)
 
 
 def _cdf_mode(cfg):
@@ -934,13 +1020,12 @@ def _cdf_mode(cfg):
     within 1.5-cell CDF reach, so the kernel re-evaluates every analytic
     collider at the window nodes of most jobs EVERY substep, work the
     gathered path does once per substep (and frame-hoists for static
-    colliders).  WGSPARKL_CHAN_FREE=1 opts in (can win for scenes whose
-    colliders touch a small fraction of blocks)."""
-    import os as _os
-
+    colliders).  cfg.chan_free is RESOLVED at MpmData construction — the
+    _auto_chan_free reach heuristic by default, WGSPARKL_CHAN_FREE=1/0
+    forcing either mode (it can win for scenes whose colliders touch a
+    small fraction of blocks and never catch settling matter)."""
     nc = cfg.num_colliders
-    if (nc == 0 or cfg.mesh_cids
-            or _os.environ.get("WGSPARKL_CHAN_FREE", "0") == "0"):
+    if nc == 0 or cfg.mesh_cids or not cfg.chan_free:
         return False, (), ()
     ss = frozenset(cfg.static_slots)
     return (
@@ -1238,7 +1323,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     # work scales with gathered windows, not grid volume; the fold
     # re-divides nodes shared by overlapping windows, so WGSPARKL_FOLD_VEL=0
     # A/Bs the dense elementwise pass instead) ---
-    fold = _env_fold_vel()
+    fold = cfg.fold_vel
     if not fold:
         grid_mm = grid_mm.at[..., :d].set(
             _grid_velocity(grid_mm, params, grid, d)
@@ -1527,7 +1612,7 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
 
     # --- grid update + G2P (momentum -> velocity folds INTO the kernel;
     # WGSPARKL_FOLD_VEL=0 A/Bs the dense elementwise pass, see 3D core) ---
-    fold = _env_fold_vel()
+    fold = cfg.fold_vel
     if not fold:
         grid_mm = grid_mm.at[..., :2].set(
             _grid_velocity(grid_mm, params, grid, 2)
@@ -1817,6 +1902,8 @@ class MpmData:
         band_arg: int = 0,
         band_chunk: int = 0,
         joints: Sequence = (),
+        chan_free: Optional[bool] = None,
+        fold_vel: Optional[bool] = None,
     ):
         """coupling: per-body COUPLING_ONE_WAY / COUPLING_TWO_WAY list
         (with_select_coupling parity, pipeline.rs:130-168); default = all
@@ -1973,6 +2060,25 @@ class MpmData:
             coupling_t = tuple(int(c) for c in coupling)
             assert len(coupling_t) == len(bodies)
 
+        rigid_world = build_rigid_world(bodies, dim)
+        if fold_vel is None:
+            fold_vel = _env_fold_vel()
+        if chan_free is None:
+            # Resolve the pallas CDF mode now (static; part of the jit
+            # cache key).  desc = the analytic collider slots at their
+            # initial poses; mesh scenes always gather.
+            adesc = tuple(
+                (i, t) for i, t in enumerate(collider_types)
+                if i not in mesh_slots
+            )
+            chan_free = (
+                transfer == "pallas" and not mesh_slots and bool(adesc)
+                and _env_chan_free(
+                    grid, by, adesc, rigid_world,
+                    np.asarray(particles.pos), np.asarray(params.gravity),
+                    dim,
+                )
+            )
         self.config = MpmConfig(
             grid=grid,
             collider_types=collider_types,
@@ -1995,6 +2101,8 @@ class MpmData:
             band=band,
             band_chunk=bc,
             joints=_normalize_joints(joints, bodies, dim),
+            chan_free=chan_free,
+            fold_vel=fold_vel,
         )
         if transfer == "pallas":
             # Dedupe immutable constants into the material table (the
@@ -2008,7 +2116,7 @@ class MpmData:
         self.state = SimState(
             particles=particles,
             models=models,
-            bodies=build_rigid_world(bodies, dim),
+            bodies=rigid_world,
             meshes=meshes,
         )
 
