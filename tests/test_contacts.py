@@ -140,3 +140,36 @@ def test_one_way_coupling_masks_impulses():
     out2 = rigid_bodies_update(bodies, lin, ang, data2.params, data2.config)
     # impulse 50 / plate mass 230.4 kg ~= 0.217 m/s, minus one gravity kick
     assert np.asarray(out2.linvel[1])[1] > 0.15
+
+
+def test_crossed_boxes_edge_edge_contact():
+    """Two long thin boxes crossed at 90 degrees: the dynamic one rests on
+    the static one through a pure edge-edge (face-interior) contact — no
+    corner of either box lies inside the other, so corner-only sampling
+    would tunnel straight through.  Pins the cuboid edge-interior samples
+    (rapier builds a proper manifold here, step.rs:201-217)."""
+    h = 0.5
+    pos = np.array([[6.0, 1.0, 6.0], [6.2, 1.0, 6.0]], np.float32)
+    beam_x = RigidBodyDesc(  # static beam along x, top face at y = 1.2
+        Collider.cuboid(5.0, 0.2, 0.2), (0.0, 1.0, 0.0)
+    )
+    beam_z = RigidBodyDesc(  # dynamic beam along z, dropped from above
+        Collider.cuboid(0.2, 0.2, 5.0), (0.0, 2.0, 0.0),
+        body_type="dynamic", density=800.0,
+    )
+    parts = Particles.from_arrays(pos, density=1000.0, radius=h / 4)
+    m = ElasticCoefficients.from_young_modulus(1e6, 0.2)
+    models = Models.from_arrays(len(pos), m.lam, m.mu)
+    params = SimulationParams.new(dt=1 / 240, gravity=[0.0, -9.81, 0.0])
+    data = MpmData(
+        params, parts, models, [beam_x, beam_z], cell_width=h,
+        grid_bounds=(np.array([-6.0, -1.0, -6.0]), np.array([8.0, 4.0, 8.0])),
+    )
+    f = jax.jit(substep, static_argnums=2)
+    s = data.state
+    for _ in range(400):
+        s = f(s, data.params, data.config)
+    p = np.asarray(s.bodies.pos[1])
+    # Rests crossed on top (1.2 + 0.2 = 1.4), never tunnels through.
+    assert p[1] > 1.25, p
+    assert p[1] < 1.55, p

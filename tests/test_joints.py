@@ -229,3 +229,71 @@ def test_revolute_joint_hinges():
     q = np.asarray(b1.rot[1])
     assert np.abs(q[1:3]).max() < 0.05, q
     assert _anchor_gap(b1, joints[0][:4]) < 0.05
+
+
+def test_prismatic_joint_slides():
+    """A box attached by a prismatic joint must be held rigidly in every
+    direction except the slide axis: with a horizontal (x) axis gravity
+    cannot pull it down (y locked) and it keeps its orientation; with a
+    vertical (y) axis the same box free-falls along the slider."""
+    from wgsparkl_tpu.pipeline import _normalize_joints
+
+    descs = [
+        RigidBodyDesc(
+            collider=Collider.ball(0.1), translation=(0.0, 10.0, 0.0),
+            body_type="fixed",
+        ),
+        RigidBodyDesc(
+            collider=Collider.cuboid(0.3, 0.2, 0.2),
+            translation=(0.0, 10.0, 0.0), body_type="dynamic",
+            density=1000.0,
+        ),
+    ]
+    grid = GridConfig.from_bounds(
+        np.array([-8.0, 0.0, -8.0]), np.array([8.0, 16.0, 8.0]), 1.0
+    )
+    params = SimulationParams(gravity=jnp.asarray([0.0, -9.81, 0.0]), dt=1e-3)
+    zero_imp = jnp.zeros((2, 3), jnp.float32)
+
+    def run(axis):
+        joints = _normalize_joints(
+            ((1, 0, (0.0, 0.0, 0.0), (0.0, 0.0, 0.0), "prismatic", axis),),
+            tuple(descs), 3,
+        )
+        cfg = MpmConfig(
+            grid=grid,
+            collider_types=tuple(d.collider.shape_type for d in descs),
+            dynamic_slots=(1,), joints=joints,
+        )
+        bodies = _world(descs)
+
+        def substep(bod, _):
+            bod = body_mod.update_world_mass_properties(bod)
+            return (
+                rigid_bodies_update(bod, zero_imp, zero_imp, params, cfg),
+                None,
+            )
+
+        stepper = jax.jit(
+            lambda b: jax.lax.scan(substep, b, None, length=400)[0]
+        )
+        return stepper(bodies)  # 0.4 s
+
+    # Horizontal slider: gravity is perpendicular to the axis, so the box
+    # hangs in place (y locked by the joint) and never rotates.
+    bx = run((1.0, 0.0, 0.0))
+    assert np.isfinite(np.asarray(bx.pos)).all()
+    assert abs(float(bx.pos[1, 1]) - 10.0) < 0.02, np.asarray(bx.pos[1])
+    assert abs(float(bx.pos[1, 2])) < 0.02, np.asarray(bx.pos[1])
+    q = np.asarray(bx.rot[1])
+    assert np.abs(q[1:]).max() < 0.05, q
+
+    # Vertical slider: gravity acts along the axis -> free fall, but still
+    # no sideways drift and no rotation. 0.5 * 9.81 * 0.4^2 ~= 0.78 m.
+    by = run((0.0, 1.0, 0.0))
+    drop = 10.0 - float(by.pos[1, 1])
+    assert 0.5 < drop < 1.1, drop
+    assert abs(float(by.pos[1, 0])) < 0.02
+    assert abs(float(by.pos[1, 2])) < 0.02
+    q = np.asarray(by.rot[1])
+    assert np.abs(q[1:]).max() < 0.05, q

@@ -1701,6 +1701,11 @@ def rigid_bodies_update(bodies, lin_imp, ang_imp, params, cfg):
             new_ang,
             dt,
             slop=0.05 * grid_cfg.cell_width,
+            # Jointed pairs don't collide with each other (the usual engine
+            # default — a pendulum's rod may legitimately overlap its pivot).
+            skip_pairs=frozenset(
+                (int(j[0]), int(j[1])) for j in cfg.joints
+            ),
         )
 
     # Ball joints (rigid/joints.py; rapier's joint role, step.rs:201-217).
@@ -1748,33 +1753,42 @@ def _normalize_joints(joints, bodies, dim: int):
     (b, c, ab, ac, "fixed") — the current relative rotation is captured
     as the weld target; (b, c, ab, ac, "revolute", axis) — 3D hinge with
     axis in body b's local frame (in 2D revolute degrades to ball: the
-    hinge axis IS the only rotation)."""
+    hinge axis IS the only rotation); (b, c, ab, ac, "prismatic", axis)
+    — slider along axis in b's local frame, relative rotation welded to
+    its initial value (both dims)."""
     if not joints:
         return ()
     rot0 = None
     out = []
+
+    def _rel0(b, c):
+        """Initial relative rotation rot_b^-1 rot_c as a static tuple."""
+        if dim == 2:
+            (cb, sb), (cc, sc) = rot0[b], rot0[c]
+            return (float(cb * cc + sb * sc), float(cb * sc - sb * cc))
+        wb, xb, yb, zb = rot0[b]
+        w1, x1, y1, z1 = wb, -xb, -yb, -zb
+        w2, x2, y2, z2 = rot0[c]
+        return (
+            float(w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2),
+            float(w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2),
+            float(w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2),
+            float(w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2),
+        )
+
     for j in joints:
         b, c = int(j[0]), int(j[1])
         ab, ac = tuple(map(float, j[2])), tuple(map(float, j[3]))
         kind = j[4] if len(j) > 4 else "ball"
         extra = None
-        if kind in ("fixed", "revolute") and rot0 is None:
+        if kind in ("fixed", "revolute", "prismatic") and rot0 is None:
             rot0 = np.asarray(build_rigid_world(bodies, dim).rot, np.float64)
         if kind == "fixed":
-            if dim == 2:
-                (cb, sb), (cc, sc) = rot0[b], rot0[c]
-                extra = (float(cb * cc + sb * sc), float(cb * sc - sb * cc))
-            else:
-                wb, xb, yb, zb = rot0[b]
-                qb_conj = np.array([wb, -xb, -yb, -zb])
-                w1, x1, y1, z1 = qb_conj
-                w2, x2, y2, z2 = rot0[c]
-                extra = (
-                    float(w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2),
-                    float(w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2),
-                    float(w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2),
-                    float(w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2),
-                )
+            extra = _rel0(b, c)
+        elif kind == "prismatic":
+            ax = np.asarray(j[5], np.float64)
+            ax = ax / max(np.linalg.norm(ax), 1e-12)
+            extra = (tuple(map(float, ax)), _rel0(b, c))
         elif kind == "revolute":
             if dim == 2:
                 kind = "ball"

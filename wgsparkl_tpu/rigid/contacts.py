@@ -12,19 +12,25 @@ engine (no joints, no manifolds beyond point samples) — matching the scope
 the reference outsources to rapier.
 
 Contact generation is shape-aware but deliberately simple:
-  * dynamic cuboid: its 2^d corners tested against the other collider;
+  * dynamic cuboid: its 2^d corners (plus, in 3D, the midpoint and
+    quarter points of each of the 12 edges — edge-edge box crossings
+    have no penetrating corner, only interior edge points) tested
+    against the other collider;
   * dynamic ball: deepest point toward the other collider's boundary;
   * dynamic capsule: its two cap centers treated as balls.
 Ordered pairs run both ways (b's corners vs c AND c's corners vs b), so
 box-box stacking catches both bodies' features.  All static control flow
 (which slots are dynamic, shape types) is unrolled in Python so XLA sees
-straight-line code; everything else is branch-free.
+straight-line code; the per-sample Gauss-Seidel impulses run under
+`lax.scan` (sequential like the Python loop they replace, but O(1)
+trace size in the sample count).
 """
 
 from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +48,27 @@ def _corner_offsets(dim: int) -> np.ndarray:
         np.meshgrid(*([np.array([-1.0, 1.0])] * dim), indexing="ij"), -1
     ).reshape(-1, dim)
     return corners.astype(np.float32)
+
+
+def _cuboid_sample_offsets(dim: int) -> np.ndarray:
+    """Unit-cube contact-sample offsets: corners, plus (3D) three interior
+    points per edge so edge-edge box crossings — whose penetration region
+    contains no corner — still produce contact candidates."""
+    pts = [_corner_offsets(dim)]
+    if dim == 3:
+        edge = []
+        for axis in range(3):
+            others = [a for a in range(3) if a != axis]
+            for s0 in (-1.0, 1.0):
+                for s1 in (-1.0, 1.0):
+                    for t in (-0.5, 0.0, 0.5):
+                        p = np.zeros(3)
+                        p[axis] = t
+                        p[others[0]] = s0
+                        p[others[1]] = s1
+                        edge.append(p)
+        pts.append(np.asarray(edge))
+    return np.concatenate(pts, 0).astype(np.float32)
 
 
 def _ball_contacts(centers, radius, project):
@@ -89,7 +116,7 @@ def _candidates(bodies, b, bt, c, ct, dim):
     )
     if bt == shp.SHAPE_CUBOID:
         he = bodies.shape_params[b, :dim]
-        local = jnp.asarray(_corner_offsets(dim)) * he[None, :]
+        local = jnp.asarray(_cuboid_sample_offsets(dim)) * he[None, :]
         pts = pose_math.transform_point(
             bodies.rot[b][None], bodies.pos[b][None], local
         )
@@ -122,13 +149,17 @@ def resolve_contacts(
     slop: float,
     friction: float = CONTACT_FRICTION,
     iterations: int = CONTACT_ITERATIONS,
+    skip_pairs=frozenset(),
 ):
     """Sequential-impulse contact pass.  Returns updated (linvel, angvel).
 
     bodies: RigidWorld with fresh world_com / inv_inertia_world;
     linvel/angvel: the post-MPM-impulse, post-gravity velocities to correct;
     slop: penetration tolerance (in world units) before the positional bias
-    engages — pass a fraction of the grid cell width.
+    engages — pass a fraction of the grid cell width;
+    skip_pairs: unordered (i, j) body-slot pairs to exclude from contact
+    generation — the usual engine default for jointed pairs (a pendulum's
+    rod may legitimately overlap its pivot).
     """
     dim = bodies.dim
     analytic = set(shp._ANALYTIC)
@@ -142,6 +173,8 @@ def resolve_contacts(
             continue
         for c, ct in enumerate(collider_types):
             if c == b or ct not in analytic:
+                continue
+            if (b, c) in skip_pairs or (c, b) in skip_pairs:
                 continue
             pairs.append((b, bt, c, ct))
     if not pairs:
@@ -157,8 +190,10 @@ def resolve_contacts(
             inv_i_b = bodies.inv_inertia_world[b]
             inv_i_c = bodies.inv_inertia_world[c]
 
-            for k in range(points.shape[0]):
-                p, n, depth = points[k], normals[k], depths[k]
+            def _impulse_step(carry, x, b=b, c=c, two_way=two_way,
+                              inv_i_b=inv_i_b, inv_i_c=inv_i_c):
+                linvel, angvel = carry
+                p, n, depth = x
                 active = depth > 0.0
 
                 r_b = p - bodies.world_com[b]
@@ -219,5 +254,10 @@ def resolve_contacts(
                 if two_way:
                     linvel = linvel.at[c].add(jt * t_hat * bodies.inv_mass[c])
                     angvel = angvel.at[c].add(inv_i_c @ (rxt_c * jt))
+                return (linvel, angvel), None
+
+            (linvel, angvel), _ = jax.lax.scan(
+                _impulse_step, (linvel, angvel), (points, normals, depths)
+            )
 
     return linvel, angvel

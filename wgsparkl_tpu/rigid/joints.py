@@ -15,15 +15,19 @@ to equal the anchor velocity on body c.  Kinds add angular constraints:
   * fixed     — relative rotation locked to its initial value (weld);
   * revolute  — rotation free only about a hinge axis (3D; in 2D it is
                 the same as ball, the only free rotation there IS the
-                hinge).
+                hinge);
+  * prismatic — slider: relative rotation locked (like fixed) and the
+                anchor free to translate ONLY along an axis fixed in
+                body b's local frame (both dims).
 Bodies with zero inverse mass (static/kinematic) are valid anchors —
 their velocity field is prescribed.
 
 Joint descriptions are STATIC config (MpmConfig.joints), normalized by
 MpmData to (slot_b, slot_c, local_anchor_b, local_anchor_c, kind, extra)
 where extra is the initial relative rotation (fixed: 2D unit complex /
-3D quaternion of q_b^-1 q_c at build) or the hinge axis in both local
-frames (revolute).  Raw 4-tuples are accepted as ball joints.
+3D quaternion of q_b^-1 q_c at build), the hinge axis in both local
+frames (revolute), or (slide axis in b's local frame, initial relative
+rotation) for prismatic.  Raw 4-tuples are accepted as ball joints.
 """
 
 from __future__ import annotations
@@ -209,7 +213,41 @@ def resolve_joints(bodies, joints, linvel, angvel, dt,
             )
             k = k + _skew_apply(dim, bodies.inv_inertia_world[b], r_b)
             k = k + _skew_apply(dim, bodies.inv_inertia_world[c], r_c)
-            imp = -(_inv_mat(dim, k) @ v_err)
+            if kind == "prismatic":
+                # Impulse restricted to the plane (3D) / line (2D)
+                # perpendicular to the world slide axis: motion along the
+                # axis stays free, everything else is driven to zero.
+                a_w = pose_math.rotate(
+                    bodies.rot[b], jnp.asarray(extra[0], jnp.float32)
+                )
+                if dim == 2:
+                    t1 = jnp.stack([-a_w[1], a_w[0]])
+                    k1 = t1 @ (k @ t1)
+                    p1 = -jnp.where(
+                        k1 > 1e-12,
+                        (t1 @ v_err) / jnp.maximum(k1, 1e-30),
+                        0.0,
+                    )
+                    imp = p1 * t1
+                else:
+                    h = jnp.where(
+                        jnp.abs(a_w[0]) < 0.9,
+                        jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                        jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
+                    )
+                    t1 = jnp.cross(a_w, h)
+                    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-12)
+                    t2 = jnp.cross(a_w, t1)
+                    k2 = jnp.array(
+                        [[t1 @ k @ t1, t1 @ k @ t2],
+                         [t2 @ k @ t1, t2 @ k @ t2]], jnp.float32
+                    )
+                    p2 = -(_inv_mat(2, k2) @ jnp.stack(
+                        [t1 @ v_err, t2 @ v_err]
+                    ))
+                    imp = p2[0] * t1 + p2[1] * t2
+            else:
+                imp = -(_inv_mat(dim, k) @ v_err)
 
             linvel = linvel.at[b].add(
                 jnp.where(dyn_b, imp * bodies.inv_mass[b], 0.0)
@@ -230,5 +268,11 @@ def resolve_joints(bodies, joints, linvel, angvel, dt,
             if kind == "fixed" or (kind == "revolute" and dim == 3):
                 angvel = _apply_angular(
                     bodies, dim, b, c, kind, extra, angvel, dt, beta
+                )
+            elif kind == "prismatic":
+                # Slider locks relative rotation: reuse the weld solve
+                # against the captured initial relative rotation.
+                angvel = _apply_angular(
+                    bodies, dim, b, c, "fixed", extra[1], angvel, dt, beta
                 )
     return linvel, angvel
