@@ -1,8 +1,12 @@
 #!/bin/bash
-# Round-5 bisection batch #1: locate the 3.3 ms/substep regression between
-# beec347 (34.24 steps/s control, re-confirmed round 4) and e051fd5+CHAN_FREE=0
-# (30.72).  Post-e051fd5 commits measured 30.9-32.2 (BENCH_HISTORY tail), so
-# the numerics fix (59d03a3) and mstack (69d81be) are NOT the regression.
+# Round-5 bisection batch #1 (relaunched after the machine restart lost the
+# first attempt's probes; its two HEAD runs survive in BENCH_HISTORY:
+# default 31.13 @ ts 1787177713, FOLD_VEL=0 31.68 @ 1787178398).
+#
+# Locates the 3.3 ms/substep regression between beec347 (34.24 steps/s
+# control, re-confirmed round 4) and e051fd5+CHAN_FREE=0 (30.72).
+# Post-e051fd5 commits measured 30.9-32.2 (BENCH_HISTORY tail), so the
+# numerics fix (59d03a3) and mstack (69d81be) are NOT the regression.
 # Probes run in a detached worktree sharing /root/repo/.jax_cache.
 # Logs to /tmp/r5_batch1.log with knob labels.
 set -u
@@ -27,9 +31,10 @@ probe() {  # probe <label> <sha> [env VAR=V ...]
   echo "exit: $? $(date)" >> $L
 }
 
-# 1-2: today's HEAD control + fold_vel A/B (the only suspect with a knob)
-run "HEAD default" python bench.py
-run "HEAD FOLD_VEL=0" env WGSPARKL_FOLD_VEL=0 python bench.py
+# 1: HEAD default — b5edf5f's pure-shift permute class is un-benched
+run "HEAD b5edf5f default" python bench.py
+# 2: permute microbench (informs the re-sort redesign running in parallel)
+run "perm_microbench" python tools/perm_microbench.py
 
 # 3-6: walk the suspect range (oldest first). beec347 = 34.24 (known).
 probe "stencil+phys_dot" d524eb5 WGSPARKL_DUMMY=0

@@ -616,6 +616,17 @@ class StepDiag:
 
 
 # ------------------------------------------------- shared pallas-core phases
+def _perm_prefix(mod):
+    """Rows to move in the re-sort permute: the module's PERM_ROWS live
+    prefix, or the full payload with WGSPARKL_PERM_ROWS=0 (round-5 A/B:
+    the prefix+stale-tail reattach measured ~1 steps/s SLOWER at 1M than
+    the plain full permute, fd08cdf 31.5 -> 5503470 30.5)."""
+    import os as _os
+    if _os.environ.get("WGSPARKL_PERM_ROWS") == "0":
+        return 0
+    return getattr(mod, "PERM_ROWS", 0)
+
+
 def _lazy_sort(rows_all, keys, npad: int, lazy: bool = True,
                perm_rows: int = 0):
     """Lazy re-sort: when the block keys are still nondecreasing the current
@@ -1165,7 +1176,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
     def sort_rows(rows):
         return _lazy_sort(
             rows, keys_of(rows), npad,
-            lazy=cfg.lazy_sort, perm_rows=getattr(ptf, "PERM_ROWS", 0),
+            lazy=cfg.lazy_sort, perm_rows=_perm_prefix(ptf),
         )
 
     rows_all, sorted_ids = sort_rows(rows_all)
@@ -1501,7 +1512,7 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
     def sort_rows(rows):
         return _lazy_sort(
             rows, keys_of(rows), npad,
-            lazy=cfg.lazy_sort, perm_rows=getattr(ptf, "PERM_ROWS", 0),
+            lazy=cfg.lazy_sort, perm_rows=_perm_prefix(ptf),
         )
 
     rows_all, sorted_ids = sort_rows(rows_all)
