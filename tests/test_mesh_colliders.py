@@ -90,7 +90,8 @@ def test_block_rests_on_trimesh():
     h = 0.5
     col = _flat_table(h)
     xs = np.arange(6) * h / 2 + h / 4
-    g = np.meshgrid(xs - 0.75, xs + 0.4, xs - 0.75, indexing="ij")
+    # start 0.15 above the table: contact at ~0.175 s, rest by 0.25 s
+    g = np.meshgrid(xs - 0.75, xs + 0.15, xs - 0.75, indexing="ij")
     pos = np.stack([a.ravel() for a in g], -1).astype(np.float32)
     parts = Particles.from_arrays(pos, density=1000.0, radius=h / 4)
     m = ElasticCoefficients.from_young_modulus(1e6, 0.2)
@@ -101,10 +102,12 @@ def test_block_rests_on_trimesh():
         cell_width=h,
         grid_bounds=(np.array([-4.0, -2.0, -4.0]), np.array([4.0, 4.0, 4.0])),
     )
-    f = jax.jit(substep, static_argnums=2)
+    from wgsparkl_tpu.pipeline import step
+
+    f = jax.jit(lambda s, p: step(s, p, data.config, num_substeps=30))
     s = data.state
-    for _ in range(240):  # 0.4 s
-        s = f(s, data.params, data.config)
+    for _ in range(5):  # 0.25 s, scanned substeps (one compile)
+        s = f(s, data.params)
     p = np.asarray(s.particles.pos)
     assert np.isfinite(p).all()
     # Must not fall through the table (started 0.4 above it).
