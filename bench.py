@@ -152,13 +152,13 @@ def main():
         transfer="pallas", group=group, max_jobs=max_jobs, sparse=sparse,
         by=by, **band_kw,
     )
-    if int(os.environ.get("BENCH_EAGER_SORT", 0)):
-        # The paddle keeps this scene from ever settling: the lazy-sort
-        # runtime skip never fires and only costs its whole-state cond
-        # carry.  A/B knob.
+    if int(os.environ.get("BENCH_LAZY_SORT", 0)):
+        # Eager sort is the default since round 5 (measured faster at 1M
+        # even on settled sand: the whole-state cond carry outweighs the
+        # skipped sorts).  A/B knob back to the lazy runtime skip.
         import dataclasses as _dc
 
-        data.config = _dc.replace(data.config, lazy_sort=False)
+        data.config = _dc.replace(data.config, lazy_sort=True)
     print(
         f"bench scene: {n} particles, grid {data.config.grid.shape}, "
         f"{substeps} substeps/frame, device={jax.devices()[0]}",

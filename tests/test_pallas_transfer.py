@@ -117,6 +117,32 @@ def test_static_cdf_hoist_matches_per_substep():
     )
 
 
+def test_static_cdf_hoist_2d_all_static():
+    """2D twin of the hoist test: when EVERY collider is frame-static the
+    whole channel grid packs once per frame (step_pallas static_chan);
+    must equal the per-substep dense eval exactly."""
+    import dataclasses
+
+    from wgsparkl_tpu.pipeline import step_pallas
+
+    d2 = scenes.elastic_blocks_2d(
+        n_side=24, cell_width=0.5, transfer="pallas", group=128, job_chunk=8,
+    )
+    cfg = d2.config
+    assert cfg.static_slots and len(cfg.static_slots) == cfg.num_colliders
+    cfg_off = dataclasses.replace(cfg, static_slots=())
+    f = jax.jit(step_pallas, static_argnums=(2, 3))
+    s_on = f(d2.state, d2.params, cfg, 10)
+    s_off = f(d2.state, d2.params, cfg_off, 10)
+    np.testing.assert_array_equal(
+        np.asarray(s_on.particles.pos), np.asarray(s_off.particles.pos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_on.particles.cdf_affinity),
+        np.asarray(s_off.particles.cdf_affinity),
+    )
+
+
 def test_pallas_by8_matches_blocked_3d_coupled():
     """Anisotropic 4x8x4 blocks (MpmConfig.by=8, the 1M-bench default)
     must match the isotropic blocked path exactly like by=4 does."""

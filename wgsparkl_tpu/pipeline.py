@@ -117,10 +117,13 @@ class MpmConfig:
     # Models.mat_table are populated (MpmData dedupes the immutable
     # per-particle constants; <= 128).
     n_materials: int = 1
-    # Runtime skip of the re-sort when keys are already nondecreasing
-    # (costs a whole-state lax.cond carry; disable for never-settling
-    # benches).
-    lazy_sort: bool = True
+    # Runtime skip of the re-sort when keys are already nondecreasing.
+    # OFF by default: the whole-state lax.cond carry measured MORE
+    # expensive than just sorting every substep, even on settled sand
+    # (round 5, 1M: eager 31.6/32.3 vs lazy 31.2 steps/s) — opt in for
+    # scenes where the order stays valid for long stretches AND the state
+    # is small enough that the cond copies are cheap.
+    lazy_sort: bool = False
     # Point-to-point (ball) joints between body slots: static tuples
     # (slot_b, slot_c, local_anchor_b, local_anchor_c) with float-tuple
     # anchors (rigid/joints.py; rapier's joint role in the reference
@@ -137,8 +140,11 @@ class MpmConfig:
     # clamp into the G2P kernel (no dense grid pass; re-divides nodes
     # shared by overlapping windows — bit-equivalence kept by the exact
     # in-kernel Newton reciprocal); False runs the dense elementwise pass
-    # (_grid_velocity).  WGSPARKL_FOLD_VEL sets the MpmData default.
-    fold_vel: bool = True
+    # (_grid_velocity).  OFF by default: the fold re-divides shared nodes
+    # in every overlapping window and measured ~0.5 steps/s SLOWER at 1M
+    # (round 5: 31.68 vs 31.18); WGSPARKL_FOLD_VEL=1 opts in (it can win
+    # when windows are sparse on the grid).  Sets the MpmData default.
+    fold_vel: bool = False
     # In-kernel analytic node CDF ("chan-free", pallas path): evaluate
     # every analytic collider's CDF at the window nodes inside the kernel
     # instead of a per-substep dense grid eval + per-job channel gather.
@@ -489,14 +495,43 @@ def step_pallas(
     # the moving colliders' per-substep CDF inside the core.  The sparse
     # core evaluates CDF on dynamic active-node positions and cannot
     # consume a precomputed full-grid buffer.
-    # (The 3D pallas cores need no static hoist at all for analytic
-    # colliders — chan-free mode evaluates every analytic collider
-    # IN-KERNEL at the window nodes, see _cdf_mode.  The hoist still pays
-    # for the mesh-collider fallback and the 2D core.)
+    # (Chan-free mode evaluates every analytic collider IN-KERNEL at the
+    # window nodes, see _cdf_mode — no hoist at all.  The 3D GATHERED mode
+    # for analytic scenes pre-packs the static colliders' CHANNEL GRID once
+    # per frame and merges moving colliders in-kernel at the window nodes
+    # (kernel gate level 2), so its per-substep dense node-CDF
+    # eval/merge/pack disappears too — dropping this hoist was the round-4
+    # 34.2 -> 31.5 steps/s regression at 1M (round-5 bisection).  The plain
+    # static_cdf partial remains for the mesh fallback and the 2D core.)
     static_cdf = None
-    if (cfg.static_slots and cfg.num_colliders > 0 and not cfg.sparse
-            and (cfg.mesh_cids or state.particles.dim == 2)):
-        static_cdf = _node_cdf_static(state.bodies, cfg, block_major=True)
+    static_chan = None
+    if cfg.static_slots and cfg.num_colliders > 0 and not cfg.sparse:
+        dim = state.particles.dim
+        all_static = len(cfg.static_slots) == cfg.num_colliders
+        if dim == 2 and all_static and not cfg.mesh_cids \
+                and not cfg.chan_free:
+            # 2D, every collider frame-static: the whole channel grid
+            # hoists (the 2D kernels have no gathered+in-kernel merge
+            # mode, so a single moving collider falls back to the
+            # per-substep dense eval below).
+            from wgsparkl_tpu.ops import blocked as bk
+
+            nb_total = int(np.prod(bk.num_blocks(cfg.grid, cfg.by)))
+            static_chan = _cdf_chan_grid(
+                *_node_cdf_static(state.bodies, cfg, block_major=True),
+                nb_total, 2,
+            )
+        elif cfg.mesh_cids or dim == 2:
+            static_cdf = _node_cdf_static(state.bodies, cfg,
+                                          block_major=True)
+        elif not cfg.chan_free:
+            from wgsparkl_tpu.ops import blocked as bk
+
+            nb_total = int(np.prod(bk.num_blocks(cfg.grid, cfg.by)))
+            static_chan = _cdf_chan_grid(
+                *_node_cdf_static(state.bodies, cfg, block_major=True),
+                nb_total, 3, cfg.by,
+            )
 
     mtable = state.models.mat_table
 
@@ -504,7 +539,7 @@ def step_pallas(
         rows, bodies, dg = carry
         rows, bodies, dg = core(
             rows, bodies, state.meshes, params, cfg, n, axis_name, dg,
-            static_cdf=static_cdf, mtable=mtable,
+            static_cdf=static_cdf, static_chan=static_chan, mtable=mtable,
         )
         return (rows, bodies, dg), None
 
@@ -617,14 +652,17 @@ class StepDiag:
 
 # ------------------------------------------------- shared pallas-core phases
 def _perm_prefix(mod):
-    """Rows to move in the re-sort permute: the module's PERM_ROWS live
-    prefix, or the full payload with WGSPARKL_PERM_ROWS=0 (round-5 A/B:
-    the prefix+stale-tail reattach measured ~1 steps/s SLOWER at 1M than
-    the plain full permute, fd08cdf 31.5 -> 5503470 30.5)."""
+    """Rows to move in the re-sort permute.  Default 0 = the FULL payload:
+    the 40-row live-prefix + stale-tail-reattach optimisation measured ~1
+    steps/s SLOWER at 1M than the plain full permute (round-5 bisection:
+    fd08cdf 31.5 -> 5503470 30.5; confirmed by the PERM_ROWS=0 combo run
+    33.49 vs 32.33) — the tail concat costs more than the moved rows.
+    WGSPARKL_PERM_ROWS=prefix re-enables the skip for A/B."""
     import os as _os
-    if _os.environ.get("WGSPARKL_PERM_ROWS") == "0":
+    v = _os.environ.get("WGSPARKL_PERM_ROWS", "0")
+    if v == "0":
         return 0
-    return getattr(mod, "PERM_ROWS", 0)
+    return min(int(v), getattr(mod, "PERM_ROWS", 0))
 
 
 def _lazy_sort(rows_all, keys, npad: int, lazy: bool = True,
@@ -918,9 +956,9 @@ def _migrate_x(rows_all, sorted_ids, lo_key, hi_key, live_key, npad: int,
 
 def _grid_velocity(grid_mm, params, grid, d: int):
     """Momentum -> velocity + gravity + 1-cell/step clamp, elementwise on
-    block rows (grid_update.wgsl:44-65; ghost slot stays zero).  Used by
-    the WGSPARKL_FOLD_VEL=0 A/B path; the default folds this into the G2P
-    kernel (g2p_rows fold_vel=True)."""
+    block rows (grid_update.wgsl:44-65; ghost slot stays zero).  The
+    default path (shared by blocked and pallas fold_vel=False);
+    WGSPARKL_FOLD_VEL=1 folds it into the G2P kernel instead."""
     mass_b = grid_mm[..., d:]
     inv_mass = jnp.where(mass_b > 0.0, 1.0 / jnp.maximum(mass_b, 1e-30), 0.0)
     vel_b = (grid_mm[..., :d] + mass_b * params.gravity * params.dt) * inv_mass
@@ -930,11 +968,12 @@ def _grid_velocity(grid_mm, params, grid, d: int):
 
 def _env_fold_vel() -> bool:
     """MpmData constructor default for MpmConfig.fold_vel (A/B knob:
-    WGSPARKL_FOLD_VEL=0 runs the dense elementwise grid update instead of
-    folding momentum -> velocity into the G2P kernel)."""
+    WGSPARKL_FOLD_VEL=1 folds momentum -> velocity into the G2P kernel
+    instead of the dense elementwise grid update; default off — see
+    MpmConfig.fold_vel)."""
     import os as _os
 
-    return _os.environ.get("WGSPARKL_FOLD_VEL", "1") != "0"
+    return _os.environ.get("WGSPARKL_FOLD_VEL", "0") != "0"
 
 
 def _auto_chan_free(grid, by, desc, bodies, pos, gravity, dim) -> bool:
@@ -1049,7 +1088,7 @@ def _cdf_mode(cfg):
 def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
                          bcells, grid, group: int, npad: int, nc: int,
                          by: int = 4, static_slots=None, bodies=None,
-                         mode=(False, (), ())):
+                         mode=(False, (), ()), moving_gate=None):
     """Node-CDF window channels + per-job CPIC gate + the fused
     particle-CDF + P2G kernel (shares the particle DMA and consumes the
     fresh affinity/normals in-kernel); patches the affinity + normal
@@ -1085,6 +1124,13 @@ def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
     else:
         ntiles = gather_tiles(chan_grid, out=(wpad, 4), c=4)
         jbody = _jbody_gate(ntiles, wvol, static_slots)
+        if moving_gate is not None:
+            # Gathered hybrid: the channel grid holds only the frame-static
+            # colliders — jobs possibly in a moving collider's reach force
+            # gate level 2 so the kernels run the in-kernel merge.
+            jbody = jnp.maximum(
+                jbody, jnp.where(moving_gate, 2, 0).astype(jnp.int32)
+            )
     mm_out, imp_out, krows = pallas_cdf.p2g_cdf_tiles(
         pdata, ntiles, btable, jobs, bcells, grid, group, npad, nc, jbody,
         by=by, moving=moving, static_desc=static_desc, chan_free=chan_free,
@@ -1104,7 +1150,7 @@ def _cdf_kernel_phase_3d(pdata, chan_grid, gather_tiles, btable, jobs,
 def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
                          n: int, axis_name: Optional[str] = None,
                          diag: Optional[StepDiag] = None, static_cdf=None,
-                         mtable=None):
+                         static_chan=None, mtable=None):
     """3D channel-major substep core: ([PCHAN, NPAD] rows, bodies) -> same.
 
     Same physics as substep/substep_blocked; the P2G/G2P/pCDF passes run as
@@ -1269,6 +1315,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
 
     # --- CDF phase ---
     mode = _cdf_mode(cfg)
+    moving_gate = None
     if nc > 0:
         if mode[0]:
             chan_grid = None   # chan-free: all-analytic in-kernel CDF
@@ -1276,6 +1323,28 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
             chan_grid = _sparse_chan_grid(
                 bodies, meshes, cfg, act, amax, bsh[0]
             )
+        elif static_chan is not None:
+            # Gathered hybrid (the 34.2-steps/s default, round-5
+            # bisection): the static colliders' channel grid was packed
+            # ONCE per frame by step_pallas; moving colliders are merged
+            # IN-KERNEL at the window nodes (kernel lvl2,
+            # ptf._merge_ntile_cdf — bit-exact vs the dense merge), gated
+            # by a conservative per-job reach test.  No per-substep dense
+            # node-CDF eval / merge / channel pack at all.
+            chan_grid = static_chan
+            hyb_moving = tuple(
+                (i, cfg.collider_types[i])
+                for i in range(nc) if i not in cfg.static_slots
+            )
+            mode = (False,
+                    tuple((i, cfg.collider_types[i])
+                          for i in range(nc) if i in cfg.static_slots),
+                    hyb_moving)
+            if hyb_moving:
+                moving_gate = _moving_reach_gate(
+                    bcells, bodies, hyb_moving, ptf.window_geom(by)[0],
+                    grid.cell_width,
+                )
         else:
             state_view = SimState(particles=None, models=None,
                                   bodies=bodies, meshes=meshes)
@@ -1297,7 +1366,7 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
             _cdf_kernel_phase_3d(
                 pdata, chan_grid, gather_tiles, btable, jobs, bcells, grid,
                 group, npad, nc, by=by, static_slots=cfg.static_slots,
-                bodies=bodies, mode=mode,
+                bodies=bodies, mode=mode, moving_gate=moving_gate,
             )
         )
     else:
@@ -1477,7 +1546,7 @@ def _halo_exchange_sparse(grid_mm, act, amax: int, lo_key, hi_key, halo_cap,
 def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
                             n: int, axis_name: Optional[str] = None,
                             diag: Optional[StepDiag] = None, static_cdf=None,
-                            mtable=None):
+                            static_chan=None, mtable=None):
     """2D channel-major substep core (see _substep_pallas_rows; 2D kernel
     family in ops/pallas_transfer2d.py: 8x8 blocks, 10^2 windows)."""
     from wgsparkl_tpu.ops import blocked as bk
@@ -1561,6 +1630,11 @@ def _substep_pallas_rows_2d(rows_all, bodies, meshes, params, cfg: MpmConfig,
                                      grid.cell_width)
             jbody = hit.astype(jnp.int32)
             ntiles = jnp.zeros((1, ptf.WPAD, 4), jnp.float32)
+        elif static_chan is not None:
+            # All colliders frame-static: the channel grid was packed once
+            # per frame by step_pallas — zero per-substep dense CDF work.
+            ntiles = gather_tiles(static_chan, out=(ptf.WPAD, 4), c=4)
+            jbody = _jbody_gate(ntiles, wvol)
         else:
             state_view = SimState(particles=None, models=None, bodies=bodies,
                                   meshes=meshes)
