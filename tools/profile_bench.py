@@ -20,16 +20,63 @@ n_target = int(os.environ.get("BENCH_PARTICLES", 1_000_000))
 substeps = 20
 group = int(os.environ.get("BENCH_GROUP", 1024))
 by = int(os.environ.get("BENCH_BY", 8))
-nxz = int(round((n_target / 2.2) ** (1.0 / 3.0)))
-ny = int(round(n_target / (nxz * nxz)))
-base = scenes.sand_box_3d(nxz=nxz, ny=ny, cell_width=1.0, with_paddle=True)
-n = base.num_particles
-max_jobs = int((n // (100 * by) + 256) // 128 * 128)
-data = MpmData(
-    base.params, base.state.particles, base.state.models,
-    base.bodies_desc, 1.0, grid=base.config.grid,
-    transfer="pallas", group=group, max_jobs=max_jobs, by=by,
-)
+if os.environ.get("PROF_SCENE") == "dam3":
+    # BASELINE config 3: mixed fluid+elastic dam break ~256k (the
+    # per-particle-throughput gap scene — verdict task 5).
+    from wgsparkl_tpu.collision.shapes import Collider
+    from wgsparkl_tpu.models import ElasticCoefficients
+    from wgsparkl_tpu.params import SimulationParams
+    from wgsparkl_tpu.pipeline import RigidBodyDesc
+    from wgsparkl_tpu.scenes import _lattice
+    from wgsparkl_tpu.solver import Models, Particles
+
+    h = 1.0
+    nf, ne = 49, 25
+    fluid_pos = _lattice((nf, 2 * nf, nf), h, (-nf * h / 2, 0.5, -nf * h / 2))
+    elast_pos = _lattice((ne, ne, ne), h,
+                         (nf * h / 2 + 2.0, 0.5, -ne * h / 4))
+    pos = np.concatenate([fluid_pos, elast_pos])
+    n = len(pos); nfp = len(fluid_pos)
+    particles = Particles.from_arrays(pos, density=1000.0, radius=h / 4)
+    lam = np.empty(n, np.float32); mu = np.empty(n, np.float32)
+    fl = ElasticCoefficients.from_young_modulus(1e6, 0.499)
+    el = ElasticCoefficients.from_young_modulus(1e6, 0.2)
+    lam[:nfp], mu[:nfp] = fl.lam, 0.0
+    lam[nfp:], mu[nfp:] = el.lam, el.mu
+    models = Models.from_arrays(n, lam, mu, phase=1.0)
+    half = nf * h * 1.2
+    bodies = [
+        RigidBodyDesc(Collider.cuboid(half * 3, 1.0, half * 3),
+                      (0, -1.0, 0)),
+        RigidBodyDesc(Collider.cuboid(0.5, half, half * 2),
+                      (-half, half, 0)),
+        RigidBodyDesc(Collider.cuboid(0.5, half, half * 2),
+                      (half * 1.8, half, 0)),
+        RigidBodyDesc(Collider.cuboid(half * 2, half, 0.5),
+                      (0, half, -half)),
+        RigidBodyDesc(Collider.cuboid(half * 2, half, 0.5),
+                      (0, half, half)),
+    ]
+    params = SimulationParams.new(dt=(1 / 60) / 20,
+                                  gravity=[0.0, -9.81, 0.0])
+    data = MpmData(
+        params, particles, models, bodies, h,
+        grid_bounds=(np.array([-half - 2, -2.0, -half - 2]),
+                     np.array([half * 2 + 2, 2.2 * nf * h + 4, half + 2])),
+        transfer="pallas", group=group, by=by,
+    )
+else:
+    nxz = int(round((n_target / 2.2) ** (1.0 / 3.0)))
+    ny = int(round(n_target / (nxz * nxz)))
+    base = scenes.sand_box_3d(nxz=nxz, ny=ny, cell_width=1.0,
+                              with_paddle=True)
+    n = base.num_particles
+    max_jobs = int((n // (100 * by) + 256) // 128 * 128)
+    data = MpmData(
+        base.params, base.state.particles, base.state.models,
+        base.bodies_desc, 1.0, grid=base.config.grid,
+        transfer="pallas", group=group, max_jobs=max_jobs, by=by,
+    )
 if int(os.environ.get("BENCH_EAGER_SORT", 0)):
     import dataclasses as _dc
 
