@@ -53,14 +53,15 @@ def _interpret() -> bool:
 
 
 # Output lanes per program (also the displacement band).  At 1M lanes the
-# 256-lane default runs 4096 sequential programs whose per-program cost
-# (grid sequencing + DMA issue) plausibly dominates the measured 4.1 ms —
-# the slab DMA (~0.5 ms) and one-hot FLOPs (~0.1 ms) don't.  Wider chunks
-# divide the program count; the slab/exception widths scale along.
-# WGSPARKL_PERM_CHUNK = 512 / 1024 is the hardware A/B knob.
+# 256-lane width runs 4096 sequential programs whose per-program cost
+# (grid sequencing + DMA issue) dominates.  512 is the measured default:
+# with the pure-shift class + leveled exceptions the wider chunk WINS
+# (round-5 batch 6, 1M: 256 -> 34.78, 512 -> 35.38, 1024 -> 35.32
+# steps/s; the old pre-shift-class A/Bs had 512/1024 LOSING, 30.4/28.6 —
+# the class split changed the tradeoff).  WGSPARKL_PERM_CHUNK overrides.
 import os as _os  # noqa: E402
 
-CHUNK = int(_os.environ.get("WGSPARKL_PERM_CHUNK", "256"))
+CHUNK = int(_os.environ.get("WGSPARKL_PERM_CHUNK", "512"))
 assert CHUNK % 256 == 0, CHUNK
 WMULT = 3    # slab chunks: covers source ranks [(g-1)C, (g+2)C).  WMULT=2
              # was measured 27.7 -> 18.1 steps/s at 1M: forward movers with
@@ -243,7 +244,10 @@ def _permute_banded(rows, perm_p, exc_lo, slab_lo, cls, einv, exc_cols,
       einv.reshape(1, npad), rows, exc_cols)
 
 
-EMAX_LEVELS = (2048, 8192, 16384, 65536, 262144)
+# 512 first: at the settled 1M phase most substeps carry only a handful
+# of far movers (paddle region), and the XLA-side exc_cols lane-take is
+# linear in the level cap — the small level keeps the common case cheap.
+EMAX_LEVELS = (512, 2048, 8192, 16384, 65536, 262144)
 
 
 def permute_lanes(rows, perm, emax: int = 262144):
