@@ -625,11 +625,14 @@ class StepDiag:
     migration_dropped: jnp.ndarray    # cumulative slab-crossers beyond migration_cap
     live_lost: jnp.ndarray            # live lanes dropped at frame-end truncation
     halo_dropped: jnp.ndarray         # sparse halo-plane slots beyond halo_cap
+    band_miss: jnp.ndarray            # substeps whose banded grid moves fell
+    #                                   back to full matmuls (perf, not
+    #                                   correctness: the fallback is exact)
 
     @classmethod
     def zeros(cls) -> "StepDiag":
         z = jnp.zeros((), jnp.int32)
-        return cls(z, z, z, z, z, z)
+        return cls(z, z, z, z, z, z, z)
 
     def any_overflow(self):
         return (
@@ -646,8 +649,12 @@ class StepDiag:
             f.name: int(getattr(self, f.name))
             for f in dataclasses.fields(self)
         }
+        bm = vals.pop("band_miss", 0)
         flags = [f"{k}={v}" for k, v in vals.items() if v > 0]
-        return "OK" if not flags else "OVERFLOW: " + ", ".join(flags)
+        out = "OK" if not flags else "OVERFLOW: " + ", ".join(flags)
+        if bm:
+            out += f" [band_miss={bm} substeps on full-matmul moves]"
+        return out
 
 
 # ------------------------------------------------- shared pallas-core phases
@@ -753,6 +760,13 @@ def _bounded_job_phase(sorted_ids, grid, d: int, by: int, group: int,
     nbr = jnp.asarray(bk.neighbor_block_table(nb))
     band_lo, bands_ok = bk.band_info(
         jobs["block"], nb_total, cfg.band, cfg.band_chunk
+    )
+    # Perf-health counter: a substep whose job chunks exceed the static
+    # band falls back to FULL one-hot move matmuls over the whole block
+    # table (exact but ~[jobs, nb_total]-sized — measured 15 of 25 ms per
+    # substep on the 128^3 dam break when this fires every substep).
+    diag = diag.replace(
+        band_miss=diag.band_miss + (1 - bands_ok.astype(jnp.int32))
     )
 
     def gather_tiles(grid_arr, out=None, c=None):
@@ -1287,6 +1301,9 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
         )
         band_lo, bands_ok = bk.band_info_slots(
             tgts, amax, cfg.band, cfg.band_chunk
+        )
+        diag = diag.replace(
+            band_miss=diag.band_miss + (1 - bands_ok.astype(jnp.int32))
         )
 
         def gather_tiles(grid_arr, out=None, c=None):
@@ -2062,31 +2079,42 @@ class MpmData:
             max_jobs = -(-n // group) * 4 + 64
         if max_jobs % job_chunk:
             max_jobs += job_chunk - max_jobs % job_chunk
-        # Banded tile moves chunk jobs by band_chunk (128); keep
-        # auto-computed max_jobs divisible so the static banded fast path
-        # stays available (explicit odd values fall back to full matmuls).
-        # band_chunk widens the per-scan-iteration job chunk (fewer, bigger
-        # banded-move iterations; the slab must cover the wider span).
-        bc = band_chunk or 128
+        # Banded tile moves chunk jobs by band_chunk; keep auto-computed
+        # max_jobs divisible so the static banded fast path stays available
+        # (explicit odd values fall back to full matmuls).  band_chunk
+        # widens the per-scan-iteration job chunk (fewer, bigger banded-move
+        # iterations; the slab must cover the wider span).
+        bc = band_chunk or 32
         if transfer in ("blocked", "pallas") and auto_jobs and max_jobs % bc:
             max_jobs += bc - max_jobs % bc
             if max_jobs % job_chunk:
                 max_jobs += job_chunk - max_jobs % job_chunk
 
-        # Banded tile moves: a chunk of 128 block-sorted jobs (keys iterate
-        # x, z, y; row-major flat ids jump nb[1]*nb[2] per x-plane) spans at
-        # most ~2 x-planes of flat ids when occupancy is dense, so the slab
-        # band can be far tighter than the 2048 default — the banded matmul
-        # cost is linear in it.  Chunks that ever exceed it fall back to the
-        # exact full one-hot matmuls for that substep (bands_ok).
+        # Banded tile moves: block-sorted jobs chunked by bc span a narrow
+        # range of flat block ids, so the slab band can be far tighter than
+        # nb_total — the banded matmul cost is linear in it.  The sizing
+        # must cover the THIN-OCCUPANCY worst case, not just dense packing:
+        # a settled floor layer occupies ~1 y-block per (x, z), and with
+        # y-fastest storage (storage_strides) its flat ids stride nb[1]
+        # apart — bc such jobs span ~bc * nb[1] ids (plus one x-plane of
+        # within-plane span).  Round 5: bc=128 with the dense-only formula
+        # (2 planes + 2 bc) missed the band on EVERY dam-break substep,
+        # silently paying the full quadratic matmuls (~15 of 25 ms; see
+        # StepDiag.band_miss).  bc=32 with this formula fits column, spread,
+        # and settled phases AND shrinks the 1M-flagship slab (W2 1288 vs
+        # 1408).  Chunks that still exceed it (isolated-debris scenes) fall
+        # back to the exact full one-hot matmuls for that substep
+        # (bands_ok), counted in diag.band_miss.
         band = 2048
         if band_arg:
             band = band_arg
-        elif transfer == "pallas" and dim == 3 and not sparse:
+        elif transfer == "pallas" and not sparse:
             from wgsparkl_tpu.ops import blocked as _bk
 
-            nbx = _bk.num_blocks(grid, by)
-            band = min(2048, -(-(2 * nbx[1] * nbx[2] + 2 * bc) // 8) * 8)
+            nbx = _bk.num_blocks(grid, by if dim == 3 else 4)
+            plane = int(np.prod(nbx[1:]))  # flat ids per x-plane
+            band = -(-(bc * nbx[1] + plane + 2 * bc) // 8) * 8
+            band = min(band, -(-int(np.prod(nbx)) // 8) * 8)
 
         # Rigid-particle mesh colliders (p2g_cdf path).
         from wgsparkl_tpu.collision import shapes as shp

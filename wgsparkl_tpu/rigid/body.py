@@ -119,6 +119,18 @@ def integrate_velocity(bodies: RigidWorld, linvel, angvel, dt):
         dr = pose_math.rot2_from_angle(angvel[..., 0] * dt)
         new_rot = pose_math.rot2_normalize(pose_math.rot2_mul(dr, bodies.rot))
     new_pos = new_com - pose_math.rotate(new_rot, bodies.local_com)
+    # A body with exactly-zero velocity keeps its pose BIT-identical:
+    # renormalizing the rotation and round-tripping pos through the world
+    # COM ((rotate+pos) - rotate) each drift ~1 ULP per substep, which
+    # breaks the frame-hoisted static-collider CDF's exact-equality
+    # contract (step_pallas static_chan/static_cdf capture frame-start
+    # poses; cfg.static_slots promises they stay constant all frame).
+    still = jnp.logical_and(
+        jnp.all(angvel == 0.0, axis=-1, keepdims=True),
+        jnp.all(linvel == 0.0, axis=-1, keepdims=True),
+    )
+    new_rot = jnp.where(still, bodies.rot, new_rot)
+    new_pos = jnp.where(still, bodies.pos, new_pos)
     return new_rot, new_pos
 
 
