@@ -46,6 +46,71 @@ def test_banded_matches_full():
     )
 
 
+def test_banded_window_mode_matches_full():
+    """out=(wpad, cpad) gather + win=True scatter — the hot pallas-path
+    forms (octant-STACKED selection dots) vs the unchanged mm variants.
+    Gather must be bit-exact; scatter non-ghost rows f32-roundoff-class
+    (the stacked K accumulation reassociates the octant sum)."""
+    nb = (6, 7, 6)
+    j, cj, band = 64, 8, 32
+    blocks, grid, tiles, nb_total = _mk(nb, j, cj, 3, spread=24)
+    nbr = jnp.asarray(bk.neighbor_block_table(nb))
+    lo, ok = bk.band_info(blocks, nb_total, band, cj)
+    assert bool(ok)
+    wpad, cpad = 224, 8  # window (6,6,6)=216 rows, grid c=5 channels
+
+    g_full = bk.gather_tiles_mm(grid, blocks, nbr, 3, out=(wpad, cpad))
+    g_band = bk.gather_tiles_banded(
+        grid, blocks, lo, nb, 3, band, cj, out=(wpad, cpad)
+    )
+    np.testing.assert_array_equal(np.asarray(g_full), np.asarray(g_band))
+
+    rng = np.random.default_rng(4)
+    wt = jnp.asarray(rng.normal(size=(j, wpad, cpad)).astype(np.float32))
+    s_full = bk.scatter_tiles_mm(
+        jnp.zeros_like(grid), wt, blocks, nbr, 3, win=True
+    )
+    s_band = bk.scatter_tiles_banded(
+        jnp.zeros_like(grid), wt, blocks, lo, nb, 3, band, cj, win=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_full)[:-1], np.asarray(s_band)[:-1], atol=2e-5
+    )
+
+
+def test_banded_window_mode_2d():
+    nb = (8, 9)
+    j, cj, band = 32, 8, 24
+    rng = np.random.default_rng(5)
+    nb_total = int(np.prod(nb))
+    blocks = np.sort(rng.integers(0, 20, size=j - 8))
+    blocks = np.concatenate([blocks, np.full(8, nb_total)]).astype(np.int32)
+    grid = rng.normal(size=(nb_total + 1, 8, 8, 3)).astype(np.float32)
+    grid[-1] = 0.0
+    blocks, grid = map(jnp.asarray, (blocks, grid))
+    nbr = jnp.asarray(bk.neighbor_block_table(nb))
+    lo, ok = bk.band_info(blocks, nb_total, band, cj)
+    assert bool(ok)
+    wpad, cpad = 104, 4  # window (10,10)=100 rows, c=3
+
+    g_full = bk.gather_tiles_mm(grid, blocks, nbr, 2, out=(wpad, cpad))
+    g_band = bk.gather_tiles_banded(
+        grid, blocks, lo, nb, 2, band, cj, out=(wpad, cpad)
+    )
+    np.testing.assert_array_equal(np.asarray(g_full), np.asarray(g_band))
+
+    wt = jnp.asarray(rng.normal(size=(j, wpad, cpad)).astype(np.float32))
+    s_full = bk.scatter_tiles_mm(
+        jnp.zeros_like(grid), wt, blocks, nbr, 2, win=True
+    )
+    s_band = bk.scatter_tiles_banded(
+        jnp.zeros_like(grid), wt, blocks, lo, nb, 2, band, cj, win=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_full)[:-1], np.asarray(s_band)[:-1], atol=2e-5
+    )
+
+
 def test_auto_falls_back_when_band_exceeded():
     nb = (6, 7, 6)
     j, cj, band = 64, 8, 4  # tiny band: chunks exceed it

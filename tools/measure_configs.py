@@ -11,6 +11,8 @@ from wgsparkl_tpu.pipeline import MpmData, step
 
 
 def measure(name, data, substeps, frames=8):
+    from wgsparkl_tpu.pipeline import step_with_diag
+
     cfg = data.config
     stepper = jax.jit(lambda s, p: step(s, p, cfg, num_substeps=substeps))
     t0 = time.time()
@@ -24,9 +26,15 @@ def measure(name, data, substeps, frames=8):
     el = time.time() - t0
     sps = frames * substeps / el
     n = data.num_particles
+    # One diag frame after the timed loop: band_miss tells us whether the
+    # banded-move fast path held through the measured motion.
+    _, diag = jax.jit(
+        lambda s, p: step_with_diag(s, p, cfg, num_substeps=substeps)
+    )(state, data.params)
     print(json.dumps({
         "config": name, "particles": n, "steps_per_s": round(sps, 2),
         "pups_per_s": round(sps * n / 1e6, 1), "compile_s": round(compile_s, 1),
+        "diag": diag.summary(),
     }), flush=True)
     assert np.isfinite(np.asarray(state.particles.pos)).all(), name
 

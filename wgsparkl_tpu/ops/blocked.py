@@ -1189,6 +1189,8 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
     ghost_row = flat_grid[nb_total]                               # [bs^d * c]
     jb_chunks = job_block.reshape(-1, cj)
     lane = jax.lax.broadcasted_iota(jnp.int32, (cj, w2), 1)
+    no = 2**dim
+    lane_all = jax.lax.broadcasted_iota(jnp.int32, (no * cj, w2), 1)
     pm = (None if out is None
           else jnp.asarray(_window_perm_np(dim, c, out[0], out[1], by)))
 
@@ -1197,20 +1199,36 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
         s = jnp.clip(lo, 0, nb1 - w2)
         slab = jax.lax.dynamic_slice(flat_grid, (s, 0), (w2, flat_grid.shape[1]))
         if out is not None:
-            gots = []
-            for oi in range(2**dim):
-                src = _octant_targets(jb, nb, nb_total, oi, offs)
-                is_ghost = src >= nb_total
-                onehot = ((src[:, None] - s) == lane) & ~is_ghost[:, None]
-                g = sel3_dot(
-                    onehot.astype(jnp.float32), slab, (((1,), (0,)), ((), ())), "b",
-                )
-                gots.append(
-                    g + is_ghost[:, None].astype(jnp.float32) * ghost_row[None]
-                )
-            win = sel3_dot(
-                jnp.concatenate(gots, axis=1), pm, (((1,), (0,)), ((), ())), "a",
+            # All-octant STACKED selection: one [no*cj, w2] 0/1 matrix and
+            # one 3-pass sel3 dot instead of `no` dots of M=cj — at the
+            # thin-aware cj=32 each small dot filled 32 of the MXU's 128 M
+            # rows.  Bit-identical: every output row is the same selector
+            # row against the same Dekker slab terms, reassembled in the
+            # same (o1 + o2) + o3 order.
+            src_all = jnp.concatenate([
+                _octant_targets(jb, nb, nb_total, oi, offs)
+                for oi in range(no)
+            ])
+            is_ghost = src_all >= nb_total
+            onehot = ((src_all[:, None] - s) == lane_all) & ~is_ghost[:, None]
+            g_all = sel3_dot(
+                onehot.astype(jnp.float32), slab, (((1,), (0,)), ((), ())), "b",
             )
+            g_all = (
+                g_all + is_ghost[:, None].astype(jnp.float32) * ghost_row[None]
+            )
+            # Octant -> window assembly as a sum of per-octant permutation
+            # dots (pm row-slices): same FLOPs as the concatenated single
+            # dot, but consumes g_all's [no*cj, cw] stacking directly —
+            # no [no, cj, cw] -> [cj, no*cw] transpose round trip.
+            cw = flat_grid.shape[1]
+            win = None
+            for oi in range(no):
+                t = sel3_dot_mstack(
+                    g_all[oi * cj : (oi + 1) * cj],
+                    pm[oi * cw : (oi + 1) * cw],
+                )
+                win = t if win is None else win + t
             return _, win
         tile = jnp.zeros((cj,) + wsh + (c,), jnp.float32)
         for oi, (e, starts, sizes) in enumerate(_octant_slices(dim, by)):
@@ -1262,6 +1280,8 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
     jb_chunks = job_block.reshape(-1, cj)
     tile_chunks = tiles.reshape((-1, cj) + tiles.shape[1:])
     lane = jax.lax.broadcasted_iota(jnp.int32, (cj, w2), 1)
+    no = 2**dim
+    lane_all = jax.lax.broadcasted_iota(jnp.int32, (no * cj, w2), 1)
     pm = (jnp.asarray(
         _window_perm_np(dim, c, tiles.shape[1], tiles.shape[2], by))
         if win else None)
@@ -1271,18 +1291,31 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
         s = jnp.clip(lo, 0, nb1 - w2)
         delta = jnp.zeros((w2, cols), jnp.float32)
         if win:
-            oct_all = sel3_dot(
-                tchunk.reshape(cj, -1), pm, (((1,), (1,)), ((), ())), "a",
-            )
+            # Window -> octant disassembly per pm row-slice, stacked along
+            # the job dim to [no*cj, cw], then ONE 3-pass scatter dot
+            # contracting K = no*cj instead of `no` dots of K = cj (cj=32
+            # fills 32 of the MXU's 128 systolic rows).  Nodes written by
+            # a single (job, octant) stay exact; genuinely shared nodes
+            # reassociate the octant sum inside the MXU K-accumulation —
+            # the same f32-roundoff class as the per-octant adds.
             cw = int(np.prod(bsh)) * c
-            for oi in range(2**dim):
-                tgt = _octant_targets(jb, nb, nb_total, oi, offs)
-                onehot = ((tgt[:, None] - s) == lane) & (tgt < nb_total)[:, None]
-                delta = delta + sel3_dot(
-                    onehot.astype(jnp.float32),
-                    oct_all[:, oi * cw : (oi + 1) * cw],
-                    (((0,), (0,)), ((), ())), "b",
-                )
+            t2 = tchunk.reshape(cj, -1)
+            oct_stack = jnp.concatenate([
+                sel3_dot_mstack(t2, pm[oi * cw : (oi + 1) * cw],
+                                (((1,), (1,)), ((), ())))
+                for oi in range(no)
+            ])
+            tgt_all = jnp.concatenate([
+                _octant_targets(jb, nb, nb_total, oi, offs)
+                for oi in range(no)
+            ])
+            onehot = (
+                (tgt_all[:, None] - s) == lane_all
+            ) & (tgt_all < nb_total)[:, None]
+            delta = sel3_dot(
+                onehot.astype(jnp.float32), oct_stack,
+                (((0,), (0,)), ((), ())), "b",
+            )
             slab = jax.lax.dynamic_slice(flat_grid, (s, 0), (w2, cols))
             return (
                 jax.lax.dynamic_update_slice(flat_grid, slab + delta, (s, 0)),
