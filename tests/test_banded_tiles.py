@@ -111,6 +111,53 @@ def test_banded_window_mode_2d():
     )
 
 
+def test_per_chunk_two_level_matches_full():
+    """Mixed chunk spans (splash-phase shape): fitting chunks ride the
+    narrow band, wide chunks take the per-chunk full-grid matmul — the
+    auto dispatchers with a PER-CHUNK ok vector must match the full mm
+    variants without any global fallback."""
+    nb = (6, 7, 6)
+    nb_total = int(np.prod(nb))
+    j, cj, band = 64, 8, 32
+    rng = np.random.default_rng(6)
+    # chunks 0-3 narrow (ids 0..23), chunk 4 WIDE (spread over the whole
+    # table), chunk 5 narrow again, 6 wide, 7 dead (all-ghost)
+    blocks = np.concatenate([
+        np.sort(rng.integers(0, 24, size=4 * cj)),
+        np.sort(rng.integers(0, nb_total, size=cj)),
+        np.sort(rng.integers(100, 120, size=cj)),
+        np.sort(rng.integers(0, nb_total, size=cj)),
+        np.full(cj, nb_total),
+    ]).astype(np.int32)
+    grid = rng.normal(size=(nb_total + 1, 4, 4, 4, 5)).astype(np.float32)
+    grid[-1] = 0.0
+    grid[-1, ..., 2] = -1.0
+    blocks, grid = map(jnp.asarray, (blocks, grid))
+    nbr = jnp.asarray(bk.neighbor_block_table(nb))
+    lo, okc = bk.band_info_chunks(blocks, nb_total, band, cj)
+    okc_np = np.asarray(okc)
+    assert okc_np.sum() not in (0, len(okc_np)), "want a genuine mix"
+    wpad, cpad = 224, 8
+
+    g_full = bk.gather_tiles_mm(grid, blocks, nbr, 3, out=(wpad, cpad))
+    g_two = bk.gather_tiles_auto(
+        grid, blocks, lo, okc, nbr, nb, 3, band, cj, out=(wpad, cpad)
+    )
+    np.testing.assert_array_equal(np.asarray(g_full), np.asarray(g_two))
+
+    wt = jnp.asarray(rng.normal(size=(j, wpad, cpad)).astype(np.float32))
+    s_full = bk.scatter_tiles_mm(
+        jnp.zeros_like(grid), wt, blocks, nbr, 3, win=True
+    )
+    s_two = bk.scatter_tiles_auto(
+        jnp.zeros_like(grid), wt, blocks, lo, okc, nbr, nb, 3, band, cj,
+        win=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_full)[:-1], np.asarray(s_two)[:-1], atol=2e-5
+    )
+
+
 def test_auto_falls_back_when_band_exceeded():
     nb = (6, 7, 6)
     j, cj, band = 64, 8, 4  # tiny band: chunks exceed it

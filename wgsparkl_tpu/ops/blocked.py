@@ -1145,6 +1145,30 @@ def band_info(job_block, nb_total: int, band: int, cj: int):
     return lo.astype(jnp.int32), bands_ok
 
 
+def band_info_chunks(job_block, nb_total: int, band: int, cj: int):
+    """Per-chunk band starts + PER-CHUNK validity for the two-level banded
+    moves: each chunk whose non-ghost block span fits the static band rides
+    the narrow dynamic slab; chunks that exceed it (splash-phase droplets,
+    isolated debris — measured on the 128^3 dam break, where EVERY substep
+    has a handful of wide chunks and the old all-or-nothing bands_ok paid
+    the full [jobs, nb_total] matmuls for the whole substep) individually
+    take a full-grid selection matmul inside the same scan.
+
+    Returns (lo [J//cj] int32 chunk band starts, ok [J//cj] bool per-chunk
+    fit).  Callers needing the legacy global verdict reduce with jnp.all.
+    """
+    if job_block.shape[0] % cj:
+        g = -(-job_block.shape[0] // cj)
+        return jnp.zeros((g,), jnp.int32), jnp.zeros((g,), bool)
+    jb = job_block.reshape(-1, cj)
+    nonghost = jb < nb_total
+    lo = jnp.min(jnp.where(nonghost, jb, nb_total), axis=1)
+    hi = jnp.max(jnp.where(nonghost, jb, -1), axis=1)
+    lo = jnp.where(hi < 0, 0, lo)                 # all-ghost (dead) chunk
+    hi = jnp.maximum(hi, lo)
+    return lo.astype(jnp.int32), (hi - lo) < band
+
+
 def _octant_targets(jb, nb: Tuple[int, ...], nb_total: int, oi: int,
                     offs: Tuple[int, ...]):
     """Flat target/source block for octant oi per job (ghost -> nb_total).
@@ -1173,11 +1197,18 @@ def _band_geometry(nb: Tuple[int, ...], band: int):
 
 def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
                         dim: int, band: int, cj: int, out=None, c=None,
-                        by: int = 4):
+                        by: int = 4, ok_chunks=None):
     """Banded gather_tiles_mm (see module notes above); bit-exact when
     band_info(...)[1] holds.  With out=(wpad, cpad) the octant->window
     assembly rides a static permutation matmul and the result is the
-    zero-padded [J, wpad, cpad] kernel-input tile directly."""
+    zero-padded [J, wpad, cpad] kernel-input tile directly.
+
+    ok_chunks (window mode only): per-chunk fit vector from
+    band_info_chunks — each scan chunk independently picks the narrow
+    dynamic slab (fits) or a full-grid selection matmul (wide splash-phase
+    chunk), so one outlier no longer forces the whole substep onto the
+    quadratic fallback.  Both branches are exact selections; the result
+    is bit-identical to the full matmul either way."""
     nb_total, offs, w2 = _band_geometry(nb, band)
     nb1 = grid_blocks.shape[0]
     if c is None:
@@ -1191,13 +1222,12 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
     lane = jax.lax.broadcasted_iota(jnp.int32, (cj, w2), 1)
     no = 2**dim
     lane_all = jax.lax.broadcasted_iota(jnp.int32, (no * cj, w2), 1)
+    lane_full = jax.lax.broadcasted_iota(jnp.int32, (no * cj, nb1), 1)
     pm = (None if out is None
           else jnp.asarray(_window_perm_np(dim, c, out[0], out[1], by)))
 
     def body(_, args):
-        jb, lo = args
-        s = jnp.clip(lo, 0, nb1 - w2)
-        slab = jax.lax.dynamic_slice(flat_grid, (s, 0), (w2, flat_grid.shape[1]))
+        jb, lo, okc = args
         if out is not None:
             # All-octant STACKED selection: one [no*cj, w2] 0/1 matrix and
             # one 3-pass sel3 dot instead of `no` dots of M=cj — at the
@@ -1209,14 +1239,35 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
                 _octant_targets(jb, nb, nb_total, oi, offs)
                 for oi in range(no)
             ])
-            is_ghost = src_all >= nb_total
-            onehot = ((src_all[:, None] - s) == lane_all) & ~is_ghost[:, None]
-            g_all = sel3_dot(
-                onehot.astype(jnp.float32), slab, (((1,), (0,)), ((), ())), "b",
-            )
-            g_all = (
-                g_all + is_ghost[:, None].astype(jnp.float32) * ghost_row[None]
-            )
+
+            def banded_g(fg):
+                s = jnp.clip(lo, 0, nb1 - w2)
+                slab = jax.lax.dynamic_slice(fg, (s, 0), (w2, fg.shape[1]))
+                is_ghost = src_all >= nb_total
+                onehot = (
+                    (src_all[:, None] - s) == lane_all
+                ) & ~is_ghost[:, None]
+                g = sel3_dot(
+                    onehot.astype(jnp.float32), slab,
+                    (((1,), (0,)), ((), ())), "b",
+                )
+                return (
+                    g + is_ghost[:, None].astype(jnp.float32) * ghost_row[None]
+                )
+
+            def full_g(fg):
+                # Whole-grid selection: ghost targets (== nb_total) select
+                # the ghost row directly, no fix-up needed.
+                onehot = src_all[:, None] == lane_full
+                return sel3_dot(
+                    onehot.astype(jnp.float32), fg,
+                    (((1,), (0,)), ((), ())), "b",
+                )
+
+            if ok_chunks is None:
+                g_all = banded_g(flat_grid)
+            else:
+                g_all = jax.lax.cond(okc, banded_g, full_g, flat_grid)
             # Octant -> window assembly as a sum of per-octant permutation
             # dots (pm row-slices): same FLOPs as the concatenated single
             # dot, but consumes g_all's [no*cj, cw] stacking directly —
@@ -1230,6 +1281,8 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
                 )
                 win = t if win is None else win + t
             return _, win
+        s = jnp.clip(lo, 0, nb1 - w2)
+        slab = jax.lax.dynamic_slice(flat_grid, (s, 0), (w2, flat_grid.shape[1]))
         tile = jnp.zeros((cj,) + wsh + (c,), jnp.float32)
         for oi, (e, starts, sizes) in enumerate(_octant_slices(dim, by)):
             src = _octant_targets(jb, nb, nb_total, oi, offs)
@@ -1255,7 +1308,9 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
                 ].set(chunk)
         return _, tile
 
-    _, tiles = jax.lax.scan(body, 0, (jb_chunks, band_lo))
+    okc_xs = (jnp.ones(jb_chunks.shape[0], bool)
+              if ok_chunks is None else ok_chunks)
+    _, tiles = jax.lax.scan(body, 0, (jb_chunks, band_lo, okc_xs))
     if out is not None:
         return tiles.reshape(j, out[0], out[1])
     return tiles.reshape((j,) + wsh + (c,))
@@ -1263,14 +1318,19 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
 
 def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
                          nb, dim: int, band: int, cj: int,
-                         win: bool = False, by: int = 4):
+                         win: bool = False, by: int = 4, ok_chunks=None):
     """Banded scatter_tiles_mm; bit-exact on non-ghost rows when
     band_info(...)[1] holds.  Ghost-target contributions (out-of-range
     neighbors, dead jobs) are dropped instead of accumulated in the ghost
     row — the ghost row is discarded/zero-weight downstream.
 
     win=True: tiles is the raw padded kernel output [J, wpad, cpad]
-    (see scatter_tiles_mm)."""
+    (see scatter_tiles_mm).
+
+    ok_chunks (win mode only): per-chunk fit vector from band_info_chunks;
+    chunks that exceed the band scatter-add through a full-grid one-hot
+    matmul instead of forcing the whole substep onto the quadratic
+    fallback (see gather_tiles_banded)."""
     nb_total, offs, w2 = _band_geometry(nb, band)
     nb1 = grid_blocks.shape[0]
     c = grid_blocks.shape[-1]
@@ -1282,12 +1342,14 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
     lane = jax.lax.broadcasted_iota(jnp.int32, (cj, w2), 1)
     no = 2**dim
     lane_all = jax.lax.broadcasted_iota(jnp.int32, (no * cj, w2), 1)
+    lane_full = jax.lax.broadcasted_iota(jnp.int32, (no * cj, nb1), 1)
     pm = (jnp.asarray(
         _window_perm_np(dim, c, tiles.shape[1], tiles.shape[2], by))
         if win else None)
 
-    def body(flat_grid, args):
-        jb, lo, tchunk = args
+    def body(carry, args):
+        jb, lo, tchunk, okc = args
+        flat_grid = carry
         s = jnp.clip(lo, 0, nb1 - w2)
         delta = jnp.zeros((w2, cols), jnp.float32)
         if win:
@@ -1309,18 +1371,28 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
                 _octant_targets(jb, nb, nb_total, oi, offs)
                 for oi in range(no)
             ])
-            onehot = (
-                (tgt_all[:, None] - s) == lane_all
-            ) & (tgt_all < nb_total)[:, None]
-            delta = sel3_dot(
-                onehot.astype(jnp.float32), oct_stack,
-                (((0,), (0,)), ((), ())), "b",
-            )
-            slab = jax.lax.dynamic_slice(flat_grid, (s, 0), (w2, cols))
-            return (
-                jax.lax.dynamic_update_slice(flat_grid, slab + delta, (s, 0)),
-                None,
-            )
+            live = (tgt_all < nb_total)[:, None]
+
+            def banded_s(fg):
+                onehot = ((tgt_all[:, None] - s) == lane_all) & live
+                d = sel3_dot(
+                    onehot.astype(jnp.float32), oct_stack,
+                    (((0,), (0,)), ((), ())), "b",
+                )
+                slab = jax.lax.dynamic_slice(fg, (s, 0), (w2, cols))
+                return jax.lax.dynamic_update_slice(fg, slab + d, (s, 0))
+
+            def full_s(fg):
+                onehot = (tgt_all[:, None] == lane_full) & live
+                d = sel3_dot(
+                    onehot.astype(jnp.float32), oct_stack,
+                    (((0,), (0,)), ((), ())), "b",
+                )
+                return fg + d
+
+            if ok_chunks is None:
+                return banded_s(flat_grid), None
+            return jax.lax.cond(okc, banded_s, full_s, flat_grid), None
         for oi, (e, starts, sizes) in enumerate(_octant_slices(dim, by)):
             tgt = _octant_targets(jb, nb, nb_total, oi, offs)
             onehot = ((tgt[:, None] - s) == lane) & (tgt < nb_total)[:, None]
@@ -1345,18 +1417,30 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
             None,
         )
 
-    flat_grid, _ = jax.lax.scan(body, flat_grid, (jb_chunks, band_lo, tile_chunks))
+    okc_xs = (jnp.ones(jb_chunks.shape[0], bool)
+              if ok_chunks is None else ok_chunks)
+    flat_grid, _ = jax.lax.scan(
+        body, flat_grid, (jb_chunks, band_lo, tile_chunks, okc_xs)
+    )
     return flat_grid.reshape(grid_blocks.shape)
 
 
 def gather_tiles_auto(grid_blocks, job_block, band_lo, bands_ok, nbr_table,
                       nb, dim: int, band: int, cj: int, out=None, c=None,
                       by: int = 4):
-    """Banded gather when every job chunk's block span fits the static band
-    (the common case — jobs are block-sorted), full one-hot matmul otherwise."""
+    """Two-level banded gather: bands_ok as a PER-CHUNK vector (from
+    band_info_chunks) routes each chunk to the narrow slab or a full-grid
+    matmul inside one scan; a scalar bands_ok keeps the legacy global
+    cond (whole call banded or whole call full)."""
     if job_block.shape[0] % cj or band >= int(np.prod(nb)):
         return gather_tiles_mm(
             grid_blocks, job_block, nbr_table, dim, out=out, c=c, by=by
+        )
+    if bands_ok.ndim == 1:
+        assert out is not None, "per-chunk banding requires window mode"
+        return gather_tiles_banded(
+            grid_blocks, job_block, band_lo, nb, dim, band, cj, out=out,
+            c=c, by=by, ok_chunks=bands_ok,
         )
     return jax.lax.cond(
         bands_ok,
@@ -1377,6 +1461,12 @@ def scatter_tiles_auto(grid_blocks, tiles, job_block, band_lo, bands_ok,
     if job_block.shape[0] % cj or band >= int(np.prod(nb)):
         return scatter_tiles_mm(
             grid_blocks, tiles, job_block, nbr_table, dim, win=win, by=by
+        )
+    if bands_ok.ndim == 1:
+        assert win, "per-chunk banding requires window mode"
+        return scatter_tiles_banded(
+            grid_blocks, tiles, job_block, band_lo, nb, dim, band, cj,
+            win=win, by=by, ok_chunks=bands_ok,
         )
     return jax.lax.cond(
         bands_ok,

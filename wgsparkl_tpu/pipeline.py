@@ -625,8 +625,9 @@ class StepDiag:
     migration_dropped: jnp.ndarray    # cumulative slab-crossers beyond migration_cap
     live_lost: jnp.ndarray            # live lanes dropped at frame-end truncation
     halo_dropped: jnp.ndarray         # sparse halo-plane slots beyond halo_cap
-    band_miss: jnp.ndarray            # substeps whose banded grid moves fell
-    #                                   back to full matmuls (perf, not
+    band_miss: jnp.ndarray            # job chunks (bounded; substeps on the
+    #                                   sparse path) whose banded grid moves
+    #                                   took the full-grid matmul (perf, not
     #                                   correctness: the fallback is exact)
 
     @classmethod
@@ -653,7 +654,7 @@ class StepDiag:
         flags = [f"{k}={v}" for k, v in vals.items() if v > 0]
         out = "OK" if not flags else "OVERFLOW: " + ", ".join(flags)
         if bm:
-            out += f" [band_miss={bm} substeps on full-matmul moves]"
+            out += f" [band_miss={bm} chunks on full-grid moves]"
         return out
 
 
@@ -758,15 +759,18 @@ def _bounded_job_phase(sorted_ids, grid, d: int, by: int, group: int,
     bcells = (blk_coords * jnp.asarray(bsh, jnp.int32)
               + jnp.asarray(grid.origin_cell, jnp.int32))
     nbr = jnp.asarray(bk.neighbor_block_table(nb))
-    band_lo, bands_ok = bk.band_info(
+    band_lo, bands_ok = bk.band_info_chunks(
         jobs["block"], nb_total, cfg.band, cfg.band_chunk
     )
-    # Perf-health counter: a substep whose job chunks exceed the static
-    # band falls back to FULL one-hot move matmuls over the whole block
-    # table (exact but ~[jobs, nb_total]-sized — measured 15 of 25 ms per
-    # substep on the 128^3 dam break when this fires every substep).
+    # Perf-health counter: job chunks whose block span exceeds the static
+    # band take a per-chunk full-grid matmul inside the move scan (exact;
+    # ~[8*cj, nb_total]-sized).  Pre-per-chunk history: the 128^3 dam
+    # break's splash phase had a handful of wide chunks EVERY substep and
+    # the then-global fallback paid full [jobs, nb_total] moves for the
+    # whole substep — 15 of 25 ms.  band_miss accumulates the chunk count
+    # (0 = everything rode the narrow band).
     diag = diag.replace(
-        band_miss=diag.band_miss + (1 - bands_ok.astype(jnp.int32))
+        band_miss=diag.band_miss + jnp.sum(1 - bands_ok.astype(jnp.int32))
     )
 
     def gather_tiles(grid_arr, out=None, c=None):
@@ -2092,19 +2096,23 @@ class MpmData:
 
         # Banded tile moves: block-sorted jobs chunked by bc span a narrow
         # range of flat block ids, so the slab band can be far tighter than
-        # nb_total — the banded matmul cost is linear in it.  The sizing
-        # must cover the THIN-OCCUPANCY worst case, not just dense packing:
-        # a settled floor layer occupies ~1 y-block per (x, z), and with
+        # nb_total — the banded matmul cost is linear in it, and chunks
+        # that exceed it take a per-chunk full-grid matmul inside the move
+        # scan (band_info_chunks; counted in diag.band_miss), so the band
+        # targets the COMMON span, not the worst case.  3D sizing covers
+        # the thin-occupancy phase because it is common, not rare: a
+        # spreading floor layer occupies ~1 y-block per (x, z), and with
         # y-fastest storage (storage_strides) its flat ids stride nb[1]
-        # apart — bc such jobs span ~bc * nb[1] ids (plus one x-plane of
-        # within-plane span).  Round 5: bc=128 with the dense-only formula
-        # (2 planes + 2 bc) missed the band on EVERY dam-break substep,
-        # silently paying the full quadratic matmuls (~15 of 25 ms; see
-        # StepDiag.band_miss).  bc=32 with this formula fits column, spread,
-        # and settled phases AND shrinks the 1M-flagship slab (W2 1288 vs
-        # 1408).  Chunks that still exceed it (isolated-debris scenes) fall
-        # back to the exact full one-hot matmuls for that substep
-        # (bands_ok), counted in diag.band_miss.
+        # apart — bc such jobs span ~bc * nb[1] ids, plus one x-plane for
+        # the ~half of chunks straddling a plane boundary.  (Round-5
+        # history: bc=128 with a dense-only 2-plane formula missed on
+        # EVERY dam-break substep and the then-global fallback paid full
+        # [jobs, nb_total] matmuls, 15 of 25 ms.)  2D sizing is DENSE-only
+        # (a 490k pile's columns hold ~40 y-blocks, so bc jobs span ~1-2
+        # x-columns): the thin term would be ~bc * nb[1] ≈ 5600 on a 700^2
+        # grid — measured 2.9x slower across the whole run (config 2b
+        # 52.8 vs 72.5 steps/s) than letting the transient spread chunks
+        # take the per-chunk full path.
         band = 2048
         if band_arg:
             band = band_arg
@@ -2112,8 +2120,11 @@ class MpmData:
             from wgsparkl_tpu.ops import blocked as _bk
 
             nbx = _bk.num_blocks(grid, by if dim == 3 else 4)
-            plane = int(np.prod(nbx[1:]))  # flat ids per x-plane
-            band = -(-(bc * nbx[1] + plane + 2 * bc) // 8) * 8
+            plane = int(np.prod(nbx[1:]))  # flat ids per x-plane/column
+            if dim == 3:
+                band = -(-(bc * nbx[1] + plane + 2 * bc) // 8) * 8
+            else:
+                band = -(-(2 * plane + 3 * bc) // 8) * 8
             band = min(band, -(-int(np.prod(nbx)) // 8) * 8)
 
         # Rigid-particle mesh colliders (p2g_cdf path).
