@@ -26,8 +26,14 @@ jax.config.update("jax_platforms", "cpu")
 # heaviest equivalence tests are ~50% compile time; measured 104.6s cold
 # -> 49.0s warm on test_pallas_matches_blocked_3d_coupled).  Local dir,
 # gitignored like .jax_cache.
+# WGSPARKL_TEST_CACHE_DIR: point a CONCURRENT pytest process at its own
+# cache — parallel writers to one cache dir have segfaulted inside
+# jax's put_executable_and_time (observed with 3 suites sharing it).
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache_cpu"),
+    os.environ.get(
+        "WGSPARKL_TEST_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache_cpu"),
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

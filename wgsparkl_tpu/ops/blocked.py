@@ -468,6 +468,23 @@ def band_info_slots(tgts, ghost_slot: int, band: int, cj: int):
     return lo.astype(jnp.int32), bands_ok
 
 
+def band_info_slots_chunks(tgts, ghost_slot: int, band: int, cj: int):
+    """Per-chunk variant of band_info_slots (see band_info_chunks): each
+    job chunk's fit verdict instead of a global one, for the two-level
+    slots moves."""
+    j = tgts.shape[1]
+    if j % cj:
+        g = -(-j // cj)
+        return jnp.zeros((g,), jnp.int32), jnp.zeros((g,), bool)
+    t = tgts.reshape(tgts.shape[0], -1, cj)
+    nong = t < ghost_slot
+    lo = jnp.min(jnp.where(nong, t, ghost_slot), axis=(0, 2))
+    hi = jnp.max(jnp.where(nong, t, -1), axis=(0, 2))
+    lo = jnp.where(hi < 0, 0, lo)
+    hi = jnp.maximum(hi, lo)
+    return lo.astype(jnp.int32), (hi - lo) < band
+
+
 def gather_tiles_slots(grid_blocks, tgts, band_lo, bands_ok, dim: int,
                        band: int, cj: int, out=None, c=None):
     """Tile gather with explicit per-octant slot targets [2^d, J].
@@ -529,40 +546,72 @@ def gather_tiles_slots(grid_blocks, tgts, band_lo, bands_ok, dim: int,
         return full(flat_grid)
 
     w2 = min(band, nb1)
+    no = tgts.shape[0]
+    lane_all = jax.lax.broadcasted_iota(jnp.int32, (no * cj, w2), 1)
+    lane_fullc = jax.lax.broadcasted_iota(jnp.int32, (no * cj, nb1), 1)
 
-    def banded(grid_flat):
-        tg = tgts.reshape(tgts.shape[0], -1, cj)
+    def banded(grid_flat, per_chunk=False):
+        tg = tgts.reshape(no, -1, cj)
+        okc_xs = (jnp.ones(tg.shape[1], bool)
+                  if bands_ok.ndim == 0 else bands_ok)
 
         def body(_, args):
-            lo, *tchunk = args
-            s = jnp.clip(lo, 0, nb1 - w2)
-            slab = jax.lax.dynamic_slice(
-                grid_flat, (s, 0), (w2, grid_flat.shape[1])
-            )
-            gots = []
-            for oi in range(tgts.shape[0]):
-                t = tchunk[oi]
-                is_ghost = t >= nb1 - 1
-                onehot = ((t[:, None] - s) == lane_b) & ~is_ghost[:, None]
-                got = sel3_dot(
+            lo, okc, *tchunk = args
+            # Octant-STACKED selection (one [no*cj, *] dot per chunk; see
+            # gather_tiles_banded) with a per-chunk full-grid fallback for
+            # wide chunks when bands_ok is a per-chunk vector.
+            t_all = jnp.concatenate(tchunk)
+            is_ghost = t_all >= nb1 - 1
+
+            def banded_g(fg):
+                s = jnp.clip(lo, 0, nb1 - w2)
+                slab = jax.lax.dynamic_slice(
+                    fg, (s, 0), (w2, fg.shape[1])
+                )
+                onehot = (
+                    (t_all[:, None] - s) == lane_all
+                ) & ~is_ghost[:, None]
+                g = sel3_dot(
                     onehot.astype(jnp.float32), slab,
                     (((1,), (0,)), ((), ())), "b",
                 )
-                gots.append(
-                    got
-                    + is_ghost[:, None].astype(jnp.float32) * ghost_row[None]
+                return (
+                    g + is_ghost[:, None].astype(jnp.float32) * ghost_row[None]
                 )
-            return _, jnp.stack(gots)
 
-        _, per_chunk = jax.lax.scan(
-            body, 0, (band_lo,) + tuple(tg[oi] for oi in range(tg.shape[0]))
+            def full_g(fg):
+                # Clip ghosts onto the ghost row slot so they select it
+                # exactly (slot tables can report targets past it).
+                tc = jnp.minimum(t_all, nb1 - 1)
+                onehot = tc[:, None] == lane_fullc
+                return sel3_dot(
+                    onehot.astype(jnp.float32), fg,
+                    (((1,), (0,)), ((), ())), "b",
+                )
+
+            if not per_chunk:
+                g_all = banded_g(grid_flat)
+            else:
+                g_all = jax.lax.cond(okc, banded_g, full_g, grid_flat)
+            return _, g_all.reshape(no, cj, -1)
+
+        _, per_chunk_out = jax.lax.scan(
+            body, 0,
+            (band_lo, okc_xs) + tuple(tg[oi] for oi in range(no)),
         )
-        # per_chunk: [nchunks, 2^d, cj, cols] -> per-octant [J, cols]
-        per_oct = jnp.moveaxis(per_chunk, 1, 0).reshape(
-            tgts.shape[0], j, -1
-        )
+        # [nchunks, 2^d, cj, cols] -> per-octant [J, cols]
+        per_oct = jnp.moveaxis(per_chunk_out, 1, 0).reshape(no, j, -1)
         return assemble(lambda oi: per_oct[oi])
 
+    if bands_ok.ndim == 1:
+        # Cond-free scan when every chunk fits; per-chunk dispatch costs
+        # ~20 us/cond on TPU (see gather_tiles_banded).
+        return jax.lax.cond(
+            jnp.all(bands_ok),
+            lambda fg: banded(fg, False),
+            lambda fg: banded(fg, True),
+            flat_grid,
+        )
     return jax.lax.cond(bands_ok, banded, full, flat_grid)
 
 
@@ -620,42 +669,64 @@ def scatter_tiles_slots(grid_blocks, tiles, tgts, band_lo, bands_ok,
         return full(flat_grid).reshape(grid_blocks.shape)
 
     w2 = min(band, nb1)
-    lane_b = jax.lax.broadcasted_iota(jnp.int32, (cj, w2), 1)
-    chunks = [
-        chunk_of(oi, tiles).reshape(-1, cj, cols)
-        for oi in range(tgts.shape[0])
-    ]
-    tg = tgts.reshape(tgts.shape[0], -1, cj)
+    no = tgts.shape[0]
+    lane_all = jax.lax.broadcasted_iota(jnp.int32, (no * cj, w2), 1)
+    lane_fullc = jax.lax.broadcasted_iota(jnp.int32, (no * cj, nb1), 1)
+    # [nchunks, no*cj, cols]: per-chunk octant-stacked payload (see
+    # scatter_tiles_banded — one K = no*cj dot per chunk).
+    chunks_all = jnp.concatenate(
+        [chunk_of(oi, tiles).reshape(-1, cj, cols) for oi in range(no)],
+        axis=1,
+    )
+    tg = tgts.reshape(no, -1, cj)
+    okc_xs = (jnp.ones(tg.shape[1], bool)
+              if bands_ok.ndim == 0 else bands_ok)
 
-    def banded(grid_flat):
+    def banded(grid_flat, per_chunk=False):
         def body(grid_flat, args):
-            lo = args[0]
-            tch = args[1 : 1 + tgts.shape[0]]
-            cch = args[1 + tgts.shape[0] :]
-            s = jnp.clip(lo, 0, nb1 - w2)
-            delta = jnp.zeros((w2, cols), jnp.float32)
-            for oi in range(tgts.shape[0]):
-                t = tch[oi]
-                onehot = (
-                    ((t[:, None] - s) == lane_b) & (t < nb1 - 1)[:, None]
-                ).astype(jnp.float32)
-                delta = delta + sel3_dot(
-                    onehot, cch[oi], (((0,), (0,)), ((), ())), "b",
+            lo, okc, cch = args[0], args[1], args[2]
+            tch = args[3:]
+            t_all = jnp.concatenate(tch)
+            live = (t_all < nb1 - 1)[:, None]
+
+            def banded_s(fg):
+                s = jnp.clip(lo, 0, nb1 - w2)
+                onehot = ((t_all[:, None] - s) == lane_all) & live
+                d = sel3_dot(
+                    onehot.astype(jnp.float32), cch,
+                    (((0,), (0,)), ((), ())), "b",
                 )
-            slab = jax.lax.dynamic_slice(grid_flat, (s, 0), (w2, cols))
-            return (
-                jax.lax.dynamic_update_slice(grid_flat, slab + delta, (s, 0)),
-                None,
-            )
+                slab = jax.lax.dynamic_slice(fg, (s, 0), (w2, cols))
+                return jax.lax.dynamic_update_slice(fg, slab + d, (s, 0))
+
+            def full_s(fg):
+                onehot = (t_all[:, None] == lane_fullc) & live
+                d = sel3_dot(
+                    onehot.astype(jnp.float32), cch,
+                    (((0,), (0,)), ((), ())), "b",
+                )
+                return fg + d
+
+            if not per_chunk:
+                return banded_s(grid_flat), None
+            return jax.lax.cond(okc, banded_s, full_s, grid_flat), None
 
         grid_flat, _ = jax.lax.scan(
             body, grid_flat,
-            (band_lo,)
-            + tuple(tg[oi] for oi in range(tg.shape[0]))
-            + tuple(chunks),
+            (band_lo, okc_xs, chunks_all)
+            + tuple(tg[oi] for oi in range(no)),
         )
         return grid_flat
 
+    if bands_ok.ndim == 1:
+        # Cond-free scan when every chunk fits (see gather_tiles_banded).
+        out = jax.lax.cond(
+            jnp.all(bands_ok),
+            lambda fg: banded(fg, False),
+            lambda fg: banded(fg, True),
+            flat_grid,
+        )
+        return out.reshape(grid_blocks.shape)
     out = jax.lax.cond(bands_ok, banded, full, flat_grid)
     return out.reshape(grid_blocks.shape)
 
@@ -1226,7 +1297,8 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
     pm = (None if out is None
           else jnp.asarray(_window_perm_np(dim, c, out[0], out[1], by)))
 
-    def body(_, args):
+    def make_body(per_chunk):
+      def body(_, args):
         jb, lo, okc = args
         if out is not None:
             # All-octant STACKED selection: one [no*cj, w2] 0/1 matrix and
@@ -1264,7 +1336,7 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
                     (((1,), (0,)), ((), ())), "b",
                 )
 
-            if ok_chunks is None:
+            if not per_chunk:
                 g_all = banded_g(flat_grid)
             else:
                 g_all = jax.lax.cond(okc, banded_g, full_g, flat_grid)
@@ -1307,10 +1379,25 @@ def gather_tiles_banded(grid_blocks, job_block, band_lo, nb,
                     starts[2] : starts[2] + sizes[2],
                 ].set(chunk)
         return _, tile
+      return body
 
     okc_xs = (jnp.ones(jb_chunks.shape[0], bool)
               if ok_chunks is None else ok_chunks)
-    _, tiles = jax.lax.scan(body, 0, (jb_chunks, band_lo, okc_xs))
+    xs = (jb_chunks, band_lo, okc_xs)
+    if ok_chunks is None or out is None:
+        _, tiles = jax.lax.scan(make_body(False), 0, xs)
+    else:
+        # Outer two-level dispatch: per-chunk lax.conds inside the scan
+        # cost ~20 us each on TPU (measured: 35.4 -> 32.0 steps/s at 1M
+        # with 48 always-banded chunks x 3 moves paying them for nothing),
+        # so the common every-chunk-fits substep runs a cond-free scan and
+        # only substeps with at least one wide chunk pay the per-chunk
+        # dispatch.
+        _, tiles = jax.lax.cond(
+            jnp.all(ok_chunks),
+            lambda: jax.lax.scan(make_body(False), 0, xs),
+            lambda: jax.lax.scan(make_body(True), 0, xs),
+        )
     if out is not None:
         return tiles.reshape(j, out[0], out[1])
     return tiles.reshape((j,) + wsh + (c,))
@@ -1347,7 +1434,8 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
         _window_perm_np(dim, c, tiles.shape[1], tiles.shape[2], by))
         if win else None)
 
-    def body(carry, args):
+    def make_body(per_chunk):
+      def body(carry, args):
         jb, lo, tchunk, okc = args
         flat_grid = carry
         s = jnp.clip(lo, 0, nb1 - w2)
@@ -1390,7 +1478,7 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
                 )
                 return fg + d
 
-            if ok_chunks is None:
+            if not per_chunk:
                 return banded_s(flat_grid), None
             return jax.lax.cond(okc, banded_s, full_s, flat_grid), None
         for oi, (e, starts, sizes) in enumerate(_octant_slices(dim, by)):
@@ -1416,12 +1504,23 @@ def scatter_tiles_banded(grid_blocks, tiles, job_block, band_lo,
             jax.lax.dynamic_update_slice(flat_grid, slab + delta, (s, 0)),
             None,
         )
+      return body
 
     okc_xs = (jnp.ones(jb_chunks.shape[0], bool)
               if ok_chunks is None else ok_chunks)
-    flat_grid, _ = jax.lax.scan(
-        body, flat_grid, (jb_chunks, band_lo, tile_chunks, okc_xs)
-    )
+    xs = (jb_chunks, band_lo, tile_chunks, okc_xs)
+    if ok_chunks is None or not win:
+        flat_grid, _ = jax.lax.scan(make_body(False), flat_grid, xs)
+    else:
+        # See gather_tiles_banded: cond-free scan on the common
+        # every-chunk-fits substep, per-chunk dispatch only when a wide
+        # chunk exists.
+        flat_grid = jax.lax.cond(
+            jnp.all(ok_chunks),
+            lambda fg: jax.lax.scan(make_body(False), fg, xs)[0],
+            lambda fg: jax.lax.scan(make_body(True), fg, xs)[0],
+            flat_grid,
+        )
     return flat_grid.reshape(grid_blocks.shape)
 
 

@@ -1303,11 +1303,11 @@ def _substep_pallas_rows(rows_all, bodies, meshes, params, cfg: MpmConfig,
             bk.sparse_key_coords(jobs["key"], d) * bsh[0]
             + jnp.asarray(grid.origin_cell, jnp.int32)
         )
-        band_lo, bands_ok = bk.band_info_slots(
+        band_lo, bands_ok = bk.band_info_slots_chunks(
             tgts, amax, cfg.band, cfg.band_chunk
         )
         diag = diag.replace(
-            band_miss=diag.band_miss + (1 - bands_ok.astype(jnp.int32))
+            band_miss=diag.band_miss + jnp.sum(1 - bands_ok.astype(jnp.int32))
         )
 
         def gather_tiles(grid_arr, out=None, c=None):
