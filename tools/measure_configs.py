@@ -1,4 +1,7 @@
-"""Re-measure BASELINE configs 2/3/4 on the TPU (pallas path)."""
+"""Re-measure BASELINE configs 2/3/4 on the TPU (pallas path).
+
+BENCH_BCHUNK env: override band_chunk on every scene (A/B the
+banded-move scan chunk width without a code edit)."""
 import sys, os, time, json
 sys.path.insert(0, "/root/repo")
 import jax
@@ -7,7 +10,28 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 
 from wgsparkl_tpu import scenes
-from wgsparkl_tpu.pipeline import MpmData, step
+from wgsparkl_tpu.pipeline import MpmData as _MpmData, step
+
+_BCHUNK = int(os.environ.get("BENCH_BCHUNK", 0))
+
+
+def MpmData(*a, **kw):
+    if _BCHUNK:
+        kw.setdefault("band_chunk", _BCHUNK)
+    return _MpmData(*a, **kw)
+
+
+if _BCHUNK:
+    # scene helpers construct MpmData internally — patch the module ref
+    import wgsparkl_tpu.scenes as _sc
+
+    _orig = _sc.MpmData
+
+    def _patched(*a, **kw):
+        kw.setdefault("band_chunk", _BCHUNK)
+        return _orig(*a, **kw)
+
+    _sc.MpmData = _patched
 
 
 def measure(name, data, substeps, frames=8):
