@@ -38,6 +38,12 @@ def measure(name, data, substeps, frames=8):
     from wgsparkl_tpu.pipeline import step_with_diag
 
     cfg = data.config
+    # BENCH_LAZY_SORT=1: A/B the round-5 eager-sort default flip per scene
+    # (it was measured a 3D-1M win only; 2D may differ).
+    if int(os.environ.get("BENCH_LAZY_SORT", 0)):
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, lazy_sort=True)
     stepper = jax.jit(lambda s, p: step(s, p, cfg, num_substeps=substeps))
     t0 = time.time()
     state = stepper(data.state, data.params)

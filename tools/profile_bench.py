@@ -65,6 +65,13 @@ if os.environ.get("PROF_SCENE") == "dam3":
                      np.array([half * 2 + 2, 2.2 * nf * h + 4, half + 2])),
         transfer="pallas", group=group, by=by,
     )
+elif os.environ.get("PROF_SCENE") == "sand2":
+    # BASELINE config 2b: 2D sand at the reference elasticity2 scale
+    # (490k) — the 2D-throughput scene (verdict round-4 task 8).
+    substeps = 10
+    data = scenes.sand_column_2d(nx=700, ny=700, cell_width=0.2,
+                                 transfer="pallas", group=512)
+    n = data.num_particles
 else:
     nxz = int(round((n_target / 2.2) ** (1.0 / 3.0)))
     ny = int(round(n_target / (nxz * nxz)))

@@ -2087,8 +2087,12 @@ class MpmData:
         # max_jobs divisible so the static banded fast path stays available
         # (explicit odd values fall back to full matmuls).  band_chunk
         # widens the per-scan-iteration job chunk (fewer, bigger banded-move
-        # iterations; the slab must cover the wider span).
-        bc = band_chunk or 32
+        # iterations; the slab must cover the wider span).  Measured
+        # default = 64, BOTH dims (round-5 batch 9, same-day sweep):
+        # 3D bc 32/64/128 = 33.86/34.36/33.88 steps/s at 1M and
+        # 54.0/61.2/- on the 128^3 dam break; 2D 65k bc 32/64/128 =
+        # 261.7/326.8/303.7 and 490k 51.5/54.5/55.0 (tie).
+        bc = band_chunk or 64
         if transfer in ("blocked", "pallas") and auto_jobs and max_jobs % bc:
             max_jobs += bc - max_jobs % bc
             if max_jobs % job_chunk:
