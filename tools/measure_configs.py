@@ -13,22 +13,28 @@ from wgsparkl_tpu import scenes
 from wgsparkl_tpu.pipeline import MpmData as _MpmData, step
 
 _BCHUNK = int(os.environ.get("BENCH_BCHUNK", 0))
+_BAND = int(os.environ.get("BENCH_BAND", 0))
 
 
 def MpmData(*a, **kw):
     if _BCHUNK:
         kw.setdefault("band_chunk", _BCHUNK)
+    if _BAND:
+        kw.setdefault("band_arg", _BAND)
     return _MpmData(*a, **kw)
 
 
-if _BCHUNK:
+if _BCHUNK or _BAND:
     # scene helpers construct MpmData internally — patch the module ref
     import wgsparkl_tpu.scenes as _sc
 
     _orig = _sc.MpmData
 
     def _patched(*a, **kw):
-        kw.setdefault("band_chunk", _BCHUNK)
+        if _BCHUNK:
+            kw.setdefault("band_chunk", _BCHUNK)
+        if _BAND:
+            kw.setdefault("band_arg", _BAND)
         return _orig(*a, **kw)
 
     _sc.MpmData = _patched
